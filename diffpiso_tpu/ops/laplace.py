@@ -1,0 +1,170 @@
+"""Matrix-free variable-coefficient pressure Laplacian.
+
+TPU-native re-design of the reference's `calcPISOLaplaceMatrix` CUDA kernel
+(CUDAsrc/laplace_op.cu.cc:80-179) and the DIA-format banded matvec
+`calcZ_v4` (CUDAsrc/pressure_solve_op.cu.cc:58-92). The operator acts on the
+pressure increment; its per-face weights are the `advection_influence`
+field 1/(beta - A) * dx_factor evaluated on staggered faces
+(diffpiso/piso_tf.py:16-19,54).
+
+Semantics replicated exactly:
+
+  for each cell and each axis d, neighbor n in {lo, hi}:
+    diag -= infl(face)   if not(active(n)==0 and accessible(n)==0)
+                         and active(cell)!=0          (laplace_op.cu.cc:125-134)
+    off(n) = infl(face)  if active(n)==1 and accessible(n)==1
+                         and not(active(cell)==0 and accessible(cell)==0)
+                                                       (laplace_op.cu.cc:140-177)
+
+  rank-deficient (all-Neumann) case: solve (L + s * 1 1^T) instead, with
+  s = 0.1 * sum|diag| / n                 (pressure_solve_op.cu.cc:161-172)
+
+Periodic axes wrap naturally through jnp.roll in the matvec (the reference
+appends periodic offsets to its DIA index table,
+pressure_solve_op.cu.cc:117-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpiso_tpu.fields.grid import StaggeredField
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LaplaceStencil:
+    center: jax.Array
+    lo: Tuple[jax.Array, ...]
+    hi: Tuple[jax.Array, ...]
+    shift: jax.Array  # rank-one shift scale s (0 when full rank)
+    periodic: Tuple[bool, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def rank(self) -> int:
+        return self.center.ndim
+
+
+def _nwin(mask: jax.Array, off: Sequence[int], res: Sequence[int]) -> jax.Array:
+    idx = tuple(slice(1 + o, 1 + o + r) for o, r in zip(off, res))
+    return mask[idx]
+
+
+def assemble_pressure_laplacian(
+    influence: StaggeredField,
+    active_mask: jax.Array,
+    accessible_mask: jax.Array,
+    periodic: Sequence[bool],
+    rank_deficient,
+    dtype=None,
+) -> LaplaceStencil:
+    """Build the 5-point pressure-increment Laplacian.
+
+    influence        — per-face weights 1/(beta - A) * dx_factor (StaggeredField)
+    active/accessible — centered masks padded by one (resolution + 2). For
+                       periodic axes the padding must wrap.
+    rank_deficient   — bool (static or traced): all-Neumann singular system.
+    """
+    rank = influence.rank
+    res = influence.resolution
+    periodic = tuple(bool(p) for p in periodic)
+    if dtype is None:
+        dtype = influence.dtype
+
+    act = active_mask.astype(dtype)
+    acc = accessible_mask.astype(dtype)
+    act_c = act[tuple(slice(1, -1) for _ in range(rank))]
+    acc_c = acc[tuple(slice(1, -1) for _ in range(rank))]
+    cell_not_dead = jnp.logical_not((act_c == 0) & (acc_c == 0))
+    cell_active = act_c != 0
+
+    diag = jnp.zeros(res, dtype)
+    lo_coeffs, hi_coeffs = [], []
+    for d in range(rank):
+        comp = influence.components[d].astype(dtype)
+        infl_lo = jax.lax.slice_in_dim(comp, 0, res[d], axis=d)
+        infl_hi = jax.lax.slice_in_dim(comp, 1, res[d] + 1, axis=d)
+
+        off_lo = tuple(-1 if i == d else 0 for i in range(rank))
+        off_hi = tuple(1 if i == d else 0 for i in range(rank))
+        act_lo, act_hi = _nwin(act, off_lo, res), _nwin(act, off_hi, res)
+        acc_lo, acc_hi = _nwin(acc, off_lo, res), _nwin(acc, off_hi, res)
+
+        nbr_counts_lo = jnp.logical_not((act_lo == 0) & (acc_lo == 0)) & cell_active
+        nbr_counts_hi = jnp.logical_not((act_hi == 0) & (acc_hi == 0)) & cell_active
+        diag = diag - jnp.where(nbr_counts_lo, infl_lo, 0.0)
+        diag = diag - jnp.where(nbr_counts_hi, infl_hi, 0.0)
+
+        link_lo = (act_lo == 1) & (acc_lo == 1) & cell_not_dead
+        link_hi = (act_hi == 1) & (acc_hi == 1) & cell_not_dead
+        if not periodic[d]:
+            # Drop links across non-periodic domain edges: the reference's
+            # DIA matvec would index out of bounds there (it relies on masks
+            # zeroing the ring); we make that guarantee explicit so the roll
+            # wrap in apply_laplacian is always harmless.
+            n = res[d]
+            idx = jnp.arange(n).reshape(
+                tuple(n if i == d else 1 for i in range(rank))
+            )
+            link_lo = link_lo & (idx > 0)
+            link_hi = link_hi & (idx < n - 1)
+        lo_coeffs.append(jnp.where(link_lo, infl_lo, 0.0))
+        hi_coeffs.append(jnp.where(link_hi, infl_hi, 0.0))
+
+    n = float(np.prod(res))
+    shift = jnp.where(
+        jnp.asarray(rank_deficient, bool),
+        0.1 * jnp.sum(jnp.abs(diag)) / n,
+        jnp.zeros((), dtype),
+    ).astype(dtype)
+    return LaplaceStencil(
+        center=diag,
+        lo=tuple(lo_coeffs),
+        hi=tuple(hi_coeffs),
+        shift=shift,
+        periodic=periodic,
+    )
+
+
+def apply_laplacian(st: LaplaceStencil, p: jax.Array) -> jax.Array:
+    """z = L p (+ s * sum(p) when rank-deficient).
+
+    Non-periodic boundary coefficients are zero, so jnp.roll's wrap reads
+    are harmless; on periodic axes the wrap is exactly the desired coupling.
+    The operator is symmetric, so no transposed variant is needed for the
+    adjoint pressure solve (piso_cuda_pressure_solver.py:97-107 re-uses the
+    same solve)."""
+    z = st.center * p
+    for d in range(st.rank):
+        z = z + st.lo[d] * jnp.roll(p, 1, axis=d)
+        z = z + st.hi[d] * jnp.roll(p, -1, axis=d)
+    return z + st.shift * jnp.sum(p)
+
+
+def laplacian_to_dense(st: LaplaceStencil) -> np.ndarray:
+    """Dense matrix (including the rank-one shift) — test/debug only."""
+    center = np.asarray(st.center, np.float64)
+    S = center.shape
+    n = int(np.prod(S))
+    M = np.zeros((n, n))
+    for flat in range(n):
+        idx = np.unravel_index(flat, S)
+        M[flat, flat] += center[idx]
+        for d in range(len(S)):
+            lo = np.asarray(st.lo[d])[idx]
+            hi = np.asarray(st.hi[d])[idx]
+            if lo != 0.0:
+                j = list(idx)
+                j[d] = (idx[d] - 1) % S[d]
+                M[flat, int(np.ravel_multi_index(j, S))] += lo
+            if hi != 0.0:
+                j = list(idx)
+                j[d] = (idx[d] + 1) % S[d]
+                M[flat, int(np.ravel_multi_index(j, S))] += hi
+    M += float(np.asarray(st.shift)) * np.ones((n, n))
+    return M
