@@ -1,0 +1,120 @@
+"""Boundary-mask factories for the canonical flow cases.
+
+  lid_driven_cavity_masks <- lid_driven_cavity_2d.py:15-47 (the reference's
+                             validation case setup)
+  mixing_layer_masks      <- compute_mixingLayer_masks
+                             (diffpiso/piso_helpers.py:73-133)
+
+Mask semantics (reference README.md:61-66):
+  dirichlet_mask/values — staggered faces with prescribed velocity
+  active_mask           — centered cells carrying momentum (padded by 1)
+  accessible_mask       — centered cells fluid can occupy (padded by 1)
+  no_slip_mask          — centered cells that are no-slip walls (padded by 1)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffpiso_tpu.fields.grid import StaggeredField
+
+
+def lid_driven_cavity_masks(N: int, lid_velocity: float = 1.0, dtype=np.float32):
+    """Masks for the lid-driven cavity on a (N+1, N) grid.
+
+    The extra top row of cells is inactive; the moving lid is imposed as a
+    Dirichlet condition on the u-faces of that row (lid_driven_cavity_2d.py:20-43).
+    Returns (dirichlet_mask, dirichlet_values, active, accessible, no_slip).
+    """
+    ny, nx = N + 1, N
+
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0, :] = True
+    dm_v[-2:, :] = True
+    dm_u = np.zeros((ny, nx + 1), bool)
+    dm_u[:, 0] = True
+    dm_u[:, -1] = True
+    dm_u[-1, :] = True
+    dirichlet_mask = StaggeredField((jnp.asarray(dm_v), jnp.asarray(dm_u)))
+
+    dv_v = np.zeros((ny + 1, nx), dtype)
+    dv_u = np.zeros((ny, nx + 1), dtype)
+    dv_u[-1, :] = lid_velocity
+    dirichlet_values = StaggeredField((jnp.asarray(dv_v), jnp.asarray(dv_u)))
+
+    active = np.zeros((ny + 2, nx + 2), dtype)
+    active[1:-1, 1:-1] = 1
+    active[-2, :] = 0  # the dummy row of cells above the lid
+    accessible = active.copy()
+
+    no_slip = np.zeros((ny + 2, nx + 2), bool)
+    no_slip[0, :] = True
+    no_slip[-2:, :] = True
+    no_slip[:, 0] = True
+    no_slip[:, -1] = True
+
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(active),
+        jnp.asarray(accessible),
+        jnp.asarray(no_slip),
+    )
+
+
+def mixing_layer_masks(
+    resolution: Tuple[int, int],
+    inflow_profile: np.ndarray,
+    dtype=np.float32,
+):
+    """Masks for the spatially-evolving mixing layer:
+
+    boundary layout ((OPEN, OPEN), (OPEN, CLOSED)) with Dirichlet inflow on
+    the left x-boundary (profile of length ny+2 including ghost entries, as
+    produced by the reference's tanh profile, combined_training_integrated.py:497-501)
+    and Neumann-style outflow on the right
+    (compute_mixingLayer_masks with dirichlet_bool ((True,True),(True,False)),
+    piso_helpers.py:73-133).
+
+    Returns (dirichlet_mask, dirichlet_values, active, accessible, no_slip=None).
+    """
+    ny, nx = resolution
+    inflow = np.asarray(inflow_profile, dtype).reshape(-1)
+    assert inflow.shape[0] == ny + 2, "inflow profile must cover ny + 2 ghost rows"
+
+    # v faces: Dirichlet on bottom (y=0) and top (y=ny) rows
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0, :] = True
+    dm_v[-1, :] = True
+    dv_v = np.zeros((ny + 1, nx), dtype)
+
+    # u faces: Dirichlet at the inflow column (x=0) only
+    dm_u = np.zeros((ny, nx + 1), bool)
+    dm_u[:, 0] = True
+    dv_u = np.zeros((ny, nx + 1), dtype)
+    dv_u[:, 0] = inflow[1:-1]
+
+    dirichlet_mask = StaggeredField((jnp.asarray(dm_v), jnp.asarray(dm_u)))
+    dirichlet_values = StaggeredField((jnp.asarray(dv_v), jnp.asarray(dv_u)))
+
+    # accessible: open outflow at x = nx (ring stays 1 there), closed
+    # elsewhere (piso_helpers.py:124-128: zeros at x=0 column and both y rows)
+    accessible = np.ones((ny + 2, nx + 2), dtype)
+    accessible[:, 0] = 0
+    accessible[0, :] = 0
+    accessible[-1, :] = 0
+
+    # active: interior cells only (piso_helpers.py:130-131)
+    active = np.zeros((ny + 2, nx + 2), dtype)
+    active[1:-1, 1:-1] = 1
+
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(active),
+        jnp.asarray(accessible),
+        None,
+    )

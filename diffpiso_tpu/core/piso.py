@@ -1,0 +1,230 @@
+"""The differentiable PISO step.
+
+TPU-native equivalent of the reference's piso_step (diffpiso/piso_tf.py:11-81):
+one predictor (implicit advection-diffusion solve) and two pressure
+correctors, all matrix-free, all under jit, with implicit-function-theorem
+adjoints inside the solver wrappers. Unlike the reference (TF1 session with
+host round-trips every step), states stay on device and steps compose with
+jax.lax.scan.
+
+Algorithm (same math, term by term):
+
+  beta  = prod(dx)/dt                                      (piso_tf.py:26)
+  M, A  = advection-diffusion stencil around current v     (piso_tf.py:29-33)
+  rhs   = v*beta - grad(p) [+ f*prod(dx)], Dirichlet rows -> -dirichlet_values
+                                                           (piso_tf.py:36-40)
+  v*    : solve (-M) v* = rhs                              (piso_tf.py:42-47)
+  corrector 1:
+    lap  = Laplacian with influence 1/(beta-A)*dx_factor   (piso_tf.py:16-19,54)
+    p1   : solve lap p1 = div(v*)                          (piso_tf.py:51-55)
+    v**  = v* - grad(p1)/(beta-A)/prod(dx)                 (piso_tf.py:58)
+  corrector 2:
+    H    = (M - diag(A-beta)) (v** - v*)                   (piso_tf.py:61-63)
+    p2   : solve lap p2 = div(H/(beta-A))                  (piso_tf.py:66-68)
+    v*** = v** + (H - grad(p2)/prod(dx))/(beta-A)          (piso_tf.py:71-73)
+  p    += p1 + p2                                          (piso_tf.py:75)
+
+One deliberate improvement: the pressure Laplacian is assembled once and
+reused by both correctors (the reference rebuilds the identical matrix
+inside each PressureSolveOp call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diffpiso_tpu.fields.domain import Domain
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.ops.fv import fv_divergence, fv_gradient
+from diffpiso_tpu.ops.laplace import assemble_pressure_laplacian
+from diffpiso_tpu.ops.stencil import assemble_advection_stencil, explicit_H
+from diffpiso_tpu.solvers.base import (
+    AdvectionSolver,
+    PressureSolver,
+    solve_advection_system,
+    solve_pressure_system,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimulationParameters:
+    """Boundary/solver configuration for a PISO simulation.
+
+    Mirrors the reference's SimulationParameters (piso_tf.py:165-182). Mask
+    semantics (reference README.md:61-66): dirichlet_* live on staggered
+    faces; active/accessible/no_slip are centered masks padded by one cell.
+    """
+
+    dirichlet_mask: StaggeredField  # bool components
+    dirichlet_values: StaggeredField
+    active_mask: jax.Array  # (res+2,) centered, padded
+    accessible_mask: jax.Array
+    no_slip_mask: Optional[jax.Array]  # (res+2,) bool, padded; None = no walls
+    viscosity: Any  # scalar or StaggeredField (per-face)
+    laplace_rank_deficient: jax.Array | bool = False
+    bool_periodic: Tuple[bool, ...] = dataclasses.field(
+        default=(False, False), metadata=dict(static=True)
+    )
+    linear_solver: AdvectionSolver = dataclasses.field(
+        default=AdvectionSolver(), metadata=dict(static=True)
+    )
+    pressure_solver: PressureSolver = dataclasses.field(
+        default=PressureSolver(), metadata=dict(static=True)
+    )
+
+
+class PisoOutput(NamedTuple):
+    velocity: StaggeredField
+    pressure: jax.Array
+    pressure_inc1: jax.Array
+    pressure_inc2: jax.Array
+    warn: jax.Array  # bool: the momentum solve failed (gradient already gated)
+    adv_residual: jax.Array
+    p_iterations: jax.Array  # iterations of the two pressure solves (stacked)
+    intermediates: Any  # dict when full_output else None
+
+
+def piso_step(
+    velocity: StaggeredField,
+    pressure: jax.Array,
+    dt,
+    domain: Domain,
+    sim: SimulationParameters,
+    dirichlet_values: StaggeredField | None = None,
+    viscosity_field=None,
+    forcing_term: StaggeredField | None = None,
+    pressure_inc1_guess: jax.Array | None = None,
+    pressure_inc2_guess: jax.Array | None = None,
+    advection_tol=1e-6,
+    pressure_tol=1e-6,
+    full_output: bool = False,
+) -> PisoOutput:
+    """Advance one PISO step. All args trace under jit; dt/tolerances may be
+    runtime values (the reference feeds them via placeholders)."""
+    dx = domain.dx
+    dxprod = _math.prod(dx)
+    beta = dxprod / dt
+    if dirichlet_values is None:
+        dirichlet_values = sim.dirichlet_values
+    viscosity = viscosity_field if viscosity_field is not None else sim.viscosity
+
+    # -- operator assembly (zero gradient through coefficients, handled by the
+    #    solver's custom_vjp; assembly itself is stop_gradient'ed to keep the
+    #    autodiff graph lean, matching piso_tf.py:116-128)
+    stencil = assemble_advection_stencil(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, velocity),
+        dx,
+        domain.velocity_pad_modes(),
+        viscosity,
+        beta,
+        sim.dirichlet_mask,
+        sim.active_mask,
+        sim.accessible_mask,
+        sim.no_slip_mask,
+        sim.bool_periodic,
+    )
+    A = StaggeredField(stencil.diag_A)
+
+    # -- predictor ---------------------------------------------------------------
+    p_grad = fv_gradient(
+        pressure, dx, domain.pressure_pad_modes(), sim.accessible_mask
+    )
+    rhs = velocity * beta - p_grad
+    if forcing_term is not None:
+        rhs = rhs + forcing_term * dxprod
+    rhs = StaggeredField(
+        tuple(
+            jnp.where(dm, -dv, r)
+            for dm, dv, r in zip(
+                sim.dirichlet_mask.components,
+                dirichlet_values.components,
+                rhs.components,
+            )
+        )
+    )
+    velocity_star, warn = solve_advection_system(
+        sim.linear_solver, stencil, rhs, velocity, advection_tol
+    )
+
+    # -- corrector 1 --------------------------------------------------------------
+    # dx_factor: FV integration of d2p/dx2 over the cell divided by dx for the
+    # derivative at the face (assumes dx == dy, like the reference,
+    # piso_tf.py:50-53)
+    dx_factor = dxprod / (dx[0] ** 2)
+    beta_minus_A = StaggeredField(
+        tuple(beta - a for a in A.components)
+    )
+    influence = StaggeredField(
+        tuple(dx_factor / c for c in beta_minus_A.components)
+    )
+    laplacian = assemble_pressure_laplacian(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, influence),
+        sim.active_mask,
+        sim.accessible_mask,
+        sim.bool_periodic,
+        sim.laplace_rank_deficient,
+    )
+
+    v1_div = fv_divergence(velocity_star, dx)
+    p_inc1, iters1, _pw1 = solve_pressure_system(
+        sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess, pressure_tol
+    )
+
+    grad_p1 = fv_gradient(p_inc1, dx, domain.pressure_pad_modes(), sim.accessible_mask)
+    velocity_s2 = velocity_star - StaggeredField(
+        tuple(
+            g / bma / dxprod
+            for g, bma in zip(grad_p1.components, beta_minus_A.components)
+        )
+    )
+
+    # -- corrector 2 --------------------------------------------------------------
+    h = explicit_H(stencil, velocity_s2 - velocity_star, beta)
+    h_over = StaggeredField(
+        tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components))
+    )
+    h_div = fv_divergence(h_over, dx)
+    p_inc2, iters2, _pw2 = solve_pressure_system(
+        sim.pressure_solver, laplacian, h_div, pressure_inc2_guess, pressure_tol
+    )
+
+    grad_p2 = fv_gradient(p_inc2, dx, domain.pressure_pad_modes(), sim.accessible_mask)
+    velocity_s3 = velocity_s2 + StaggeredField(
+        tuple(
+            (hc - g / dxprod) / bma
+            for hc, g, bma in zip(
+                h.components, grad_p2.components, beta_minus_A.components
+            )
+        )
+    )
+
+    new_pressure = pressure + p_inc1 + p_inc2
+
+    intermediates = None
+    if full_output:
+        intermediates = dict(
+            stencil=stencil,
+            laplacian=laplacian,
+            rhs=rhs,
+            velocity_star=velocity_star,
+            velocity_s2=velocity_s2,
+            v1_div=v1_div,
+            h=h,
+            h_div=h_div,
+        )
+    return PisoOutput(
+        velocity=velocity_s3,
+        pressure=new_pressure,
+        pressure_inc1=p_inc1,
+        pressure_inc2=p_inc2,
+        warn=warn,
+        adv_residual=jnp.zeros(()),
+        p_iterations=jnp.stack([iters1, iters2]),
+        intermediates=intermediates,
+    )

@@ -1,0 +1,186 @@
+"""Differentiable solver wrappers with implicit-function-theorem adjoints.
+
+Mirrors the reference's solver layer:
+
+  solve_advection_system  <- LinearSolverCudaMultiBicgstabILU.solve
+                             (diffpiso/linear_solver.py:114-178)
+  solve_pressure_system   <- PisoPressureSolverCudaCustom.solve
+                             (diffpiso/piso_cuda_pressure_solver.py:36-114)
+
+Differentiation strategy (identical to the reference):
+
+* the backward pass of a linear solve is another linear solve with the
+  transposed operator applied to the cotangent (linear_solver.py:163-175);
+  the pressure Laplacian is symmetric so the same CG is reused
+  (piso_cuda_pressure_solver.py:97-107),
+* the operator coefficients receive ZERO gradient — the Jacobian of the
+  matrix assembly w.r.t. velocity is deliberately dropped (Picard-style
+  linearization of the adjoint, piso_tf.py:116-128),
+* gradients of failed solves are gated to zero via (1 - warn)
+  (linear_solver.py:173).
+
+Tolerances are runtime values (the reference feeds accuracy through a
+placeholder and tightens it during a run, lid_driven_cavity_2d.py:70-78,110),
+so they trace through jit; iteration caps are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.ops.laplace import LaplaceStencil, apply_laplacian
+from diffpiso_tpu.ops.stencil import (
+    AdvectionStencil,
+    apply_stencil,
+    apply_stencil_transpose,
+)
+from diffpiso_tpu.solvers.krylov import SolveResult, bicgstab, cg
+
+_zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+
+
+# -- advection-diffusion (predictor) solve ---------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionSolver:
+    """Config for the implicit momentum solve. The reference's equivalent
+    knobs: accuracy/max_iterations/cast_to_double
+    (linear_solver.py:116-125)."""
+
+    max_iterations: int = 1000
+    precondition: bool = True
+    dtype: str | None = None  # e.g. "float64" for the CPU-oracle path
+
+    def solve(self, stencil, rhs, guess=None, tol=1e-6):
+        return solve_advection_system(self, stencil, rhs, guess, tol)
+
+
+def _adv_operator_diag(stencil: AdvectionStencil):
+    # operator is -M, so the Jacobi diagonal is -center (= beta - diag >= 0)
+    return StaggeredField(tuple(-c for c in stencil.center))
+
+
+def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: bool):
+    apply_fn = apply_stencil_transpose if transpose else apply_stencil
+    in_dtype = rhs.dtype
+    if cfg.dtype is not None:
+        dt = jnp.dtype(cfg.dtype)
+        stencil = jax.tree_util.tree_map(lambda a: a.astype(dt), stencil)
+        rhs = rhs.astype(dt)
+        guess = None if guess is None else guess.astype(dt)
+    result = bicgstab(
+        lambda v: apply_fn(stencil, v, negate=True),
+        rhs,
+        guess,
+        tol=tol,
+        max_iter=cfg.max_iterations,
+        diag=_adv_operator_diag(stencil) if cfg.precondition else None,
+    )
+    x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
+    return x, result
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def solve_advection_system(cfg: AdvectionSolver, stencil, rhs, guess, tol):
+    """Solve (-M) v = rhs for the velocity predictor. Returns (v, warn)."""
+    x, result = _adv_solve_impl(cfg, stencil, rhs, guess, tol, transpose=False)
+    return x, result.warn
+
+
+def _adv_fwd(cfg, stencil, rhs, guess, tol):
+    x, result = _adv_solve_impl(cfg, stencil, rhs, guess, tol, transpose=False)
+    return (x, result.warn), (stencil, guess, result.warn, tol)
+
+
+def _adv_bwd(cfg, residuals, cotangents):
+    stencil, guess, warn, tol = residuals
+    g, _g_warn = cotangents
+    db, _ = _adv_solve_impl(cfg, stencil, g, None, tol, transpose=True)
+    gate = 1.0 - warn.astype(db.dtype)
+    db = db * gate
+    return (
+        _zeros_like_tree(stencil),
+        db,
+        _zeros_like_tree(guess),
+        jnp.zeros_like(tol),
+    )
+
+
+solve_advection_system.defvjp(_adv_fwd, _adv_bwd)
+
+
+# -- pressure (corrector) solve ----------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PressureSolver:
+    """Config for the pressure-increment CG solve. Reference knobs:
+    accuracy/max_iterations/residual_reset/randomized_restarts/cast_to_double
+    (piso_cuda_pressure_solver.py:38-49)."""
+
+    max_iterations: int = 2000
+    # residual resets keep float32 CG from stalling (see krylov.cg); the
+    # reference used 1000 with float64 (combined_training_integrated.py:487)
+    residual_reset: int = 50
+    # project out the constant null space of all-Neumann systems each
+    # iteration (float32-safe alternative to relying on the rank-one shift)
+    deflate_mean: bool = False
+    dtype: str | None = None  # "float64" reproduces cast_to_double=True
+
+    def solve(self, laplacian, rhs, guess=None, tol=1e-6):
+        return solve_pressure_system(self, laplacian, rhs, guess, tol)
+
+
+def _pressure_solve_impl(cfg: PressureSolver, lap: LaplaceStencil, rhs, guess, tol):
+    in_dtype = rhs.dtype
+    if cfg.dtype is not None:
+        dt = jnp.dtype(cfg.dtype)
+        lap = jax.tree_util.tree_map(lambda a: a.astype(dt), lap)
+        rhs = rhs.astype(dt)
+        guess = None if guess is None else guess.astype(dt)
+    result = cg(
+        lambda p: apply_laplacian(lap, p),
+        rhs,
+        guess,
+        tol=tol,
+        max_iter=cfg.max_iterations,
+        residual_reset=cfg.residual_reset,
+        deflate_mean=cfg.deflate_mean,
+    )
+    x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
+    return x, result
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def solve_pressure_system(cfg: PressureSolver, laplacian, rhs, guess, tol):
+    """Solve L p = rhs. Returns (p, iterations, warn)."""
+    x, result = _pressure_solve_impl(cfg, laplacian, rhs, guess, tol)
+    return x, result.iterations, result.warn
+
+
+def _pressure_fwd(cfg, laplacian, rhs, guess, tol):
+    x, result = _pressure_solve_impl(cfg, laplacian, rhs, guess, tol)
+    return (x, result.iterations, result.warn), (laplacian, guess, result.warn, tol)
+
+
+def _pressure_bwd(cfg, residuals, cotangents):
+    laplacian, guess, warn, tol = residuals
+    g, _g_iters, _g_warn = cotangents
+    # L is symmetric: the adjoint solve reuses the forward operator
+    db, _ = _pressure_solve_impl(cfg, laplacian, g, None, tol)
+    db = db * (1.0 - warn.astype(db.dtype))
+    return (
+        _zeros_like_tree(laplacian),
+        db,
+        _zeros_like_tree(guess),
+        jnp.zeros_like(tol),
+    )
+
+
+solve_pressure_system.defvjp(_pressure_fwd, _pressure_bwd)

@@ -1,0 +1,126 @@
+"""End-to-end PISO step tests on the lid-driven cavity (the reference's
+validation case, lid_driven_cavity_2d.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffpiso_tpu import Box, Domain, OPEN, StaggeredField
+from diffpiso_tpu.core import SimulationParameters, lid_driven_cavity_masks, piso_step
+from diffpiso_tpu.ops import fv_divergence
+from diffpiso_tpu.solvers import AdvectionSolver, PressureSolver
+
+
+def cavity_setup(N=32, re=1000.0, dtype="float64"):
+    dm, dv, active, accessible, no_slip = lid_driven_cavity_masks(N)
+    domain = Domain(
+        (N + 1, N), Box.from_size((1.0 + 1.0 / N, 1.0)), boundaries=OPEN
+    )
+    sim = SimulationParameters(
+        dirichlet_mask=dm,
+        dirichlet_values=dv,
+        active_mask=active,
+        accessible_mask=accessible,
+        no_slip_mask=no_slip,
+        viscosity=1.0 / re,
+        laplace_rank_deficient=True,
+        linear_solver=AdvectionSolver(max_iterations=100, dtype=dtype),
+        pressure_solver=PressureSolver(
+            max_iterations=1000, dtype=dtype, deflate_mean=True
+        ),
+    )
+    return domain, sim
+
+
+def run_steps(domain, sim, n_steps, dt=0.01, tol=1e-6):
+    vel = domain.staggered_grid(0.0)
+    p = domain.centered_grid(0.0)
+
+    @jax.jit
+    def step(vel, p):
+        out = piso_step(
+            vel, p, dt, domain, sim, advection_tol=tol, pressure_tol=tol
+        )
+        return out.velocity, out.pressure, out.warn, out.p_iterations
+
+    warns = []
+    for _ in range(n_steps):
+        vel, p, warn, p_iters = step(vel, p)
+        warns.append(bool(warn))
+    return vel, p, warns
+
+
+def test_cavity_steps_stable_and_divergence_free():
+    domain, sim = cavity_setup(N=24)
+    vel, p, warns = run_steps(domain, sim, 5, dt=0.01, tol=1e-8)
+    assert not any(warns)
+    for c in vel.components:
+        assert bool(jnp.all(jnp.isfinite(c)))
+    # interior divergence should be at solver-tolerance level
+    div = np.asarray(fv_divergence(vel, domain.dx))
+    active = np.asarray(sim.active_mask)[1:-1, 1:-1]
+    assert np.abs(div * active).max() < 1e-5
+    # the lid drags fluid: u in the top active row must be positive
+    u = np.asarray(vel.components[1])
+    assert u[-2, 1:-1].mean() > 0.01
+    # Dirichlet faces hold their values
+    np.testing.assert_allclose(u[-1, :], 1.0, atol=1e-5)
+    # side walls at rest (the top corner face belongs to the lid row)
+    np.testing.assert_allclose(u[:-1, 0], 0.0, atol=1e-6)
+
+
+def test_cavity_velocity_magnitude_bounded():
+    domain, sim = cavity_setup(N=16)
+    vel, p, warns = run_steps(domain, sim, 10, dt=0.02, tol=1e-7)
+    assert not any(warns)
+    # no velocity should exceed the lid speed (physics sanity)
+    for c in vel.components:
+        assert float(jnp.max(jnp.abs(c))) <= 1.0 + 1e-3
+
+
+def test_piso_step_differentiable():
+    domain, sim = cavity_setup(N=12, dtype=None)
+    vel = domain.staggered_grid(0.0)
+    p = domain.centered_grid(0.0)
+
+    def loss(vel0):
+        out = piso_step(
+            vel0, p, 0.01, domain, sim, advection_tol=1e-7, pressure_tol=1e-6
+        )
+        out2 = piso_step(
+            out.velocity, out.pressure, 0.01, domain, sim,
+            advection_tol=1e-7, pressure_tol=1e-6,
+        )
+        return sum(jnp.sum(c**2) for c in out2.velocity.components)
+
+    g = jax.jit(jax.grad(loss))(vel)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert total > 0.0
+
+
+def test_scan_rollout_matches_python_loop():
+    domain, sim = cavity_setup(N=12, dtype=None)
+    vel0 = domain.staggered_grid(0.0)
+    p0 = domain.centered_grid(0.0)
+
+    def step_fn(carry, _):
+        vel, p = carry
+        out = piso_step(
+            vel, p, 0.01, domain, sim, advection_tol=1e-7, pressure_tol=1e-6
+        )
+        return (out.velocity, out.pressure), out.warn
+
+    (vel_s, p_s), warns = jax.lax.scan(step_fn, (vel0, p0), None, length=3)
+
+    vel_l, p_l = vel0, p0
+    for _ in range(3):
+        out = piso_step(
+            vel_l, p_l, 0.01, domain, sim, advection_tol=1e-7, pressure_tol=1e-6
+        )
+        vel_l, p_l = out.velocity, out.pressure
+
+    for a, b in zip(vel_s.components, vel_l.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

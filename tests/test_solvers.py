@@ -1,0 +1,230 @@
+"""Solver tests: Krylov convergence vs dense oracles, IFT adjoints, warn gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffpiso_tpu import StaggeredField
+from diffpiso_tpu.fields.material import SYMMETRIC
+from diffpiso_tpu.ops import (
+    apply_laplacian,
+    apply_stencil,
+    assemble_advection_stencil,
+    assemble_pressure_laplacian,
+    laplacian_to_dense,
+    stencil_to_dense,
+)
+from diffpiso_tpu.ops.fv import centered_to_staggered
+from diffpiso_tpu.solvers import (
+    AdvectionSolver,
+    PressureSolver,
+    bicgstab,
+    cg,
+    solve_advection_system,
+    solve_pressure_system,
+)
+
+
+def physical_case(res=(6, 8), seed=0, dtype=jnp.float32):
+    """A well-posed cavity-like advection system."""
+    rng = np.random.RandomState(seed)
+    ny, nx = res
+    vel = StaggeredField(
+        (
+            jnp.asarray(0.3 * rng.randn(ny + 1, nx), dtype),
+            jnp.asarray(0.3 * rng.randn(ny, nx + 1), dtype),
+        )
+    )
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0] = dm_v[-1] = True
+    dm_u = np.zeros((ny, nx + 1), bool)
+    dm_u[:, 0] = dm_u[:, -1] = True
+    dmask = StaggeredField((jnp.asarray(dm_v), jnp.asarray(dm_u)))
+    active = np.zeros((ny + 2, nx + 2), np.float32)
+    active[1:-1, 1:-1] = 1
+    no_slip = np.zeros((ny + 2, nx + 2), bool)
+    no_slip[0] = no_slip[-1] = True
+    no_slip[:, 0] = no_slip[:, -1] = True
+    dx = (0.25, 0.25)
+    beta = float(np.prod(dx)) / 0.02
+    st = assemble_advection_stencil(
+        vel, dx, SYMMETRIC, 0.01, beta, dmask,
+        jnp.asarray(active), jnp.asarray(active), jnp.asarray(no_slip),
+        (False, False),
+    )
+    rhs = StaggeredField(
+        (
+            jnp.asarray(rng.randn(ny + 1, nx), dtype),
+            jnp.asarray(rng.randn(ny, nx + 1), dtype),
+        )
+    )
+    return st, rhs, dx, beta
+
+
+def dense_solution(st, rhs, transpose=False):
+    sols = []
+    for c in range(2):
+        M = -stencil_to_dense(st, c)
+        if transpose:
+            M = M.T
+        b = np.asarray(rhs.components[c], np.float64).reshape(-1)
+        sols.append(np.linalg.solve(M, b).reshape(rhs.components[c].shape))
+    return sols
+
+
+def test_bicgstab_matches_dense_solve():
+    st, rhs, _, _ = physical_case()
+    cfg = AdvectionSolver(max_iterations=500)
+    x, warn = cfg.solve(st, rhs, tol=1e-6)
+    assert not bool(warn)
+    expected = dense_solution(st, rhs)
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(x.components[c]), expected[c], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_bicgstab_warm_start_converges_fast():
+    st, rhs, _, _ = physical_case()
+    cfg = AdvectionSolver(max_iterations=500)
+    x, _ = cfg.solve(st, rhs, tol=1e-6)
+    res = bicgstab(
+        lambda v: apply_stencil(st, v, negate=True), rhs, x, tol=1e-6,
+        max_iter=500,
+    )
+    assert int(res.iterations) <= 1
+
+
+def test_advection_adjoint_is_transposed_solve():
+    st, rhs, _, _ = physical_case(seed=3)
+    cfg = AdvectionSolver(max_iterations=500)
+
+    def f(rhs):
+        x, _ = solve_advection_system(cfg, st, rhs, None, 1e-8)
+        return x
+
+    g = StaggeredField(
+        tuple(
+            jnp.asarray(np.random.RandomState(5).randn(*c.shape), jnp.float32)
+            for c in rhs.components
+        )
+    )
+    _, vjp_fn = jax.vjp(f, rhs)
+    (db,) = vjp_fn(g)
+    expected = dense_solution(st, g, transpose=True)
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(db.components[c]), expected[c], rtol=1e-3, atol=1e-4
+        )
+
+
+def test_stencil_coefficients_get_zero_gradient():
+    st, rhs, _, _ = physical_case(seed=4)
+    cfg = AdvectionSolver(max_iterations=500)
+
+    def loss(st_in):
+        x, _ = solve_advection_system(cfg, st_in, rhs, None, 1e-7)
+        return sum(jnp.sum(c**2) for c in x.components)
+
+    grads = jax.grad(loss)(st)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+
+def laplace_case(res=(6, 7), rank_deficient=False):
+    ny, nx = res
+    infl = centered_to_staggered(jnp.ones((ny, nx), jnp.float32) * 0.8)
+    active = np.zeros((ny + 2, nx + 2), np.float32)
+    active[1:-1, 1:-1] = 1
+    if not rank_deficient:
+        # open top boundary: accessible outside -> Dirichlet-like row
+        accessible = active.copy()
+        accessible[0, 1:-1] = 1
+    else:
+        accessible = active.copy()
+    lap = assemble_pressure_laplacian(
+        infl, jnp.asarray(active), jnp.asarray(accessible), (False, False),
+        rank_deficient,
+    )
+    return lap
+
+
+def test_cg_matches_dense_nonsingular():
+    lap = laplace_case(rank_deficient=False)
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.randn(6, 7), jnp.float32)
+    res = cg(lambda p: apply_laplacian(lap, p), b, tol=1e-5, max_iter=2000)
+    assert bool(res.converged)
+    dense = laplacian_to_dense(lap)
+    expected = np.linalg.solve(dense, np.asarray(b, np.float64).reshape(-1))
+    np.testing.assert_allclose(
+        np.asarray(res.x).reshape(-1), expected, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_cg_rank_one_shift_solves_singular_system():
+    lap = laplace_case(rank_deficient=True)
+    rng = np.random.RandomState(1)
+    b = rng.randn(6, 7)
+    b -= b.mean()  # compatible RHS for the all-Neumann system
+    b = jnp.asarray(b, jnp.float32)
+    res = cg(lambda p: apply_laplacian(lap, p), b, tol=1e-5, max_iter=4000)
+    assert bool(res.converged)
+    # solution satisfies the *unshifted* equation up to the shift null-space
+    # component: L x + s*sum(x) = b with sum(x) ~ 0
+    assert abs(float(jnp.sum(res.x))) < 1e-2
+
+
+def test_pressure_adjoint_matches_fd():
+    lap = laplace_case(rank_deficient=False)
+    cfg = PressureSolver(max_iterations=4000, dtype="float64")
+    rng = np.random.RandomState(2)
+    b = jnp.asarray(rng.randn(6, 7), jnp.float32)
+    w = jnp.asarray(rng.randn(6, 7), jnp.float32)
+
+    def loss(b_in):
+        p, _, _ = solve_pressure_system(cfg, lap, b_in, None, 1e-10)
+        return jnp.sum(w * p)
+
+    g = jax.grad(loss)(b)
+    eps = 1e-3
+    d = jnp.asarray(rng.randn(6, 7), jnp.float32)
+    fd = (loss(b + eps * d) - loss(b - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(
+        float(jnp.sum(g * d)), float(fd), rtol=2e-2
+    )
+
+
+def test_warn_gates_gradient_to_zero():
+    st, rhs, _, _ = physical_case(seed=6)
+    # cripple the solver so it cannot converge -> warn -> zero gradient
+    cfg = AdvectionSolver(max_iterations=1, precondition=False)
+
+    _, warn = solve_advection_system(cfg, st, rhs, None, 1e-30)
+    assert bool(warn)
+
+    def f(rhs_in):
+        x, _ = solve_advection_system(cfg, st, rhs_in, None, 1e-30)
+        return sum(jnp.sum(c) for c in x.components)
+
+    db = jax.grad(f)(rhs)
+    for leaf in jax.tree_util.tree_leaves(db):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+
+def test_solve_under_jit_with_traced_tol():
+    st, rhs, _, _ = physical_case(seed=7)
+    cfg = AdvectionSolver(max_iterations=500)
+
+    @jax.jit
+    def run(rhs, tol):
+        return solve_advection_system(cfg, st, rhs, None, tol)
+
+    x1, w1 = run(rhs, jnp.float32(1e-3))
+    x2, w2 = run(rhs, jnp.float32(1e-7))
+    assert not bool(w2)
+    expected = dense_solution(st, rhs)
+    np.testing.assert_allclose(
+        np.asarray(x2.components[0]), expected[0], rtol=1e-4, atol=1e-5
+    )
