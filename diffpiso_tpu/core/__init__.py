@@ -1,5 +1,9 @@
 from diffpiso_tpu.core.piso import PisoOutput, SimulationParameters, piso_step
 from diffpiso_tpu.core.masks import lid_driven_cavity_masks, mixing_layer_masks
+from diffpiso_tpu.core.setups import (
+    MixingLayerSetup,
+    spatial_mixing_layer_setup,
+)
 
 __all__ = [
     "PisoOutput",
@@ -7,4 +11,6 @@ __all__ = [
     "piso_step",
     "lid_driven_cavity_masks",
     "mixing_layer_masks",
+    "MixingLayerSetup",
+    "spatial_mixing_layer_setup",
 ]

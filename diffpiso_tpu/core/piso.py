@@ -129,7 +129,7 @@ def piso_step(
         sim.no_slip_mask,
         sim.bool_periodic,
     )
-    A = StaggeredField(stencil.diag_A)
+    A = StaggeredField(stencil.diag_A, periodic=velocity.periodic)
 
     # -- predictor ---------------------------------------------------------------
     p_grad = fv_gradient(
@@ -146,7 +146,8 @@ def piso_step(
                 dirichlet_values.components,
                 rhs.components,
             )
-        )
+        ),
+        periodic=velocity.periodic,
     )
     velocity_star, warn = solve_advection_system(
         sim.linear_solver, stencil, rhs, velocity, advection_tol
@@ -158,10 +159,11 @@ def piso_step(
     # piso_tf.py:50-53)
     dx_factor = dxprod / (dx[0] ** 2)
     beta_minus_A = StaggeredField(
-        tuple(beta - a for a in A.components)
+        tuple(beta - a for a in A.components), periodic=velocity.periodic
     )
     influence = StaggeredField(
-        tuple(dx_factor / c for c in beta_minus_A.components)
+        tuple(dx_factor / c for c in beta_minus_A.components),
+        periodic=velocity.periodic,
     )
     laplacian = assemble_pressure_laplacian(
         jax.tree_util.tree_map(jax.lax.stop_gradient, influence),
@@ -181,13 +183,15 @@ def piso_step(
         tuple(
             g / bma / dxprod
             for g, bma in zip(grad_p1.components, beta_minus_A.components)
-        )
+        ),
+        periodic=velocity.periodic,
     )
 
     # -- corrector 2 --------------------------------------------------------------
     h = explicit_H(stencil, velocity_s2 - velocity_star, beta)
     h_over = StaggeredField(
-        tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components))
+        tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components)),
+        periodic=velocity.periodic,
     )
     h_div = fv_divergence(h_over, dx)
     p_inc2, iters2, _pw2 = solve_pressure_system(
@@ -201,7 +205,8 @@ def piso_step(
             for hc, g, bma in zip(
                 h.components, grad_p2.components, beta_minus_A.components
             )
-        )
+        ),
+        periodic=velocity.periodic,
     )
 
     new_pressure = pressure + p_inc1 + p_inc2

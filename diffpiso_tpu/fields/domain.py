@@ -81,7 +81,12 @@ class Domain:
         return self.resolution
 
     def staggered_component_shape(self, d: int) -> Tuple[int, ...]:
-        return tuple(r + (1 if i == d else 0) for i, r in enumerate(self.resolution))
+        """Component d's face-array shape: +1 along d unless periodic (then
+        only the unique faces are stored)."""
+        return tuple(
+            r + (1 if i == d and not self.periodic[i] else 0)
+            for i, r in enumerate(self.resolution)
+        )
 
     # -- factories ------------------------------------------------------------
     def centered_grid(self, value=0.0, dtype=jnp.float32):
@@ -92,4 +97,4 @@ class Domain:
             jnp.full(self.staggered_component_shape(d), value, dtype)
             for d in range(self.rank)
         )
-        return StaggeredField(comps)
+        return StaggeredField(comps, periodic=self.periodic)

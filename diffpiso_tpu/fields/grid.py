@@ -30,9 +30,12 @@ def _binop(f):
     def op(self, other):
         if isinstance(other, StaggeredField):
             return StaggeredField(
-                tuple(f(a, b) for a, b in zip(self.components, other.components))
+                tuple(f(a, b) for a, b in zip(self.components, other.components)),
+                periodic=self.periodic,
             )
-        return StaggeredField(tuple(f(a, other) for a in self.components))
+        return StaggeredField(
+            tuple(f(a, other) for a in self.components), periodic=self.periodic
+        )
 
     return op
 
@@ -43,15 +46,26 @@ class StaggeredField:
     """Velocity on a MAC staggered grid.
 
     components[d] is the velocity along axis d, sampled on faces normal to
-    axis d: shape = resolution + e_d (the boundary faces on both ends are
-    stored, also for periodic axes, matching the reference's layout).
-    Axis order: 0 = y, 1 = x. components = (v, u).
+    axis d. Axis order: 0 = y, 1 = x; components = (v, u).
+
+    Shapes: resolution + e_d on non-periodic axes (boundary faces on both
+    ends stored, like the reference). On PERIODIC axes only the unique faces
+    are stored (shape = resolution along d) — no duplicated wrap face, so
+    arrays stay tile-aligned and wraps are plain rolls. `periodic` is static
+    pytree metadata.
     """
 
     components: Tuple[jax.Array, ...]
+    periodic: Tuple[bool, ...] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def __post_init__(self):
         object.__setattr__(self, "components", tuple(self.components))
+        per = self.periodic
+        if per is None:
+            per = (False,) * len(self.components)
+        object.__setattr__(self, "periodic", tuple(bool(p) for p in per))
 
     # -- shape --------------------------------------------------------------
     @property
@@ -60,9 +74,9 @@ class StaggeredField:
 
     @property
     def resolution(self) -> Tuple[int, ...]:
-        c0 = self.components[0]
         return tuple(
-            c0.shape[d] - (1 if d == 0 else 0) for d in range(len(self.components))
+            self.components[d].shape[d] - (0 if self.periodic[d] else 1)
+            for d in range(len(self.components))
         )
 
     @property
@@ -71,43 +85,56 @@ class StaggeredField:
 
     # -- constructors ---------------------------------------------------------
     @staticmethod
-    def zeros(resolution, dtype=jnp.float32) -> "StaggeredField":
+    def zeros(resolution, dtype=jnp.float32, periodic=None) -> "StaggeredField":
         res = tuple(int(r) for r in resolution)
+        if periodic is None:
+            periodic = (False,) * len(res)
         comps = []
         for d in range(len(res)):
-            shape = tuple(r + (1 if i == d else 0) for i, r in enumerate(res))
+            shape = tuple(
+                r + (1 if i == d and not periodic[i] else 0)
+                for i, r in enumerate(res)
+            )
             comps.append(jnp.zeros(shape, dtype))
-        return StaggeredField(tuple(comps))
+        return StaggeredField(tuple(comps), periodic=periodic)
 
     @staticmethod
-    def from_staggered_tensor(tensor) -> "StaggeredField":
+    def from_staggered_tensor(tensor, periodic=None) -> "StaggeredField":
         """Convert from the reference's stacked layout.
 
         Accepts (ny+1, nx+1, d) or (1, ny+1, nx+1, d) (batch of one).
         Channel c holds the component along axis c (channel 0 = y).
         Components are cropped to their native shapes: component d keeps the
-        full extent along axis d and drops the last (padding) entry along
-        other axes (unstack_staggered_tensor, staggered_grid.py:33-39).
+        full extent along axis d (minus the duplicate wrap face if axis d is
+        periodic) and drops the last (padding) entry along other axes
+        (unstack_staggered_tensor, staggered_grid.py:33-39).
         """
         tensor = jnp.asarray(tensor)
         if tensor.ndim == 4:
             tensor = tensor[0]
         rank = tensor.shape[-1]
+        if periodic is None:
+            periodic = (False,) * rank
         comps = []
         for d in range(rank):
             idx = tuple(
-                slice(None) if i == d else slice(0, -1) for i in range(rank)
+                slice(None) if (i == d and not periodic[i]) else slice(0, -1)
+                for i in range(rank)
             )
             comps.append(tensor[idx + (d,)])
-        return StaggeredField(tuple(comps))
+        return StaggeredField(tuple(comps), periodic=periodic)
 
     def staggered_tensor(self) -> jax.Array:
         """Convert to the reference's stacked layout (ny+1, nx+1, d), padding
         each component with zeros on the upper side of its non-staggered axes
-        (stack_staggered_components, staggered_grid.py:41-46)."""
+        (stack_staggered_components, staggered_grid.py:41-46). Periodic axes
+        re-materialize the duplicate wrap face."""
         rank = self.rank
         padded = []
         for d, comp in enumerate(self.components):
+            if self.periodic[d]:
+                first = jax.lax.slice_in_dim(comp, 0, 1, axis=d)
+                comp = jnp.concatenate([comp, first], axis=d)
             widths = tuple((0, 0) if i == d else (0, 1) for i in range(rank))
             padded.append(jnp.pad(comp, widths))
         return jnp.stack(padded, axis=-1)
@@ -120,9 +147,13 @@ class StaggeredField:
         reference's StaggeredGrid.at_centers() (staggered_grid.py:150)."""
         outs = []
         for d, comp in enumerate(self.components):
-            lo = jax.lax.slice_in_dim(comp, 0, comp.shape[d] - 1, axis=d)
-            hi = jax.lax.slice_in_dim(comp, 1, comp.shape[d], axis=d)
-            outs.append(0.5 * (lo + hi))
+            if self.periodic[d]:
+                hi = jnp.roll(comp, -1, axis=d)
+                outs.append(0.5 * (comp + hi))
+            else:
+                lo = jax.lax.slice_in_dim(comp, 0, comp.shape[d] - 1, axis=d)
+                hi = jax.lax.slice_in_dim(comp, 1, comp.shape[d], axis=d)
+                outs.append(0.5 * (lo + hi))
         return jnp.stack(outs, axis=-1)
 
     # -- arithmetic -----------------------------------------------------------

@@ -1,0 +1,351 @@
+"""Differentiable closure training.
+
+TPU-native re-design of the reference's training engine
+(diffpiso/combined_training_integrated.py:27-478):
+
+  make_rollout_fn  <- run_piso_steps (:396-478): unrolled NN-closure + PISO
+                      steps as one lax.scan, TBPTT via stop_gradient every
+                      loss_influence_range steps (:436-438)
+  make_train_step  <- the gradient/apply machinery (:74-83, 188-198) — but
+                      gradients never leave the device: NaN checks and
+                      warn-gated update skipping happen in-graph instead of
+                      the reference's fetch-grads-to-numpy-and-feed-back
+                      two-phase update
+  training_run     <- the epoch loop (:158-384): last-working checkpoints,
+                      warn-triggered parameter restore (+ optimizer re-init,
+                      the analog of the reference's Adam reinit / graph
+                      rebuild), intermediate-eval rollback when the L2 jumps
+                      20x (:301-303), lr decay per epoch (:369-380)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffpiso_tpu.core.piso import piso_step
+from diffpiso_tpu.core.setups import MixingLayerSetup
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.learning.losses import (
+    l2_field_loss,
+    multistep_averaging_loss,
+    spectral_energy_loss,
+    strain_rate_loss,
+)
+from diffpiso_tpu.models.networks import fullyconv_apply
+from diffpiso_tpu.ops.fv import centered_to_faces, fv_gradient
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    """Knobs mirroring training_dict
+    (spatial_mixing_layer_differentiable_training.py:30-62)."""
+
+    step_count: int = 10
+    loss_influence_range: int = 10
+    learning_rate: float = 1e-5
+    lr_decay: float = 0.4
+    epochs: int = 2
+    pressure_included: bool = True
+    padding: str = "VALID"
+    restore_shape: bool = True
+    buffer_width: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    # loss weights [L2, spectral, strain-rate, multistep] (:52)
+    loss_factors: Tuple[float, float, float, float] = (50.0, 0.5, 2.0, 0.5)
+    advection_tol: float = 1e-6
+    pressure_tol: float = 1e-6
+    checkpoint_every: int = 100
+    rollback_threshold: float = 20.0
+    perturb_inlet: bool = True
+    eval_interval: int = 0  # 0 disables intermediate forward evals
+
+
+def _centered_gradient(p: jax.Array, dx) -> jax.Array:
+    """Central-difference pressure gradient at cell centers, channels (d/dy,
+    d/dx) — the reference's CenteredGrid.gradient() used for the NN input
+    (run_piso_steps, combined_training_integrated.py:403)."""
+    outs = []
+    for d in range(p.ndim):
+        pad = [(0, 0)] * p.ndim
+        pad[d] = (1, 1)
+        pp = jnp.pad(p, pad, mode="edge")
+        hi = jax.lax.slice_in_dim(pp, 2, pp.shape[d], axis=d)
+        lo = jax.lax.slice_in_dim(pp, 0, pp.shape[d] - 2, axis=d)
+        outs.append((hi - lo) / (2.0 * float(dx[d])))
+    return jnp.stack(outs, axis=-1)
+
+
+def make_rollout_fn(setup: MixingLayerSetup, cfg: TrainingConfig, with_network: bool = True):
+    """Returns rollout(params, vel0, p0, perturbations) ->
+    (velocity_rollout (time-major StaggeredField), pressure_rollout, warn_any).
+
+    The NN sees the pre-sponge region only and its forcing is zero-padded
+    over the sponge (neural_network_wrapper,
+    spatial_mixing_layer_differentiable_training.py:6-10)."""
+    domain = setup.domain
+    sponge_start = setup.sponge_start
+    nx = domain.resolution[1]
+    L = max(1, cfg.loss_influence_range)
+
+    def nn_forcing(params, vel, p):
+        nn_in = vel.at_centers()
+        if cfg.pressure_included:
+            nn_in = jnp.concatenate(
+                [nn_in, _centered_gradient(p, domain.dx)], axis=-1
+            )
+        nn_in = nn_in[:, :sponge_start, :]
+        nn_out = fullyconv_apply(
+            params,
+            nn_in,
+            padding=cfg.padding,
+            buffer_width=cfg.buffer_width,
+            restore_shape=cfg.restore_shape,
+        )
+        nn_out = jnp.pad(nn_out, ((0, 0), (0, nx - sponge_start), (0, 0)))
+        return StaggeredField(
+            (
+                centered_to_faces(nn_out[..., 0], 0),
+                centered_to_faces(nn_out[..., 1], 1),
+            )
+        )
+
+    def rollout(params, vel0, p0, perturbations):
+        def body(carry, inp):
+            vel, p, warn_acc = carry
+            idx, pert = inp
+            # TBPTT: cut the gradient tape every L steps (:436-438)
+            cut = (idx > 0) & (idx % L == 0)
+            vel = jax.tree_util.tree_map(
+                lambda a: jnp.where(cut, jax.lax.stop_gradient(a), a), vel
+            )
+            p = jnp.where(cut, jax.lax.stop_gradient(p), p)
+
+            forcing = nn_forcing(params, vel, p) if with_network else None
+            dv = setup.dirichlet_values(pert)
+            out = piso_step(
+                vel,
+                p,
+                setup.dt,
+                domain,
+                setup.sim,
+                dirichlet_values=dv,
+                forcing_term=forcing,
+                advection_tol=cfg.advection_tol,
+                pressure_tol=cfg.pressure_tol,
+            )
+            return (out.velocity, out.pressure, warn_acc | out.warn), (
+                out.velocity,
+                out.pressure,
+            )
+
+        idxs = jnp.arange(cfg.step_count)
+        (velT, pT, warn_any), (vels, ps) = jax.lax.scan(
+            body, (vel0, p0, jnp.zeros((), bool)), (idxs, perturbations)
+        )
+        return vels, ps, warn_any
+
+    return rollout
+
+
+def rollout_targets_from_tensor(seq: jax.Array) -> StaggeredField:
+    """(T, ny+1, nx+1, 2) stacked tensors -> time-major StaggeredField."""
+    v = seq[:, :, :-1, 0]
+    u = seq[:, :-1, :, 1]
+    return StaggeredField((v, u))
+
+
+def make_loss_fn(setup: MixingLayerSetup, cfg: TrainingConfig, rollout_fn):
+    lf = cfg.loss_factors
+    sponge = setup.sponge_start
+
+    def loss_fn(params, vel0, p0, targets: StaggeredField, perturbations):
+        vels, ps, warn = rollout_fn(params, vel0, p0, perturbations)
+        total = jnp.zeros(())
+        parts = []
+        if lf[0]:
+            c = jnp.sum(l2_field_loss(vels, targets, None, lf[0], sponge))
+            total, parts = total + c, parts + [c]
+        else:
+            parts.append(jnp.zeros(()))
+        if lf[1]:
+            c = jnp.sum(
+                spectral_energy_loss(
+                    vels, targets, ((0, 0), (0, 0)), lf[1], sponge
+                )
+            )
+            total, parts = total + c, parts + [c]
+        else:
+            parts.append(jnp.zeros(()))
+        if lf[2]:
+            c = jnp.sum(strain_rate_loss(vels, targets, setup.domain.dx, lf[2]))
+            total, parts = total + c, parts + [c]
+        else:
+            parts.append(jnp.zeros(()))
+        if lf[3]:
+            c = jnp.sum(
+                multistep_averaging_loss(
+                    vels, targets, ((0, 0), (0, 0)), lf[3], cfg.loss_influence_range
+                )
+            )
+            total, parts = total + c, parts + [c]
+        else:
+            parts.append(jnp.zeros(()))
+        return total, (warn, jnp.stack(parts))
+
+    return loss_fn
+
+
+def make_train_step(loss_fn, optimizer):
+    @jax.jit
+    def train_step(params, opt_state, vel0, p0, targets, perturbations):
+        (loss, (warn, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, vel0, p0, targets, perturbations
+        )
+        finite = jnp.all(
+            jnp.stack(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        ok = jnp.logical_and(~warn, finite)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # warn / non-finite grads -> skip the update entirely
+        # (the in-graph form of combined_training_integrated.py:188-198)
+        params_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
+        return params_out, opt_out, loss, parts, warn
+
+    return train_step
+
+
+def save_params(path: str, params):
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+
+
+def load_params(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _sample_to_device(setup, cfg, sample):
+    vel_seq, p_seq, characs = sample
+    vel0 = StaggeredField(
+        (
+            jnp.asarray(vel_seq[0, :, :-1, 0]),
+            jnp.asarray(vel_seq[0, :-1, :, 1]),
+        )
+    )
+    p0 = jnp.asarray(p_seq[0])
+    targets = rollout_targets_from_tensor(jnp.asarray(vel_seq[1:]))
+    data_time = float(characs[0])
+    amps = tuple(float(a) for a in characs[1:]) or (0.082, 0.018)
+    if cfg.perturb_inlet:
+        perts = jnp.stack(
+            [
+                setup.perturbation(data_time + t * setup.dt, amps)
+                for t in range(cfg.step_count)
+            ]
+        )
+    else:
+        perts = jnp.zeros((cfg.step_count, setup.domain.resolution[0] + 2))
+    return vel0, p0, targets, perts
+
+
+def training_run(
+    base_dir: str,
+    setup: MixingLayerSetup,
+    cfg: TrainingConfig,
+    params,
+    train_dataset,
+    val_dataset=None,
+    log_fn=print,
+):
+    """Epoch loop with warn recovery, checkpointing, and lr decay. Returns
+    (params, train_loss_history, val_loss_history)."""
+    os.makedirs(base_dir, exist_ok=True)
+    rollout_fn = make_rollout_fn(setup, cfg)
+    loss_fn = make_loss_fn(setup, cfg, rollout_fn)
+
+    lr = cfg.learning_rate
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(loss_fn, optimizer)
+    eval_loss = jax.jit(
+        lambda p, v0, p0, t, pe: loss_fn(p, v0, p0, t, pe)[0]
+    )
+
+    loss_history, val_history = [], []
+    last_working = jax.tree_util.tree_map(np.asarray, params)
+    consecutive_warns = 0
+    prev_eval = None
+
+    for epoch in range(cfg.epochs):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        t_epoch = time.perf_counter()
+        for it, sample in enumerate(train_dataset.iterate(shuffle=True, seed=epoch)):
+            vel0, p0, targets, perts = _sample_to_device(setup, cfg, sample)
+            params, opt_state, loss, parts, warn = train_step(
+                params, opt_state, vel0, p0, targets, perts
+            )
+            loss_history.append(float(loss))
+            if bool(warn):
+                consecutive_warns += 1
+                log_fn(f"[train] e{epoch} i{it} WARN (solver failure), update skipped")
+                if consecutive_warns >= 2:
+                    # reference: restore last-working weights + Adam re-init
+                    # (graph rebuild analog, :199-257)
+                    params = jax.tree_util.tree_map(jnp.asarray, last_working)
+                    opt_state = optimizer.init(params)
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                    consecutive_warns = 0
+                    log_fn(f"[train] e{epoch} i{it} restored last-working params")
+            else:
+                consecutive_warns = 0
+                if it % cfg.checkpoint_every == 0:
+                    last_working = jax.tree_util.tree_map(np.asarray, params)
+                    save_params(os.path.join(base_dir, "model_last_working.pkl"), params)
+                    np.savez(
+                        os.path.join(base_dir, "training_loss_progression.npz"),
+                        np.asarray(loss_history),
+                    )
+            if cfg.eval_interval and it > 0 and it % cfg.eval_interval == 0 and val_dataset is not None:
+                v_sample = val_dataset.sample(0)
+                ev = float(eval_loss(params, *_sample_to_device(setup, cfg, v_sample)))
+                if prev_eval is not None and ev > cfg.rollback_threshold * prev_eval:
+                    params = jax.tree_util.tree_map(jnp.asarray, last_working)
+                    log_fn(f"[train] eval jumped {ev:.3g} > {cfg.rollback_threshold}x, rolled back")
+                else:
+                    prev_eval = ev
+                    save_params(
+                        os.path.join(base_dir, f"model_e{epoch}_i{it}.pkl"), params
+                    )
+
+        # validation sweep (:305-366)
+        if val_dataset is not None:
+            for sample in val_dataset.iterate(shuffle=False):
+                v0, pp0, tg, pe = _sample_to_device(setup, cfg, sample)
+                val_history.append(float(eval_loss(params, v0, pp0, tg, pe)))
+            np.savez(
+                os.path.join(base_dir, "validation_loss_progression.npz"),
+                np.asarray(val_history),
+            )
+        save_params(os.path.join(base_dir, f"model_epoch{epoch}.pkl"), params)
+        lr = lr * cfg.lr_decay
+        log_fn(
+            f"[train] epoch {epoch} done in {time.perf_counter() - t_epoch:.1f}s, "
+            f"mean loss {np.mean(loss_history[-max(1, len(train_dataset)):]):.4g}, next lr {lr:.2e}"
+        )
+    return params, np.asarray(loss_history), np.asarray(val_history)

@@ -80,6 +80,12 @@ def fullyconv_apply(
         x = x[:, t : x.shape[1] - b, l : x.shape[2] - r, :]
     target_shape = x.shape
 
+    if padding == "VALID":
+        need = 2 * receptive_field_half_width([w.shape[0] for w in params]) + 1
+        assert min(x.shape[1], x.shape[2]) >= need, (
+            f"VALID padding needs input >= {need} per spatial dim, got "
+            f"{x.shape[1:3]} — the convolutions would produce an empty output"
+        )
     h = x
     for w in params[:-1]:
         h = jax.nn.leaky_relu(_conv(h, w, padding))

@@ -70,9 +70,11 @@ def pad_staggered(field: StaggeredField, modes, width: int = 1) -> Tuple[jax.Arr
             w_lo, w_hi = width, width
             if lo == CIRCULAR or hi == CIRCULAR:
                 assert lo == hi == CIRCULAR, "periodic axes must wrap on both sides"
-                if axis == c:
-                    # Drop the stored duplicate face so the wrap runs over the
-                    # unique faces, then restore the shape with one extra pad.
+                if axis == c and not field.periodic[axis]:
+                    # duplicate-face storage (reference layout): drop the
+                    # stored duplicate so the wrap runs over the unique
+                    # faces, then restore the shape with one extra pad.
+                    # Fields marked periodic already store unique faces.
                     data = jax.lax.slice_in_dim(data, 0, data.shape[axis] - 1, axis=axis)
                     w_hi = width + 1
                 widths = [(0, 0)] * data.ndim
@@ -105,35 +107,14 @@ def fv_divergence(field: StaggeredField, dx: Sequence[float]) -> jax.Array:
     dxprod = _math.prod(dx)
     total = None
     for d, comp in enumerate(field.components):
-        lo = jax.lax.slice_in_dim(comp, 0, comp.shape[d] - 1, axis=d)
-        hi = jax.lax.slice_in_dim(comp, 1, comp.shape[d], axis=d)
+        if field.periodic[d]:
+            lo, hi = comp, jnp.roll(comp, -1, axis=d)
+        else:
+            lo = jax.lax.slice_in_dim(comp, 0, comp.shape[d] - 1, axis=d)
+            hi = jax.lax.slice_in_dim(comp, 1, comp.shape[d], axis=d)
         term = (hi - lo) * (dxprod / dx[d])
         total = term if total is None else total + term
     return total
-
-
-@jax.custom_vjp
-def _circular_gradient(p: jax.Array, axis: int):
-    """Periodic staggered gradient along `axis` with the reference's custom
-    adjoint (circular_padded_gradient, piso_helpers.py:226-233)."""
-    diff = p - jnp.roll(p, 1, axis)
-    first = jax.lax.slice_in_dim(diff, 0, 1, axis=axis)
-    return jnp.concatenate([diff, first], axis=axis)
-
-
-def _circular_gradient_fwd(p, axis):
-    return _circular_gradient(p, axis), (p.shape, axis)
-
-
-def _circular_gradient_bwd(res, g):
-    shape, axis = res
-    n = shape[axis]
-    head = jax.lax.slice_in_dim(g, 0, n, axis=axis)
-    tail = jax.lax.slice_in_dim(g, 1, n + 1, axis=axis)
-    return (head - tail, None)
-
-
-_circular_gradient.defvjp(_circular_gradient_fwd, _circular_gradient_bwd)
 
 
 def fv_gradient(
@@ -155,11 +136,15 @@ def fv_gradient(
     dxprod = _math.prod(dx)
     if isinstance(pad_modes, str):
         pad_modes = tuple((pad_modes, pad_modes) for _ in range(pressure.ndim))
+    periodic = tuple(lo == CIRCULAR for lo, _ in pad_modes)
     comps = []
     for d in range(pressure.ndim):
         lo_mode, hi_mode = pad_modes[d]
         if lo_mode == CIRCULAR:
-            grad = _circular_gradient(pressure, d)
+            # unique-face periodic gradient; autodiff through the roll IS the
+            # wrap-aware adjoint the reference hand-codes
+            # (circular_padded_gradient, piso_helpers.py:226-233)
+            grad = pressure - jnp.roll(pressure, 1, axis=d)
         else:
             widths = [(0, 0)] * pressure.ndim
             widths[d] = (1, 0)
@@ -169,27 +154,32 @@ def fv_gradient(
             grad = upper - lower
         comps.append(grad * (dxprod / dx[d]))
     if accessible_mask is not None:
-        res = pressure.shape
         masked = []
         for d, grad in enumerate(comps):
             # upper/lower windows of the padded mask along d, cropped [1:-1]
-            # on the other axes.
+            # on the other axes. Periodic axes have unique faces: the face at
+            # index i couples cells i-1 and i (mask pre-padded with wrap).
+            up = slice(1, -1) if periodic[d] else slice(1, None)
+            lo = slice(0, -2) if periodic[d] else slice(0, -1)
             idx_up = tuple(
-                slice(1, None) if i == d else slice(1, -1) for i in range(pressure.ndim)
+                up if i == d else slice(1, -1) for i in range(pressure.ndim)
             )
             idx_lo = tuple(
-                slice(0, -1) if i == d else slice(1, -1) for i in range(pressure.ndim)
+                lo if i == d else slice(1, -1) for i in range(pressure.ndim)
             )
             face_mask = jnp.minimum(accessible_mask[idx_up], accessible_mask[idx_lo])
             masked.append(grad * face_mask.astype(grad.dtype))
         comps = masked
-    return StaggeredField(tuple(comps))
+    return StaggeredField(tuple(comps), periodic=periodic)
 
 
 def centered_to_faces(data: jax.Array, axis: int, pad_mode: str = REPLICATE) -> jax.Array:
     """Resample a centered field to the faces normal to `axis` (linear
     interpolation; boundary faces use the pad mode, default replicate like
-    the reference's CenteredGrid extrapolation='boundary')."""
+    the reference's CenteredGrid extrapolation='boundary'). CIRCULAR returns
+    the unique periodic faces (size = resolution along axis)."""
+    if pad_mode == CIRCULAR:
+        return 0.5 * (data + jnp.roll(data, 1, axis=axis))
     widths = [(0, 0)] * data.ndim
     widths[axis] = (1, 1)
     padded = jnp.pad(data, widths, mode=_JNP_MODE[pad_mode])
@@ -198,10 +188,18 @@ def centered_to_faces(data: jax.Array, axis: int, pad_mode: str = REPLICATE) -> 
     return 0.5 * (lo + hi)
 
 
-def centered_to_staggered(data: jax.Array, pad_mode: str = REPLICATE) -> StaggeredField:
-    """Resample a centered scalar to every staggered face set."""
+def centered_to_staggered(data: jax.Array, pad_modes=REPLICATE) -> StaggeredField:
+    """Resample a centered scalar to every staggered face set. pad_modes:
+    one mode, or ((lo, hi) per axis) — circular axes yield unique faces and
+    periodic metadata."""
+    if isinstance(pad_modes, str):
+        pad_modes = tuple((pad_modes, pad_modes) for _ in range(data.ndim))
+    periodic = tuple(lo == CIRCULAR for lo, _ in pad_modes)
     return StaggeredField(
-        tuple(centered_to_faces(data, d, pad_mode) for d in range(data.ndim))
+        tuple(
+            centered_to_faces(data, d, pad_modes[d][0]) for d in range(data.ndim)
+        ),
+        periodic=periodic,
     )
 
 

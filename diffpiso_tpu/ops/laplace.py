@@ -87,8 +87,13 @@ def assemble_pressure_laplacian(
     lo_coeffs, hi_coeffs = [], []
     for d in range(rank):
         comp = influence.components[d].astype(dtype)
-        infl_lo = jax.lax.slice_in_dim(comp, 0, res[d], axis=d)
-        infl_hi = jax.lax.slice_in_dim(comp, 1, res[d] + 1, axis=d)
+        if periodic[d]:
+            # unique faces: lo face of cell i is face i, hi face wraps
+            infl_lo = comp
+            infl_hi = jnp.roll(comp, -1, axis=d)
+        else:
+            infl_lo = jax.lax.slice_in_dim(comp, 0, res[d], axis=d)
+            infl_hi = jax.lax.slice_in_dim(comp, 1, res[d] + 1, axis=d)
 
         off_lo = tuple(-1 if i == d else 0 for i in range(rank))
         off_hi = tuple(1 if i == d else 0 for i in range(rank))
@@ -129,6 +134,19 @@ def assemble_pressure_laplacian(
         shift=shift,
         periodic=periodic,
     )
+
+
+def detect_rank_deficiency(active_mask, accessible_mask) -> jax.Array:
+    """Auto-detect the all-Neumann (singular) pressure system from the mask
+    boundary ring: deficient iff every ring cell has active == accessible
+    (piso_cuda_pressure_solver.py:84-87)."""
+    act = jnp.asarray(active_mask)
+    acc = jnp.asarray(accessible_mask)
+    agree = acc * act + (1 - acc) * (1 - act)
+    ring = jnp.concatenate(
+        [agree[0, 1:-1], agree[-1, 1:-1], agree[1:-1, 0], agree[1:-1, -1]]
+    )
+    return jnp.prod(ring) != 0
 
 
 def apply_laplacian(st: LaplaceStencil, p: jax.Array) -> jax.Array:

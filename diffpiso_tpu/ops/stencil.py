@@ -69,9 +69,13 @@ def _win(arr: jax.Array, off: Sequence[int], size: Sequence[int]) -> jax.Array:
     return arr[idx]
 
 
-def _interior_masks(shape: Sequence[int], d: int):
+def _interior_masks(shape: Sequence[int], d: int, periodic: bool):
     """(interior_lo, interior_hi): face not on the lower/upper domain end
-    along axis d (the CUDA domainBoundaryBool, cu.cc:166-172)."""
+    along axis d (the CUDA domainBoundaryBool, cu.cc:166-172). Periodic axes
+    have no domain ends — every face is interior."""
+    if periodic:
+        t = jnp.ones((1,) * len(shape), bool)
+        return t, t
     n = shape[d]
     idx = jnp.arange(n).reshape(tuple(n if i == d else 1 for i in range(len(shape))))
     interior_lo = idx > 0
@@ -105,7 +109,11 @@ def assemble_advection_stencil(
     rank = velocity.rank
     dx = tuple(float(v) for v in dx)
     periodic = tuple(bool(p) for p in periodic)
-    assert not any(periodic), "periodic axes: use the dedicated periodic path (TODO)"
+    assert periodic == velocity.periodic, (
+        "velocity field periodicity must match the requested periodic axes "
+        f"(got field {velocity.periodic}, requested {periodic}); periodic "
+        "axes store unique faces"
+    )
     dxprod = _math.prod(dx)
     area = tuple(dxprod / dx[d] for d in range(rank))
     dtype = velocity.dtype
@@ -137,7 +145,7 @@ def assemble_advection_stencil(
             flux_lo = 0.5 * (_win(w, zero_off, S) + _win(w, neg_ec, S)) * area[d]
             flux_hi = 0.5 * (_win(w, e[d], S) + _win(w, ed_minus_ec, S)) * area[d]
 
-            interior_lo, interior_hi = _interior_masks(S, d)
+            interior_lo, interior_hi = _interior_masks(S, d, periodic[d])
             off_lo = tuple(-v for v in e[d])
             # high centered neighbor sits at +e_d for d != c, at 0 for d == c
             # (the face between two cells belongs to the upper one),
@@ -155,7 +163,9 @@ def assemble_advection_stencil(
             tbb_hi_f = tbb_hi.astype(dtype)
 
             visc = nu * (area[d] / dx[d])
-            link_lo = interior_lo  # | periodic[d] once periodic path lands
+            # links across periodic wraps always exist (interior is all-True
+            # there); non-periodic boundary links are dropped
+            link_lo = interior_lo
             link_hi = interior_hi
             coeff_lo = jnp.where(tbb_lo & link_lo, 0.5 * flux_lo + visc, 0.0)
             coeff_hi = jnp.where(tbb_hi & link_hi, -0.5 * flux_hi + visc, 0.0)
@@ -213,7 +223,7 @@ def apply_stencil(st: AdvectionStencil, field: StaggeredField, negate: bool = Fa
     for c in range(st.rank):
         y = _apply_component(st.center[c], st.lo[c], st.hi[c], field.components[c])
         outs.append(-y if negate else y)
-    return StaggeredField(tuple(outs))
+    return StaggeredField(tuple(outs), periodic=field.periodic)
 
 
 def apply_stencil_transpose(
@@ -224,7 +234,7 @@ def apply_stencil_transpose(
     for c in range(st.rank):
         y = _apply_component_T(st.center[c], st.lo[c], st.hi[c], field.components[c])
         outs.append(-y if negate else y)
-    return StaggeredField(tuple(outs))
+    return StaggeredField(tuple(outs), periodic=field.periodic)
 
 
 def explicit_H(st: AdvectionStencil, w: StaggeredField, beta) -> StaggeredField:
@@ -237,7 +247,7 @@ def explicit_H(st: AdvectionStencil, w: StaggeredField, beta) -> StaggeredField:
             mw.components[c]
             - (st.diag_A[c] - jnp.asarray(beta, w.dtype)) * w.components[c]
         )
-    return StaggeredField(tuple(outs))
+    return StaggeredField(tuple(outs), periodic=w.periodic)
 
 
 # -- test utilities ---------------------------------------------------------------

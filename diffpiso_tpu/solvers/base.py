@@ -61,9 +61,9 @@ class AdvectionSolver:
         return solve_advection_system(self, stencil, rhs, guess, tol)
 
 
-def _adv_operator_diag(stencil: AdvectionStencil):
+def _adv_operator_diag(stencil: AdvectionStencil, periodic):
     # operator is -M, so the Jacobi diagonal is -center (= beta - diag >= 0)
-    return StaggeredField(tuple(-c for c in stencil.center))
+    return StaggeredField(tuple(-c for c in stencil.center), periodic=periodic)
 
 
 def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: bool):
@@ -80,7 +80,7 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
         guess,
         tol=tol,
         max_iter=cfg.max_iterations,
-        diag=_adv_operator_diag(stencil) if cfg.precondition else None,
+        diag=_adv_operator_diag(stencil, rhs.periodic) if cfg.precondition else None,
     )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
     return x, result

@@ -1,0 +1,11 @@
+from diffpiso_tpu.utils.io import Scene, read_sim_frame, write_sim_frame
+from diffpiso_tpu.utils.profiling import StepTimer, device_memory_stats, trace
+
+__all__ = [
+    "Scene",
+    "read_sim_frame",
+    "write_sim_frame",
+    "StepTimer",
+    "device_memory_stats",
+    "trace",
+]
