@@ -1,0 +1,122 @@
+"""First-order Chorin-projection incompressible flow solver.
+
+Capability parity with the reference's IncompressibleFlow.step
+(PhiFlow/phi/physics/fluid.py:75-118,216): semi-Lagrangian advection ->
+body forces -> divergence-free projection. This is the simpler solver the
+PISO scheme supersedes (kept for parity, fast previews, and as a baseline
+for accuracy comparisons — e.g. the PhiFlow smoke demos).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffpiso_tpu.fields.domain import Domain
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.ops.advect import advect_centered, advect_semi_lagrangian
+from diffpiso_tpu.ops.fv import centered_to_staggered, fv_divergence, fv_gradient
+from diffpiso_tpu.ops.laplace import assemble_pressure_laplacian
+from diffpiso_tpu.solvers.fourier import FourierPressureSolver, fourier_poisson
+from diffpiso_tpu.solvers.krylov import cg
+
+
+def divergence_free(
+    velocity: StaggeredField,
+    domain: Domain,
+    accessible_mask: Optional[jax.Array] = None,
+    tol=1e-5,
+    max_iter: int = 2000,
+):
+    """Project a staggered velocity onto its divergence-free part
+    (fluid.py:203-250). Periodic boxes use the exact spectral solve; bounded
+    domains run CG on the masked unit-coefficient Laplacian.
+
+    Returns (velocity_div_free, pressure-like potential)."""
+    dx = domain.dx
+    div = fv_divergence(velocity, dx) / (dx[0] * dx[1])  # point divergence
+    if all(domain.periodic):
+        # discrete-symbol spectral solve: exactly inverts the 5-point
+        # Laplacian the staggered divergence/gradient pair induces, so the
+        # projection is divergence-free to machine precision
+        solver = FourierPressureSolver()
+        q = solver.solve((1.0 / dx[0] ** 2, 1.0 / dx[1] ** 2), div)
+        comps_fd = []
+        for d, v in enumerate(velocity.components):
+            gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
+            comps_fd.append(v - gq)
+        return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
+    # bounded: CG on the unit-influence masked Laplacian
+    ny, nx = domain.resolution
+    if accessible_mask is None:
+        accessible_mask = jnp.ones((ny + 2, nx + 2), jnp.float32)
+        active = jnp.zeros((ny + 2, nx + 2), jnp.float32).at[1:-1, 1:-1].set(1)
+    else:
+        active = accessible_mask
+    influence = centered_to_staggered(jnp.ones((ny, nx), velocity.dtype))
+    lap = assemble_pressure_laplacian(
+        influence, active, accessible_mask, domain.periodic, rank_deficient=True
+    )
+    from diffpiso_tpu.ops.laplace import apply_laplacian
+
+    res = cg(
+        lambda p: apply_laplacian(lap, p),
+        div * (dx[0] ** 2),
+        tol=tol,
+        max_iter=max_iter,
+        residual_reset=50,
+        deflate_mean=True,
+    )
+    q = res.x
+    comps_fd = []
+    for d, v in enumerate(velocity.components):
+        pad = [(0, 0)] * 2
+        pad[d] = (1, 1)
+        qp = jnp.pad(q, pad, mode="edge")
+        lo = jax.lax.slice_in_dim(qp, 0, qp.shape[d] - 1, axis=d)
+        hi = jax.lax.slice_in_dim(qp, 1, qp.shape[d], axis=d)
+        comps_fd.append(v - (hi - lo) / dx[d])
+    return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
+
+
+class FlowState(NamedTuple):
+    velocity: StaggeredField
+    density: Optional[jax.Array] = None
+
+
+def incompressible_flow_step(
+    state: FlowState,
+    domain: Domain,
+    dt,
+    buoyancy_factor: float = 0.0,
+    forces: Optional[StaggeredField] = None,
+    accessible_mask=None,
+    tol=1e-5,
+) -> FlowState:
+    """One operator-splitting step: advect density & velocity, apply
+    buoyancy/forces, project (IncompressibleFlow.step, fluid.py:92-118)."""
+    vel = state.velocity
+    density = state.density
+    if density is not None:
+        density = advect_centered(density, vel, dt, domain.dx)
+    vel = advect_semi_lagrangian(vel, vel, dt, domain.dx)
+    if density is not None and buoyancy_factor:
+        buoy = centered_to_faces_like(density * buoyancy_factor * dt, vel)
+        vel = StaggeredField(
+            (vel.components[0] + buoy, vel.components[1]), periodic=vel.periodic
+        )
+    if forces is not None:
+        vel = vel + forces * dt
+    vel, _ = divergence_free(vel, domain, accessible_mask, tol=tol)
+    return FlowState(velocity=vel, density=density)
+
+
+def centered_to_faces_like(data: jax.Array, vel: StaggeredField) -> jax.Array:
+    """Resample a centered field to the y-face locations of `vel`."""
+    from diffpiso_tpu.ops.fv import centered_to_faces
+    from diffpiso_tpu.fields.material import CIRCULAR, REPLICATE
+
+    mode = CIRCULAR if vel.periodic[0] else REPLICATE
+    return centered_to_faces(data, 0, mode)

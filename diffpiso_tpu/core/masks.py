@@ -65,6 +65,56 @@ def lid_driven_cavity_masks(N: int, lid_velocity: float = 1.0, dtype=np.float32)
     )
 
 
+def temporal_mixing_layer_masks(
+    resolution: Tuple[int, int],
+    upper_velocity: np.ndarray,
+    lower_velocity: np.ndarray,
+    dtype=np.float32,
+):
+    """Masks for the TEMPORALLY evolving mixing layer: Dirichlet streamwise
+    velocity at the top/bottom walls, periodic in x
+    (temporal_mixing_layer_masks, piso_helpers.py:136-166; asserts
+    dirichlet_bool == ((True, True), (False, False))).
+
+    upper/lower_velocity: arrays of length nx (u values on the boundary
+    rows). Returns (dirichlet_mask, dirichlet_values, active, accessible,
+    no_slip=None) with periodic-x (unique-face) shapes."""
+    ny, nx = resolution
+    # v faces Dirichlet on the y walls (value 0); u faces: the reference
+    # marks the first/last *rows* of v as Dirichlet and leaves u free — here
+    # v: (ny+1, nx), u: (ny, nx) (periodic x)
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0, :] = True
+    dm_v[-1, :] = True
+    dv_v = np.zeros((ny + 1, nx), dtype)
+    dm_u = np.zeros((ny, nx), bool)
+    dm_u[0, :] = True
+    dm_u[-1, :] = True
+    dv_u = np.zeros((ny, nx), dtype)
+    dv_u[0, :] = np.asarray(lower_velocity, dtype)
+    dv_u[-1, :] = np.asarray(upper_velocity, dtype)
+
+    dirichlet_mask = StaggeredField(
+        (jnp.asarray(dm_v), jnp.asarray(dm_u)), periodic=(False, True)
+    )
+    dirichlet_values = StaggeredField(
+        (jnp.asarray(dv_v), jnp.asarray(dv_u)), periodic=(False, True)
+    )
+
+    # accessible/active: zeros at the y walls, wrap-padded in x
+    # (piso_helpers.py:159-163: active == accessible)
+    inner = np.ones((ny, nx), dtype)
+    padded = np.pad(inner, ((1, 1), (0, 0)), "constant")
+    padded = np.pad(padded, ((0, 0), (1, 1)), "wrap")
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(padded),
+        jnp.asarray(padded),
+        None,
+    )
+
+
 def mixing_layer_masks(
     resolution: Tuple[int, int],
     inflow_profile: np.ndarray,

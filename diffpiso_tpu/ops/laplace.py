@@ -157,10 +157,15 @@ def apply_laplacian(st: LaplaceStencil, p: jax.Array) -> jax.Array:
     The operator is symmetric, so no transposed variant is needed for the
     adjoint pressure solve (piso_cuda_pressure_solver.py:97-107 re-uses the
     same solve)."""
-    z = st.center * p
-    for d in range(st.rank):
-        z = z + st.lo[d] * jnp.roll(p, 1, axis=d)
-        z = z + st.hi[d] * jnp.roll(p, -1, axis=d)
+    from diffpiso_tpu.ops.pallas_stencil import fused_stencil_matvec, pallas_eligible
+
+    if pallas_eligible(p.shape, p.dtype):
+        z = fused_stencil_matvec(st.center, st.lo, st.hi, p)
+    else:
+        z = st.center * p
+        for d in range(st.rank):
+            z = z + st.lo[d] * jnp.roll(p, 1, axis=d)
+            z = z + st.hi[d] * jnp.roll(p, -1, axis=d)
     return z + st.shift * jnp.sum(p)
 
 

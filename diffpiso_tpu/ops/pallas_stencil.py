@@ -1,0 +1,125 @@
+"""Pallas TPU kernel for the 5-point stencil matvec.
+
+This is the hot op: every BiCGSTAB/CG iteration applies the stencil once
+(the cuSPARSE csrmv / banded calcZ_v4 of the reference,
+pressure_solve_op.cu.cc:58-92). The jnp fallback builds four rolled copies
+of x; this kernel keeps x and the five coefficient planes in VMEM and does
+one fused multiply-accumulate pass, with the circular shifts done in-core
+(pltpu.roll), so HBM traffic is exactly 6 reads + 1 write of the plane.
+
+Grids up to VMEM capacity run as a single block (a 512^2 f32 system is 7
+planes x 1 MiB); larger grids fall back to the XLA roll path (a row-tiled
+halo variant is the natural extension once >1k^2 single-chip grids matter —
+multi-chip sharding kicks in well before that).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU-only at lowering time; import lazily/defensively
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+# ~12 MiB of VMEM for the 7 planes leaves headroom in 16 MiB/core
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _roll(x, shift, axis):
+    # pltpu.roll requires a non-negative shift; jnp.roll semantics otherwise
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _stencil_kernel(c_ref, ly_ref, hy_ref, lx_ref, hx_ref, x_ref, z_ref):
+    x = x_ref[:]
+    z = c_ref[:] * x
+    z = z + ly_ref[:] * _roll(x, 1, 0)
+    z = z + hy_ref[:] * _roll(x, -1, 0)
+    z = z + lx_ref[:] * _roll(x, 1, 1)
+    z = z + hx_ref[:] * _roll(x, -1, 1)
+    z_ref[:] = z
+
+
+def _stencil_kernel_T(c_ref, ly_ref, hy_ref, lx_ref, hx_ref, x_ref, z_ref):
+    x = x_ref[:]
+    z = c_ref[:] * x
+    z = z + _roll(ly_ref[:] * x, -1, 0)
+    z = z + _roll(hy_ref[:] * x, 1, 0)
+    z = z + _roll(lx_ref[:] * x, -1, 1)
+    z = z + _roll(hx_ref[:] * x, 1, 1)
+    z_ref[:] = z
+
+
+def pallas_eligible(shape, dtype) -> bool:
+    if not _PALLAS_AVAILABLE:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:  # float64 path stays on XLA
+        return False
+    return 7 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool):
+    kernel = _stencil_kernel_T if transpose else _stencil_kernel
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(center, lo_y, hi_y, lo_x, hi_x, x)
+
+
+# pltpu.roll has no AD rule, so the fused matvec carries a custom VJP: the
+# cotangent of x is the opposite-direction kernel with the same coefficients
+# (S and S^T are each other's adjoints), and the coefficient cotangents are
+# elementwise products with shifted copies.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool = False):
+    return _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose)
+
+
+def _fused_matvec_fwd(center, lo_y, hi_y, lo_x, hi_x, x, transpose):
+    z = _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose)
+    return z, (center, lo_y, hi_y, lo_x, hi_x, x)
+
+
+def _fused_matvec_bwd(transpose, res, dz):
+    center, lo_y, hi_y, lo_x, hi_x, x = res
+    dx = _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, dz, not transpose)
+    if not transpose:
+        # z = c x + sum_d lo_d roll(x,1,d) + hi_d roll(x,-1,d)
+        dlo_y = dz * jnp.roll(x, 1, 0)
+        dhi_y = dz * jnp.roll(x, -1, 0)
+        dlo_x = dz * jnp.roll(x, 1, 1)
+        dhi_x = dz * jnp.roll(x, -1, 1)
+    else:
+        # z = c x + sum_d roll(lo_d x, -1, d) + roll(hi_d x, 1, d)
+        dlo_y = x * jnp.roll(dz, 1, 0)
+        dhi_y = x * jnp.roll(dz, -1, 0)
+        dlo_x = x * jnp.roll(dz, 1, 1)
+        dhi_x = x * jnp.roll(dz, -1, 1)
+    return (dz * x, dlo_y, dhi_y, dlo_x, dhi_x, dx)
+
+
+_fused_matvec.defvjp(_fused_matvec_fwd, _fused_matvec_bwd)
+
+
+def fused_stencil_matvec(center, lo, hi, x, transpose: bool = False):
+    """z = S x (or S^T x) for a 5-point stencil with roll wrap semantics.
+    Drop-in replacement for the jnp roll formulation; callers should gate on
+    pallas_eligible()."""
+    return _fused_matvec(center, lo[0], hi[0], lo[1], hi[1], x, transpose=transpose)

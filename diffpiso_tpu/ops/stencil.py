@@ -200,6 +200,10 @@ def assemble_advection_stencil(
 
 
 def _apply_component(center, lo, hi, x):
+    from diffpiso_tpu.ops.pallas_stencil import fused_stencil_matvec, pallas_eligible
+
+    if pallas_eligible(x.shape, x.dtype):
+        return fused_stencil_matvec(center, lo, hi, x)
     y = center * x
     for d in range(x.ndim):
         y = y + lo[d] * jnp.roll(x, 1, axis=d)
@@ -209,6 +213,10 @@ def _apply_component(center, lo, hi, x):
 
 def _apply_component_T(center, lo, hi, x):
     # (M^T x)[i] = center[i] x[i] + sum_d lo[i+e_d] x[i+e_d] + hi[i-e_d] x[i-e_d]
+    from diffpiso_tpu.ops.pallas_stencil import fused_stencil_matvec, pallas_eligible
+
+    if pallas_eligible(x.shape, x.dtype):
+        return fused_stencil_matvec(center, lo, hi, x, transpose=True)
     y = center * x
     for d in range(x.ndim):
         y = y + jnp.roll(lo[d] * x, -1, axis=d)

@@ -44,6 +44,23 @@ from diffpiso_tpu.solvers.krylov import SolveResult, bicgstab, cg
 _zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
 
 
+def _adjoint_tol(tol, cotangent):
+    """Tolerance for the backward (adjoint) solve, scaled by the cotangent's
+    magnitude. The forward tolerance is absolute on a physics-scaled rhs
+    (divergence ~ O(dx*u)); cotangents of typical losses are O(1)-O(1e3), so
+    reusing the absolute tolerance would force the adjoint solves through
+    many times more iterations for accuracy the gradient direction doesn't
+    need. Relative accuracy of the adjoint solve equals relative accuracy of
+    the gradient (the reference sidesteps this by converging its float64 CG
+    essentially fully)."""
+    scale = jnp.max(
+        jnp.stack(
+            [jnp.max(jnp.abs(l)) for l in jax.tree_util.tree_leaves(cotangent)]
+        )
+    )
+    return tol * jnp.maximum(1.0, scale)
+
+
 # -- advection-diffusion (predictor) solve ---------------------------------------
 
 
@@ -101,7 +118,9 @@ def _adv_fwd(cfg, stencil, rhs, guess, tol):
 def _adv_bwd(cfg, residuals, cotangents):
     stencil, guess, warn, tol = residuals
     g, _g_warn = cotangents
-    db, _ = _adv_solve_impl(cfg, stencil, g, None, tol, transpose=True)
+    db, _ = _adv_solve_impl(
+        cfg, stencil, g, None, _adjoint_tol(tol, g), transpose=True
+    )
     gate = 1.0 - warn.astype(db.dtype)
     db = db * gate
     return (
@@ -132,6 +151,10 @@ class PressureSolver:
     # iteration (float32-safe alternative to relying on the rank-one shift)
     deflate_mean: bool = False
     dtype: str | None = None  # "float64" reproduces cast_to_double=True
+    # "mg": one aggregation-multigrid V-cycle per CG iteration (resolution-
+    # independent iteration counts; see solvers/multigrid.py). None mirrors
+    # the reference's unpreconditioned CG.
+    preconditioner: str | None = None
 
     def solve(self, laplacian, rhs, guess=None, tol=1e-6):
         return solve_pressure_system(self, laplacian, rhs, guess, tol)
@@ -144,15 +167,31 @@ def _pressure_solve_impl(cfg: PressureSolver, lap: LaplaceStencil, rhs, guess, t
         lap = jax.tree_util.tree_map(lambda a: a.astype(dt), lap)
         rhs = rhs.astype(dt)
         guess = None if guess is None else guess.astype(dt)
-    result = cg(
-        lambda p: apply_laplacian(lap, p),
-        rhs,
-        guess,
-        tol=tol,
-        max_iter=cfg.max_iterations,
-        residual_reset=cfg.residual_reset,
-        deflate_mean=cfg.deflate_mean,
-    )
+    if cfg.preconditioner == "mg":
+        from diffpiso_tpu.solvers.krylov import pcg
+        from diffpiso_tpu.solvers.multigrid import build_mg_hierarchy, v_cycle
+
+        hier = build_mg_hierarchy(lap)
+        result = pcg(
+            lambda p: apply_laplacian(lap, p),
+            rhs,
+            guess,
+            precond=lambda r: v_cycle(hier, r),
+            tol=tol,
+            max_iter=cfg.max_iterations,
+            residual_reset=cfg.residual_reset,
+            deflate_mean=cfg.deflate_mean,
+        )
+    else:
+        result = cg(
+            lambda p: apply_laplacian(lap, p),
+            rhs,
+            guess,
+            tol=tol,
+            max_iter=cfg.max_iterations,
+            residual_reset=cfg.residual_reset,
+            deflate_mean=cfg.deflate_mean,
+        )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
     return x, result
 
@@ -173,7 +212,7 @@ def _pressure_bwd(cfg, residuals, cotangents):
     laplacian, guess, warn, tol = residuals
     g, _g_iters, _g_warn = cotangents
     # L is symmetric: the adjoint solve reuses the forward operator
-    db, _ = _pressure_solve_impl(cfg, laplacian, g, None, tol)
+    db, _ = _pressure_solve_impl(cfg, laplacian, g, None, _adjoint_tol(tol, g))
     db = db * (1.0 - warn.astype(db.dtype))
     return (
         _zeros_like_tree(laplacian),

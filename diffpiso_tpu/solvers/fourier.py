@@ -1,0 +1,64 @@
+"""Spectral Poisson solver for periodic boxes.
+
+Capability parity with the reference's FourierSolver
+(PhiFlow/phi/physics/pressuresolver/fourier.py) / fourier_poisson
+(phi/math/nd.py:312-368), with a PISO twist: for the fully periodic,
+constant-coefficient pressure system the 5-point Laplacian diagonalizes
+exactly in Fourier space, so the pressure "solve" is two FFTs — no Krylov
+iterations at all. TPU FFTs run on the XLA FFT unit and cost a few matvec
+equivalents, so this path replaces hundreds of CG iterations in the
+decaying-turbulence configuration.
+
+The discrete symbol of the stencil  w * (p[i-1] - 2 p[i] + p[i+1])  along an
+axis of length n is  w * (2 cos(2 pi k / n) - 2),  exact for the same
+matrix CG iterates on (not the continuous -k^2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FourierPressureSolver:
+    """Direct spectral solve of  L p = rhs  for the uniform periodic
+    Laplacian with per-axis face weight w_d (influence = 1/(beta - A) *
+    dx_factor, constant over the box when viscosity is uniform; A varies by
+    O(flux) — for the PISO correctors on a periodic box the reference's A is
+    velocity-dependent, so this solver applies when using the
+    constant-coefficient approximation w_d = mean influence. The Krylov path
+    remains the exact option)."""
+
+    def solve(self, weights, rhs, guess=None, tol=None):
+        """weights: (w_y, w_x) scalars; rhs: (ny, nx). Returns zero-mean p
+        with L p = rhs - mean(rhs) (the compatible projection)."""
+        ny, nx = rhs.shape
+        ky = jnp.cos(2 * jnp.pi * jnp.arange(ny) / ny) * 2 - 2
+        kx = jnp.cos(2 * jnp.pi * jnp.arange(nx) / nx) * 2 - 2
+        symbol = weights[0] * ky[:, None] + weights[1] * kx[None, :]
+        rhs_hat = jnp.fft.fft2(rhs)
+        symbol = jnp.where(jnp.abs(symbol) < 1e-12, 1.0, symbol)
+        p_hat = rhs_hat / symbol
+        p_hat = p_hat.at[0, 0].set(0.0)  # zero-mean gauge
+        return jnp.real(jnp.fft.ifft2(p_hat)).astype(rhs.dtype)
+
+
+def fourier_poisson(rhs: jax.Array, dx) -> jax.Array:
+    """Continuous-symbol spectral Poisson solve (nabla^2 p = rhs) on a
+    periodic box — the direct analog of phi.math.fourier_poisson."""
+    shape = rhs.shape
+    ks = [np.fft.fftfreq(n, d=float(dxi)) * 2 * np.pi for n, dxi in zip(shape, dx)]
+    k2 = sum(
+        jnp.asarray(k**2).reshape([-1 if i == d else 1 for i in range(len(shape))])
+        for d, k in enumerate(ks)
+    )
+    k2 = jnp.where(k2 == 0, 1.0, k2)
+    rhs_hat = jnp.fft.fftn(rhs)
+    p_hat = -rhs_hat / k2
+    p_hat = p_hat.at[(0,) * len(shape)].set(0.0)
+    return jnp.real(jnp.fft.ifftn(p_hat)).astype(rhs.dtype)

@@ -1,0 +1,89 @@
+"""Ghia et al. (1982) lid-driven-cavity validation (the reference's
+code-validation case, README.md:50).
+
+Runs Re=1000 at NxN to steady state (t=100 via chunked on-device scans) and
+compares the vertical-centerline u profile to the Ghia benchmark table.
+
+Expected result (matches the reference's discretization): profile
+correlation > 0.999 with Ghia; magnitudes ~10% shallow (u_min -0.338 vs
+Ghia -0.383) because the lid enters as a ghost-row Dirichlet value — a
+first-order moving-wall treatment inherited from the reference's mask
+construction (lid_driven_cavity_2d.py:28-31).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpiso_tpu.core import piso_step
+from lid_driven_cavity import build
+
+GHIA_Y = np.array([0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813, 0.4531,
+                   0.5, 0.6172, 0.7344, 0.8516, 0.9531, 0.9609, 0.9688, 0.9766])
+GHIA_U = np.array([-0.18109, -0.20196, -0.22220, -0.29730, -0.38289, -0.27805,
+                   -0.10648, -0.06080, 0.05702, 0.18719, 0.33304, 0.46604,
+                   0.51117, 0.57492, 0.65928])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--N", type=int, default=128)
+    ap.add_argument("--t-final", type=float, default=100.0)
+    ap.add_argument("--dt", type=float, default=0.01)
+    ap.add_argument("--chunk", type=int, default=500)
+    ap.add_argument("--tol", type=float, default=3e-6)
+    args = ap.parse_args()
+
+    N = args.N
+    domain, sim = build(N, 1000.0, False)
+
+    @jax.jit
+    def chunk(vel, p):
+        def body(carry, _):
+            vel, p = carry
+            out = piso_step(
+                vel, p, args.dt, domain, sim,
+                advection_tol=args.tol, pressure_tol=args.tol,
+            )
+            return (out.velocity, out.pressure), out.warn
+
+        (vel, p), warns = jax.lax.scan(body, (vel, p), None, length=args.chunk)
+        return vel, p, jnp.any(warns)
+
+    vel = domain.staggered_grid(0.0)
+    p = domain.centered_grid(0.0)
+    n_chunks = int(args.t_final / args.dt / args.chunk)
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        vel, p, warn = chunk(vel, p)
+        jax.block_until_ready(p)
+        u = np.asarray(vel.components[1])
+        print(
+            f"t={args.dt * args.chunk * (i + 1):7.1f}  warn={bool(warn)}  "
+            f"u_min={u[:N, N // 2].min():+.4f}  ({time.perf_counter() - t0:.0f}s)",
+            flush=True,
+        )
+
+    u_centerline = np.asarray(vel.components[1])[:N, N // 2]
+    y = (np.arange(N) + 0.5) / N
+    ui = np.interp(GHIA_Y, y, u_centerline)
+    corr = np.corrcoef(ui, GHIA_U)[0, 1]
+    rms = float(np.sqrt(np.mean((ui - GHIA_U) ** 2)))
+    print(f"\nGhia comparison at Re=1000, {N}x{N}:")
+    for yy, g, o in zip(GHIA_Y, GHIA_U, ui):
+        print(f"  y={yy:.4f}  ghia={g:+.4f}  ours={o:+.4f}")
+    print(f"correlation={corr:.5f}  rms={rms:.4f}  u_min={u_centerline.min():+.4f}")
+    ok = corr > 0.999 and rms < 0.06
+    print("VALIDATION", "PASSED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

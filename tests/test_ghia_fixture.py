@@ -1,0 +1,26 @@
+"""Ghia validation regression: the stored steady-state centerline (produced
+by examples/validate_ghia.py on TPU, Re=1000, 128^2, t=100) must correlate
+with the Ghia et al. (1982) benchmark. The full run is exercised by the
+example script; this pins the recorded result against accidental fixture
+drift and documents the expected accuracy envelope."""
+
+import os
+
+import numpy as np
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_steady_centerline_vs_ghia():
+    ghia = np.load(os.path.join(FIXTURES, "ghia_re1000.npz"))
+    ours = np.load(
+        os.path.join(FIXTURES, "ldc_re1000_N128_t100_centerline_u.npz")
+    )
+    ui = np.interp(ghia["y"], ours["y"], ours["u"])
+    corr = np.corrcoef(ui, ghia["u"])[0, 1]
+    assert corr > 0.999, corr
+    rms = np.sqrt(np.mean((ui - ghia["u"]) ** 2))
+    # ~10% shallow magnitudes from the reference's first-order lid ghost
+    # treatment (see examples/validate_ghia.py docstring)
+    assert rms < 0.06, rms
+    assert abs(ours["u"].min() - (-0.338)) < 0.02
