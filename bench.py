@@ -57,7 +57,11 @@ def build(n, tol, max_p_iter=600):
         viscosity=1e-3,
         laplace_rank_deficient=True,
         linear_solver=AdvectionSolver(max_iterations=100),
-        pressure_solver=PressureSolver(max_iterations=max_p_iter, deflate_mean=True),
+        pressure_solver=PressureSolver(
+            max_iterations=max_p_iter,
+            deflate_mean=True,
+            adjoint_preconditioner="fft",
+        ),
     )
     dt = 0.2 / n  # CFL-ish for lid speed 1
 

@@ -61,8 +61,9 @@ def data_path_assembler(
 
 
 def _load_npz(path: str) -> np.ndarray:
-    with np.load(path) as f:
-        return f[f.files[0]].astype(np.float32)
+    from diffpiso_tpu.learning import native_loader
+
+    return np.asarray(native_loader.load_npz(path), np.float32)
 
 
 # -- bilinear resampling (HR data -> LR training grid) ----------------------------
@@ -170,9 +171,19 @@ class SequenceDataset:
         pre = resample_centered(pre, self.dx_ratio)
         return vel, pre, np.asarray(self.characteristics[idx], np.float32)
 
-    def iterate(self, shuffle: bool = True, seed=None):
+    def iterate(self, shuffle: bool = True, seed=None, prefetch: int = 2):
+        """Yield samples; the native loader pool decodes the next `prefetch`
+        samples' files in background threads while the caller computes."""
+        from diffpiso_tpu.learning import native_loader
+
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
-        for idx in order:
+        for pos, idx in enumerate(order):
+            if prefetch and native_loader.available():
+                upcoming = []
+                for nxt in order[pos + 1 : pos + 1 + prefetch]:
+                    upcoming += self.velocity_files[int(nxt)]
+                    upcoming += self.pressure_files[int(nxt)]
+                native_loader.prefetch(upcoming)
             yield self.sample(int(idx))

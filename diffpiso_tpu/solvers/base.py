@@ -151,32 +151,61 @@ class PressureSolver:
     # iteration (float32-safe alternative to relying on the rank-one shift)
     deflate_mean: bool = False
     dtype: str | None = None  # "float64" reproduces cast_to_double=True
-    # "mg": one aggregation-multigrid V-cycle per CG iteration (resolution-
-    # independent iteration counts; see solvers/multigrid.py). None mirrors
-    # the reference's unpreconditioned CG.
+    # Preconditioning (None mirrors the reference's unpreconditioned CG):
+    #  "fft": spectral inverse with the mean stencil weights — one fused
+    #         FFT pair per iteration; measured at 512^2 (variable
+    #         coefficients, tol 1e-4): 101 iters / 25 ms where plain f32 CG
+    #         stalls at its 4000-iteration cap with residual 9e-2.
+    #  "mg":  aggregation-multigrid V-cycle (fewest iterations, but the
+    #         coarse-level cascade is latency-bound on TPU: 35 ms same test).
     preconditioner: str | None = None
+    # preconditioner for the backward (adjoint) solve; "same" inherits.
+    # Adjoint solves start cold (no warm start exists), where FFT-PCG pays
+    # off even when the warm-started forward prefers plain CG.
+    adjoint_preconditioner: str | None = "same"
 
     def solve(self, laplacian, rhs, guess=None, tol=1e-6):
         return solve_pressure_system(self, laplacian, rhs, guess, tol)
 
 
-def _pressure_solve_impl(cfg: PressureSolver, lap: LaplaceStencil, rhs, guess, tol):
+def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
+    if kind is None:
+        return None
+    if kind == "mg":
+        from diffpiso_tpu.solvers.multigrid import build_mg_hierarchy, v_cycle
+
+        hier = build_mg_hierarchy(lap, min_size=32)
+        return lambda r: v_cycle(hier, r)
+    if kind == "fft":
+        from diffpiso_tpu.solvers.fourier import FourierPressureSolver
+
+        weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+        fps = FourierPressureSolver()
+        return lambda r: fps.solve(weights, r)
+    raise ValueError(f"unknown preconditioner {kind!r}")
+
+
+def _pressure_solve_impl(
+    cfg: PressureSolver, lap: LaplaceStencil, rhs, guess, tol, adjoint: bool = False
+):
     in_dtype = rhs.dtype
     if cfg.dtype is not None:
         dt = jnp.dtype(cfg.dtype)
         lap = jax.tree_util.tree_map(lambda a: a.astype(dt), lap)
         rhs = rhs.astype(dt)
         guess = None if guess is None else guess.astype(dt)
-    if cfg.preconditioner == "mg":
+    kind = cfg.preconditioner
+    if adjoint and cfg.adjoint_preconditioner != "same":
+        kind = cfg.adjoint_preconditioner
+    precond = _make_pressure_precond(kind, lap)
+    if precond is not None:
         from diffpiso_tpu.solvers.krylov import pcg
-        from diffpiso_tpu.solvers.multigrid import build_mg_hierarchy, v_cycle
 
-        hier = build_mg_hierarchy(lap)
         result = pcg(
             lambda p: apply_laplacian(lap, p),
             rhs,
             guess,
-            precond=lambda r: v_cycle(hier, r),
+            precond=precond,
             tol=tol,
             max_iter=cfg.max_iterations,
             residual_reset=cfg.residual_reset,
@@ -212,7 +241,9 @@ def _pressure_bwd(cfg, residuals, cotangents):
     laplacian, guess, warn, tol = residuals
     g, _g_iters, _g_warn = cotangents
     # L is symmetric: the adjoint solve reuses the forward operator
-    db, _ = _pressure_solve_impl(cfg, laplacian, g, None, _adjoint_tol(tol, g))
+    db, _ = _pressure_solve_impl(
+        cfg, laplacian, g, None, _adjoint_tol(tol, g), adjoint=True
+    )
     db = db * (1.0 - warn.astype(db.dtype))
     return (
         _zeros_like_tree(laplacian),
