@@ -14,6 +14,9 @@ Architecture (bottom-up):
   models/    CNN closure models, algebraic LES models
   learning/  losses, unrolled differentiable training, data pipeline
   eval/      energy spectra, vorticity statistics
+  physics/   World orchestration + classic physics (Burgers, heat,
+             Schroedinger, reaction-diffusion, Kuramoto-Sivashinsky, Chorin
+             incompressible flow)
   parallel/  device-mesh sharding (pjit/shard_map), halo exchange
 
 Unlike the reference (TF1 graphs + CUDA CSR solvers), everything here is
@@ -37,5 +40,7 @@ from diffpiso_tpu.fields import (
     STICKY,
     StaggeredField,
 )
+
+from diffpiso_tpu.ops.math_ext import set_precision, get_precision, get_dtype
 
 __version__ = "0.1.0"

@@ -21,6 +21,12 @@ from diffpiso_tpu.ops.laplace import (
     apply_laplacian,
     laplacian_to_dense,
 )
+from diffpiso_tpu.ops.resample import grid_sample, resample_field
+from diffpiso_tpu.ops.advect import (
+    advect_centered,
+    advect_semi_lagrangian,
+    sample_bilinear,
+)
 
 __all__ = [
     "pad_centered",
@@ -40,4 +46,9 @@ __all__ = [
     "assemble_pressure_laplacian",
     "apply_laplacian",
     "laplacian_to_dense",
+    "grid_sample",
+    "resample_field",
+    "advect_centered",
+    "advect_semi_lagrangian",
+    "sample_bilinear",
 ]
