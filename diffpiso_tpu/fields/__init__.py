@@ -11,6 +11,17 @@ from diffpiso_tpu.fields.material import (
 )
 from diffpiso_tpu.fields.grid import CenteredField, StaggeredField
 from diffpiso_tpu.fields.domain import Domain
+from diffpiso_tpu.fields.geometry import (
+    BoxGeometry,
+    Geometry,
+    Sphere,
+    Union,
+    cell_center_points,
+    geometry_mask,
+    union,
+    union_mask,
+)
+from diffpiso_tpu.fields.noise import noise, noise_staggered
 
 __all__ = [
     "Box",
@@ -25,4 +36,14 @@ __all__ = [
     "CenteredField",
     "StaggeredField",
     "Domain",
+    "BoxGeometry",
+    "Geometry",
+    "Sphere",
+    "Union",
+    "cell_center_points",
+    "geometry_mask",
+    "union",
+    "union_mask",
+    "noise",
+    "noise_staggered",
 ]

@@ -1,0 +1,69 @@
+"""Smooth random noise field initializer.
+
+Capability parity with the reference's Noise field
+(PhiFlow/phi/physics/field/noise.py): spectrally-shaped Gaussian noise with
+physical-size `scale` and `smoothness` controlling high-frequency rolloff,
+normalized to zero mean / unit std. TPU-native: explicit jax.random key
+instead of the reference's "new field per call" statefulness, so the same
+key reproduces the same field under jit and across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from diffpiso_tpu.fields.grid import StaggeredField
+
+
+def noise(
+    key: jax.Array,
+    resolution: Sequence[int],
+    size: Sequence[float] | None = None,
+    channels: int | None = None,
+    scale: float = 10.0,
+    smoothness: float = 1.0,
+) -> jax.Array:
+    """Sample shaped noise of shape (*resolution, channels) (channels axis
+    dropped when channels is None)."""
+    res = tuple(int(n) for n in resolution)
+    d = len(res)
+    size = tuple(float(s) for s in (size or res))
+    nch = channels or 1
+    k1, k2 = jax.random.split(key)
+    shape = res + (nch,)
+    rnd = jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+    # |k|^2 in physical units, scaled by the fluctuation size
+    ks = [
+        jnp.fft.fftfreq(n) * n / s * scale for n, s in zip(res, size)
+    ]
+    grids = jnp.meshgrid(*ks, indexing="ij")
+    ksq = sum(g**2 for g in grids)[..., None]
+    lowest_frequency = 0.1
+    weight_mask = 1.0 / (1.0 + jnp.exp((lowest_frequency - ksq) * 1e3))  # high-pass
+    inv_k = jnp.where(ksq == 0, 0.0, 1.0 / jnp.where(ksq == 0, 1.0, ksq))
+    fft = rnd * inv_k**smoothness * weight_mask
+    arr = jnp.real(jnp.fft.ifftn(fft, axes=tuple(range(d))))
+    arr = arr / jnp.std(arr, axis=tuple(range(d)), keepdims=True)
+    arr = arr - jnp.mean(arr, axis=tuple(range(d)), keepdims=True)
+    arr = arr.astype(jnp.float32)
+    return arr[..., 0] if channels is None else arr
+
+
+def noise_staggered(
+    key: jax.Array,
+    resolution: Sequence[int],
+    size: Sequence[float] | None = None,
+    periodic=(True, True),
+    scale: float = 10.0,
+    smoothness: float = 1.0,
+) -> StaggeredField:
+    """Independent noise per staggered velocity component (Noise.at for
+    StaggeredGrids)."""
+    keys = jax.random.split(key, len(resolution))
+    comps = tuple(
+        noise(k, resolution, size, None, scale, smoothness) for k in keys
+    )
+    return StaggeredField(comps, periodic=tuple(periodic))
