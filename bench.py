@@ -60,7 +60,10 @@ def build(n, tol, max_p_iter=600):
         pressure_solver=PressureSolver(
             max_iterations=max_p_iter,
             deflate_mean=True,
-            adjoint_preconditioner="fft",
+            # Neumann-exact spectral preconditioner: measured 2 iterations /
+            # 5.8 ms per cold 512^2 adjoint solve vs 32 it / 11.8 ms for
+            # "fft" and 248 it / 10.2 ms unpreconditioned.
+            adjoint_preconditioner="dct",
         ),
     )
     dt = 0.2 / n  # CFL-ish for lid speed 1
@@ -159,7 +162,18 @@ def main():
     if args.quick:
         args.n = 64
 
+    import os
+
     import jax
+
+    # Persistent compilation cache: the 512^2 scan+grad programs take minutes
+    # to compile on the tunneled TPU; caching makes reruns start in seconds.
+    cache_dir = os.environ.get(
+        "DIFFPISO_JAX_CACHE", os.path.expanduser("~/.cache/diffpiso_jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     domain, sim, step = build(args.n, args.tol)

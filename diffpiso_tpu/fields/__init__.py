@@ -22,6 +22,7 @@ from diffpiso_tpu.fields.geometry import (
     union_mask,
 )
 from diffpiso_tpu.fields.noise import noise, noise_staggered
+from diffpiso_tpu.fields import struct
 
 __all__ = [
     "Box",

@@ -11,6 +11,7 @@ from diffpiso_tpu.learning.data import (
     resample_centered,
     resample_staggered_tensor,
 )
+from diffpiso_tpu.learning.reader import BatchReader, SceneDataset
 from diffpiso_tpu.learning.training import (
     TrainingConfig,
     load_params,
@@ -32,6 +33,8 @@ __all__ = [
     "data_path_assembler",
     "resample_centered",
     "resample_staggered_tensor",
+    "BatchReader",
+    "SceneDataset",
     "TrainingConfig",
     "load_params",
     "make_loss_fn",

@@ -182,6 +182,15 @@ def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
         weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
         fps = FourierPressureSolver()
         return lambda r: fps.solve(weights, r)
+    if kind == "dct":
+        # Neumann-exact spectral inverse (bounded domains): unlike "fft" it
+        # matches the zero-flux boundary rows of the pressure Laplacian, so
+        # PCG only has to correct the variable-coefficient part.
+        from diffpiso_tpu.solvers.fourier import NeumannSpectralSolver
+
+        weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+        nss = NeumannSpectralSolver()
+        return lambda r: nss.solve(weights, r)
     raise ValueError(f"unknown preconditioner {kind!r}")
 
 

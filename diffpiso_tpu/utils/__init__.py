@@ -1,5 +1,6 @@
 from diffpiso_tpu.utils.io import Scene, read_sim_frame, write_sim_frame
 from diffpiso_tpu.utils.profiling import StepTimer, device_memory_stats, trace
+from diffpiso_tpu.utils.checkpoint import CheckpointManager
 
 __all__ = [
     "Scene",
@@ -8,4 +9,5 @@ __all__ = [
     "StepTimer",
     "device_memory_stats",
     "trace",
+    "CheckpointManager",
 ]

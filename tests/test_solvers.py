@@ -234,3 +234,52 @@ def test_solve_under_jit_with_traced_tol():
     np.testing.assert_allclose(
         np.asarray(x2.components[0]), expected[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_dct_preconditioned_pcg_matches_plain_cg():
+    # Neumann-exact spectral preconditioner (solvers/fourier.py
+    # NeumannSpectralSolver) must converge to the same solution as plain CG
+    # on the all-Neumann variable-coefficient system — in far fewer
+    # iterations.
+    from diffpiso_tpu.solvers.base import PressureSolver, _make_pressure_precond
+    from diffpiso_tpu.solvers.krylov import pcg
+
+    lap = laplace_case(res=(16, 16), rank_deficient=True)
+    rng = np.random.RandomState(3)
+    b = rng.randn(16, 16)
+    b -= b.mean()
+    b = jnp.asarray(b, jnp.float32)
+
+    plain = cg(
+        lambda p: apply_laplacian(lap, p), b, tol=1e-5, max_iter=4000,
+        residual_reset=50, deflate_mean=True,
+    )
+    precond = _make_pressure_precond("dct", lap)
+    fast = pcg(
+        lambda p: apply_laplacian(lap, p), b, precond=precond, tol=1e-5,
+        max_iter=2000, residual_reset=50, deflate_mean=True,
+    )
+    assert bool(fast.converged), float(fast.residual_norm)
+    assert int(fast.iterations) < int(plain.iterations) / 3
+    a = np.asarray(plain.x) - np.asarray(plain.x).mean()
+    c = np.asarray(fast.x) - np.asarray(fast.x).mean()
+    np.testing.assert_allclose(c, a, atol=2e-4)
+
+
+def test_dct_solver_exact_on_constant_coefficients():
+    from diffpiso_tpu.solvers.fourier import NeumannSpectralSolver
+
+    lap = laplace_case(res=(8, 10), rank_deficient=True)
+    dense = laplacian_to_dense(lap)
+    rng = np.random.RandomState(4)
+    b = rng.randn(8, 10)
+    b -= b.mean()
+    # constant influence 0.8 -> DCT solve is exact (up to the rank-one shift
+    # which acts on the mean = 0 component)
+    p = np.asarray(NeumannSpectralSolver().solve((0.8, 0.8), jnp.asarray(b)))
+    shift_free = dense - dense.mean()  # remove rank-one shift s*ee^T rows? no:
+    # apply the stencil directly instead: residual of the unshifted operator
+    from diffpiso_tpu.ops.laplace import apply_laplacian as apl
+    r = np.asarray(apl(lap, jnp.asarray(p, jnp.float32))) - b
+    # the rank-one shift contributes s*sum(p)=0 since p is zero-mean
+    assert np.abs(r).max() < 1e-4
