@@ -63,6 +63,7 @@ def build(n, tol, max_p_iter=600):
             # Neumann-exact spectral preconditioner: measured 2 iterations /
             # 5.8 ms per cold 512^2 adjoint solve vs 32 it / 11.8 ms for
             # "fft" and 248 it / 10.2 ms unpreconditioned.
+            preconditioner="dct",
             adjoint_preconditioner="dct",
         ),
     )

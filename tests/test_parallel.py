@@ -80,3 +80,62 @@ def test_data_parallel_batch_matches_vmap():
     vel_out, p_out = batched(vel_sh, p_sh)
     for a, b in zip(vel_out.components, vel_ref.components):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_shard_map_halo_apply_matches_global():
+    """Explicit ppermute halo-exchange stencil apply (parallel/halo.py) must
+    equal the single-device apply_laplacian bit-for-bit structure-wise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from diffpiso_tpu.ops.fv import centered_to_staggered
+    from diffpiso_tpu.ops.laplace import apply_laplacian, assemble_pressure_laplacian
+    from diffpiso_tpu.parallel.halo import make_sharded_laplacian_apply
+    from diffpiso_tpu.parallel.sharding import make_mesh
+
+    ny, nx = 32, 16
+    rng = np.random.RandomState(0)
+    infl = centered_to_staggered(
+        jnp.asarray(0.5 + rng.rand(ny, nx).astype(np.float32))
+    )
+    active = np.zeros((ny + 2, nx + 2), np.float32)
+    active[1:-1, 1:-1] = 1
+    lap = assemble_pressure_laplacian(
+        infl, jnp.asarray(active), jnp.asarray(active), (False, False), True
+    )
+    p = jnp.asarray(rng.randn(ny, nx).astype(np.float32))
+    want = np.asarray(apply_laplacian(lap, p))
+
+    mesh = make_mesh((4, 2), ("y", "x"))
+    apply_sharded = jax.jit(make_sharded_laplacian_apply(lap, mesh))
+    got = np.asarray(apply_sharded(p))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_halo_periodic_axis():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffpiso_tpu.ops.fv import centered_to_staggered
+    from diffpiso_tpu.ops.laplace import apply_laplacian, assemble_pressure_laplacian
+    from diffpiso_tpu.parallel.halo import make_sharded_laplacian_apply
+    from diffpiso_tpu.parallel.sharding import make_mesh
+
+    from diffpiso_tpu.fields.material import CIRCULAR
+
+    ny, nx = 16, 16
+    rng = np.random.RandomState(1)
+    infl = centered_to_staggered(jnp.ones((ny, nx), jnp.float32), CIRCULAR)
+    ones = jnp.ones((ny + 2, nx + 2), jnp.float32)
+    lap = assemble_pressure_laplacian(infl, ones, ones, (True, True), True)
+    p = jnp.asarray(rng.randn(ny, nx).astype(np.float32))
+    want = np.asarray(apply_laplacian(lap, p))
+    mesh = make_mesh((8,), ("y",))
+    apply_sharded = jax.jit(
+        make_sharded_laplacian_apply(lap, mesh, axis_names=("y", None))
+    )
+    got = np.asarray(apply_sharded(p))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
