@@ -147,3 +147,33 @@ def spectral_analysis_time(velocity, tstart, y_range, x_range, averaging, sample
     freq = freq[freq < 1.0 / sample_spacing / 2]
     ek = np.abs(ux_dft[: n // 2]) ** 2 + np.abs(uy_dft[: n // 2]) ** 2
     return freq, uy_dft, ux_dft, ek
+
+
+def plot_spectra(spectra, labels=None, path=None, guides=(-3.0, -5.0 / 3.0, -5.0)):
+    """Log-log TKE spectra plot with k^p guide lines (the reference's
+    plot_spectra, diffpiso/evaluation_tools.py:205-219). `spectra` is a list
+    of 1-D arrays E(k); returns the matplotlib figure (saved to `path` when
+    given)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5.5, 4.0))
+    for i, ek in enumerate(spectra):
+        ek = np.asarray(ek)
+        k = np.arange(1, ek.shape[0])
+        label = labels[i] if labels else f"spectrum {i}"
+        ax.loglog(k, ek[1:], label=label)
+    kref = np.arange(2, max(len(np.asarray(s)) for s in spectra))
+    e0 = float(np.asarray(spectra[0])[2]) if len(np.asarray(spectra[0])) > 2 else 1.0
+    for p in guides:
+        ax.loglog(kref, e0 * (kref / 2.0) ** p, "k--", lw=0.6)
+        ax.annotate(f"k^{p:.2g}", (kref[-1], e0 * (kref[-1] / 2.0) ** p), fontsize=7)
+    ax.set_xlabel("k")
+    ax.set_ylabel("E(k)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=130)
+    return fig

@@ -2,7 +2,14 @@ from diffpiso_tpu.solvers.krylov import (
     SolveResult,
     bicgstab,
     cg,
+    pcg,
+    print_residual,
     tree_vdot,
+)
+from diffpiso_tpu.solvers.fourier import (
+    FourierPressureSolver,
+    NeumannSpectralSolver,
+    fourier_poisson,
 )
 from diffpiso_tpu.solvers.base import (
     AdvectionSolver,
@@ -15,7 +22,12 @@ __all__ = [
     "SolveResult",
     "bicgstab",
     "cg",
+    "pcg",
+    "print_residual",
     "tree_vdot",
+    "FourierPressureSolver",
+    "NeumannSpectralSolver",
+    "fourier_poisson",
     "AdvectionSolver",
     "PressureSolver",
     "solve_advection_system",

@@ -329,3 +329,13 @@ def pcg(
     rnorm = _tree_max_abs(r_true)
     warn = ~jnp.isfinite(rnorm)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
+
+
+def print_residual(apply_A, x, b, tag: str = "residual"):
+    """Debug hook printing ||Ax - b||_max from inside a jitted computation
+    (the reference's py_func residual printer, linear_solver.py:198-206 —
+    here via jax.debug.print, which works under jit/scan). Returns x
+    unchanged so it can be spliced into a pipeline."""
+    r = _tree_max_abs(_sub(b, apply_A(x)))
+    jax.debug.print(tag + ": ||Ax-b||_max = {r}", r=r)
+    return x
