@@ -168,3 +168,80 @@ def mixing_layer_masks(
         jnp.asarray(accessible),
         None,
     )
+
+
+def obstacle_channel_masks(
+    resolution: Tuple[int, int],
+    inflow_profile: np.ndarray,
+    geometry,
+    box=None,
+    dtype=np.float32,
+):
+    """Channel flow with an embedded solid obstacle (the PISO-mask analog of
+    the reference's Obstacle + GeometryMask capability, phi/physics/
+    obstacle.py + field/mask.py, which its Schroedinger/Fluid paths consume).
+
+    Boundary layout = the spatial-mixing-layer channel (Dirichlet inflow at
+    x=0, open outflow at x=nx, closed y walls) plus `geometry` carved out of
+    the interior: obstacle cells leave active/accessible, faces touching a
+    solid cell become zero-Dirichlet (no-slip obstacle surface), and the
+    obstacle ring enters no_slip_mask so the stencil assembly adds the
+    2*nu wall penalty (central_difference_csr_op.cu.cc:265-288 semantics).
+
+    Returns (dirichlet_mask, dirichlet_values, active, accessible, no_slip).
+    """
+    from diffpiso_tpu.fields.box import Box
+    from diffpiso_tpu.fields.geometry import geometry_mask
+
+    ny, nx = resolution
+    inflow = np.asarray(inflow_profile, dtype).reshape(-1)
+    assert inflow.shape[0] == ny + 2, "inflow profile must cover ny + 2 ghost rows"
+    box = box or Box.from_size((float(ny), float(nx)))
+
+    solid = np.asarray(geometry_mask(geometry, (ny, nx), box)).astype(bool)
+
+    # channel boundary faces (mixing_layer_masks layout)
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0, :] = True
+    dm_v[-1, :] = True
+    dv_v = np.zeros((ny + 1, nx), dtype)
+    dm_u = np.zeros((ny, nx + 1), bool)
+    dm_u[:, 0] = True
+    dv_u = np.zeros((ny, nx + 1), dtype)
+    dv_u[:, 0] = inflow[1:-1]
+
+    # obstacle faces: any face adjacent to a solid cell is zero-Dirichlet
+    solid_v = np.zeros((ny + 1, nx), bool)  # v face between cells (j-1,i),(j,i)
+    solid_v[:-1, :] |= solid
+    solid_v[1:, :] |= solid
+    solid_u = np.zeros((ny, nx + 1), bool)
+    solid_u[:, :-1] |= solid
+    solid_u[:, 1:] |= solid
+    dm_v |= solid_v
+    dm_u |= solid_u
+    dv_v[solid_v] = 0.0
+    dv_u[solid_u] = 0.0
+
+    dirichlet_mask = StaggeredField((jnp.asarray(dm_v), jnp.asarray(dm_u)))
+    dirichlet_values = StaggeredField((jnp.asarray(dv_v), jnp.asarray(dv_u)))
+
+    accessible = np.ones((ny + 2, nx + 2), dtype)
+    accessible[:, 0] = 0
+    accessible[0, :] = 0
+    accessible[-1, :] = 0
+    accessible[1:-1, 1:-1][solid] = 0
+
+    active = np.zeros((ny + 2, nx + 2), dtype)
+    active[1:-1, 1:-1] = 1
+    active[1:-1, 1:-1][solid] = 0
+
+    no_slip = np.zeros((ny + 2, nx + 2), bool)
+    no_slip[1:-1, 1:-1] = solid
+
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(active),
+        jnp.asarray(accessible),
+        jnp.asarray(no_slip),
+    )

@@ -67,3 +67,15 @@ class Scene:
     def get_description(self) -> dict:
         with open(os.path.join(self.directory, "description.json")) as f:
             return json.load(f)
+
+
+def save_source(script_path: str, run_dir: str):
+    """Snapshot the entry script into the run directory for reproducibility
+    (datamanagement.py:67-69 save_source; the reference's config system is
+    'copy the script', combined_training_integrated.py:28)."""
+    import shutil
+
+    os.makedirs(run_dir, exist_ok=True)
+    dst = os.path.join(run_dir, os.path.basename(script_path))
+    shutil.copyfile(script_path, dst)
+    return dst

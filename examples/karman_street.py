@@ -1,0 +1,109 @@
+"""Flow around a cylinder — the Karman vortex street.
+
+Demonstrates the obstacle capability (core/masks.py obstacle_channel_masks:
+the PISO-mask analog of the reference's Obstacle + GeometryMask path):
+uniform inflow past a circular cylinder at Re ~ 200 sheds the classic
+alternating vortex trail; vorticity frames are recorded and the dashboard
+rendered.
+
+Run:  python examples/karman_street.py --ny 96 --steps 800
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ny", type=int, default=96)
+    ap.add_argument("--aspect", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--re", type=float, default=200.0)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--out", default="runs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffpiso_tpu import Box, Domain, OPEN
+    from diffpiso_tpu.app import App, render_dashboard
+    from diffpiso_tpu.core import SimulationParameters, piso_step
+    from diffpiso_tpu.core.masks import obstacle_channel_masks
+    from diffpiso_tpu.fields import Sphere
+    from diffpiso_tpu.ops import vorticity
+    from diffpiso_tpu.solvers import AdvectionSolver, PressureSolver
+
+    ny = args.ny
+    nx = ny * args.aspect
+    box = Box.from_size((1.0, float(args.aspect)))
+    domain = Domain((ny, nx), box, boundaries=OPEN)
+    diameter = 0.15
+    cyl = Sphere(center=(0.5, 0.5), radius=diameter / 2)
+    inflow = np.ones(ny + 2, np.float32)
+    dm, dv, active, accessible, no_slip = obstacle_channel_masks(
+        (ny, nx), inflow, cyl, box
+    )
+    nu = 1.0 * diameter / args.re  # U D / Re
+    sim = SimulationParameters(
+        dirichlet_mask=dm,
+        dirichlet_values=dv,
+        active_mask=active,
+        accessible_mask=accessible,
+        no_slip_mask=no_slip,
+        viscosity=nu,
+        laplace_rank_deficient=False,  # open outflow fixes the pressure level
+        linear_solver=AdvectionSolver(max_iterations=100),
+        pressure_solver=PressureSolver(
+            max_iterations=800, deflate_mean=False, preconditioner="dct",
+        ),
+    )
+    dt = 0.3 * (1.0 / ny)  # CFL-ish at U=1
+
+    @jax.jit
+    def step10(state):
+        def body(carry, _):
+            vel, p, g1, g2 = carry
+            out = piso_step(
+                vel, p, dt, domain, sim,
+                pressure_inc1_guess=g1, pressure_inc2_guess=g2,
+                advection_tol=args.tol, pressure_tol=args.tol,
+            )
+            return (out.velocity, out.pressure, out.pressure_inc1, out.pressure_inc2), None
+
+        carry, _ = jax.lax.scan(body, state, None, length=10)
+        return carry
+
+    vel = domain.staggered_grid(0.0)
+    # start from uniform u=1 everywhere outside the cylinder
+    vel = type(vel)(
+        (vel.components[0], jnp.ones_like(vel.components[1])),
+        periodic=vel.periodic,
+    )
+    p = domain.centered_grid(0.0)
+    state = (vel, p, jnp.zeros_like(p), jnp.zeros_like(p))
+
+    app = App("karman_street", base_dir=args.out, record_every=5)  # every 50 piso steps
+    app.set_step(step10, state)
+    app.add_field("vorticity", lambda: vorticity(app.state[0], domain.dx))
+    app.add_field("pressure", lambda: app.state[1])
+    app.run(args.steps // 10)
+
+    w = np.asarray(vorticity(app.state[0], domain.dx))
+    assert np.isfinite(w).all(), "diverged"
+    # shedding makes the wake vertically asymmetric; report the asymmetry
+    wake = w[:, nx // 2 :]
+    asym = np.abs(wake + wake[::-1]).mean() / (np.abs(wake).mean() + 1e-9)
+    print(f"wake asymmetry measure: {asym:.3f} (0 = perfectly symmetric)")
+    print("dashboard:", render_dashboard(app))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,13 @@ def build(N, re, f64=False):
         viscosity=1.0 / re,
         laplace_rank_deficient=True,
         linear_solver=AdvectionSolver(max_iterations=100, dtype=dtype),
-        pressure_solver=PressureSolver(max_iterations=1000, dtype=dtype, deflate_mean=True),
+        pressure_solver=PressureSolver(
+            max_iterations=1000,
+            dtype=dtype,
+            deflate_mean=True,
+            preconditioner="dct",
+            adjoint_preconditioner="dct",
+        ),
     )
     return domain, sim
 
