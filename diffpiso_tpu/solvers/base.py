@@ -250,10 +250,19 @@ def _pressure_bwd(cfg, residuals, cotangents):
     laplacian, guess, warn, tol = residuals
     g, _g_iters, _g_warn = cotangents
     # L is symmetric: the adjoint solve reuses the forward operator
-    db, _ = _pressure_solve_impl(
-        cfg, laplacian, g, None, _adjoint_tol(tol, g), adjoint=True
+    adj_tol = _adjoint_tol(tol, g)
+    db, adj_result = _pressure_solve_impl(
+        cfg, laplacian, g, None, adj_tol, adjoint=True
     )
-    db = db * (1.0 - warn.astype(db.dtype))
+    # gate on the forward warn (linear_solver.py:173 semantics) AND on an
+    # outright adjoint failure (non-finite or residual past the 100*tol
+    # failed-solve criterion the forward restart uses) — a diverged adjoint
+    # is finite garbage the training loop's NaN check would never see
+    adj_failed = adj_result.warn | (
+        adj_result.residual_norm > 100.0 * jnp.asarray(adj_tol, db.dtype)
+    )
+    gate = (1.0 - warn.astype(db.dtype)) * (1.0 - adj_failed.astype(db.dtype))
+    db = db * gate
     return (
         _zeros_like_tree(laplacian),
         db,
