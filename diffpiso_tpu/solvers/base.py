@@ -190,7 +190,7 @@ def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
 
         weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
         nss = NeumannSpectralSolver()
-        return lambda r: nss.solve(weights, r)
+        return lambda r: nss.precondition(weights, r)
     raise ValueError(f"unknown preconditioner {kind!r}")
 
 
