@@ -219,6 +219,9 @@ def _pressure_solve_impl(
             max_iter=cfg.max_iterations,
             residual_reset=cfg.residual_reset,
             deflate_mean=cfg.deflate_mean,
+            # spectral preconditioners zero the k=0 mode -> output is
+            # mean-free already; skip the explicit projection kernels
+            precond_zero_mean=kind in ("fft", "dct"),
         )
     else:
         result = cg(

@@ -208,7 +208,8 @@ def cg(
     deficient) pressure system so float32 rounding cannot feed the
     indefinite rank-one-shift direction.
     """
-    if x0 is None:
+    cold = x0 is None
+    if cold:
         x0 = _zeros_like(b)
     dtype = jax.tree_util.tree_leaves(b)[0].dtype
     tol = jnp.asarray(tol, dtype)
@@ -219,7 +220,10 @@ def cg(
     else:
         project = lambda v: v
 
-    r0 = project(_sub(b, apply_A(x0)))
+    # zero guess -> r0 = b without an A x0 matvec (see pcg's kernel-count
+    # discipline note)
+    r0 = project(b) if cold else project(_sub(b, apply_A(x0)))
+    rnorm0 = _tree_max_abs(r0)
 
     def cond(state):
         x, r, p, k, done = state
@@ -251,10 +255,16 @@ def cg(
         done = (rnorm < tol) | ~jnp.isfinite(rnorm)
         return (x, r, p, k + 1, done)
 
-    init = (x0, r0, r0, jnp.zeros((), jnp.int32), _tree_max_abs(r0) < tol)
-    x, r, p, k, _ = jax.lax.while_loop(cond, body, init)
-    r_true = project(_sub(b, apply_A(x)))
-    rnorm = _tree_max_abs(r_true)
+    def run_solve(_):
+        init = (x0, r0, r0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        x, r, p, k, _ = jax.lax.while_loop(cond, body, init)
+        r_true = project(_sub(b, apply_A(x)))
+        return x, _tree_max_abs(r_true), k
+
+    def skip_solve(_):
+        return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+    x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
     warn = ~jnp.isfinite(rnorm)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
 
@@ -269,12 +279,25 @@ def pcg(
     max_iter: int = 2000,
     residual_reset: int = 0,
     deflate_mean: bool = False,
+    precond_zero_mean: bool = False,
 ) -> SolveResult:
     """Preconditioned CG: z = M^-1 r each iteration (e.g. one multigrid
-    V-cycle). This is the designed-in upgrade over the reference's
-    unpreconditioned pressure CG — same convergence test (max|r_i| < tol),
-    same deflation/reset machinery as `cg`."""
-    if x0 is None:
+    V-cycle or a spectral solve). This is the designed-in upgrade over the
+    reference's unpreconditioned pressure CG — same convergence test
+    (max|r_i| < tol), same deflation/reset machinery as `cg`.
+
+    Kernel-count discipline (each HLO op costs ~30 us launch overhead on the
+    tunneled TPU, far above its bandwidth cost at 512^2):
+      * zero x0 -> r0 = b, no A x0 matvec;
+      * already-converged systems (warm-started PISO correctors average
+        0.5/0.05 iterations per step) skip the whole loop INCLUDING the
+        z0 preconditioner application and the final verification matvec,
+        via one lax.cond;
+      * precond_zero_mean marks M^-1 outputs as mean-free (the spectral
+        preconditioners zero the k=0 mode), eliding the explicit projection.
+    """
+    cold = x0 is None
+    if cold:
         x0 = _zeros_like(b)
     dtype = jax.tree_util.tree_leaves(b)[0].dtype
     tol = jnp.asarray(tol, dtype)
@@ -282,11 +305,13 @@ def pcg(
 
     if deflate_mean:
         project = lambda v: jax.tree_util.tree_map(lambda a: a - jnp.mean(a), v)
+        project_z = project if not precond_zero_mean else (lambda v: v)
     else:
         project = lambda v: v
+        project_z = lambda v: v
 
-    r0 = project(_sub(b, apply_A(x0)))
-    z0 = project(precond(r0))
+    r0 = project(b) if cold else project(_sub(b, apply_A(x0)))
+    rnorm0 = _tree_max_abs(r0)
 
     def cond(state):
         x, r, z, p, rz, k, done = state
@@ -298,7 +323,7 @@ def pcg(
             def reset(args):
                 x, r, z, p, rz = args
                 rr = project(_sub(b, apply_A(x)))
-                zz = project(precond(rr))
+                zz = project_z(precond(rr))
                 return x, rr, zz, zz, tree_vdot(rr, zz)
 
             def keep(args):
@@ -313,20 +338,28 @@ def pcg(
         x = _axpy(alpha, p, x)
         r = project(_axpy(-alpha, q, r))
         rnorm = _tree_max_abs(r)
-        z = project(precond(r))
+        z = project_z(precond(r))
         rz_new = tree_vdot(r, z)
         beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
         p = _axpy(beta, p, z)
         done = (rnorm < tol) | ~jnp.isfinite(rnorm)
         return (x, r, z, p, rz_new, k + 1, done)
 
-    init = (
-        x0, r0, z0, z0, tree_vdot(r0, z0), jnp.zeros((), jnp.int32),
-        _tree_max_abs(r0) < tol,
-    )
-    x, r, z, p, rz, k, _ = jax.lax.while_loop(cond, body, init)
-    r_true = project(_sub(b, apply_A(x)))
-    rnorm = _tree_max_abs(r_true)
+    def run_solve(_):
+        z0 = project_z(precond(r0))
+        init = (
+            x0, r0, z0, z0, tree_vdot(r0, z0), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool),
+        )
+        x, r, z, p, rz, k, _ = jax.lax.while_loop(cond, body, init)
+        r_true = project(_sub(b, apply_A(x)))
+        return x, _tree_max_abs(r_true), k
+
+    def skip_solve(_):
+        # r0 IS the true residual of x0; nothing to verify or solve
+        return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+    x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
     warn = ~jnp.isfinite(rnorm)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
 

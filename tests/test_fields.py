@@ -79,3 +79,32 @@ def test_domain_mixed_boundaries():
     assert modes[1] == ("replicate", "zero")
     with pytest.raises(AssertionError):
         Domain((4, 4), boundaries=((PERIODIC, OPEN), (OPEN, OPEN)))
+
+
+def test_analytic_constant_sampled_fields():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffpiso_tpu.fields.analytic import AnalyticField, ConstantField, SampledField
+    from diffpiso_tpu.fields.box import Box
+
+    # analytic: f(y, x) = y + 2x on a 4x4 grid over [0,1)^2
+    f = AnalyticField(lambda pts: pts[..., 0] + 2 * pts[..., 1])
+    grid = f.at_grid((4, 4), Box.from_size((1.0, 1.0)))
+    np.testing.assert_allclose(float(grid[0, 0]), 0.125 + 0.25, atol=1e-6)
+    np.testing.assert_allclose(float(grid[3, 1]), 0.875 + 0.75, atol=1e-6)
+
+    c = ConstantField(2.5)
+    np.testing.assert_allclose(np.asarray(c.at_grid((3, 5))), 2.5)
+
+    # sampled: one unit sample at a cell center rasterizes to exactly that cell
+    s = SampledField(points=jnp.asarray([[0.375, 0.625]]), values=jnp.asarray([1.0]))
+    r = np.asarray(s.rasterize((4, 4), Box.from_size((1.0, 1.0))))
+    assert r[1, 2] == 1.0 and r.sum() == 1.0
+    # off-center sample conserves mass across neighbors
+    s2 = SampledField(points=jnp.asarray([[0.5, 0.5]]), values=jnp.asarray([2.0]))
+    r2 = np.asarray(s2.rasterize((4, 4), Box.from_size((1.0, 1.0))))
+    np.testing.assert_allclose(r2.sum(), 2.0, rtol=1e-6)
+    # interpolation back at the sample point recovers the value
+    v = float(s.sample_at(jnp.asarray([0.375, 0.625])))
+    np.testing.assert_allclose(v, 1.0, atol=1e-2)
