@@ -283,3 +283,31 @@ def test_dct_solver_exact_on_constant_coefficients():
     r = np.asarray(apl(lap, jnp.asarray(p, jnp.float32))) - b
     # the rank-one shift contributes s*sum(p)=0 since p is zero-mean
     assert np.abs(r).max() < 1e-4
+
+
+def test_scipy_solver_oracle_and_adjoint():
+    """scipy_sparse_solve (LinearSolverScipy parity, linear_solver.py:33-57):
+    exact solve via pure_callback + transposed-solve adjoint."""
+    from diffpiso_tpu.solvers.scipy_solver import ScipySolver, scipy_sparse_solve
+
+    lap = laplace_case(res=(6, 7), rank_deficient=False)
+    rng = np.random.RandomState(7)
+    b = jnp.asarray(rng.randn(6, 7), jnp.float32)
+    x = ScipySolver().solve_pressure(lap, b)
+    dense = laplacian_to_dense(lap)
+    want = np.linalg.solve(dense, np.asarray(b, np.float64).ravel())
+    np.testing.assert_allclose(np.asarray(x).ravel(), want, rtol=1e-4, atol=1e-5)
+
+    # adjoint == transposed solve applied to the cotangent
+    dense_j = jnp.asarray(dense, jnp.float32)
+
+    def loss(bb):
+        return jnp.sum(scipy_sparse_solve(dense_j, bb) ** 2)
+
+    g = jax.grad(loss)(b)
+    want_g = np.linalg.solve(dense.T, 2 * np.asarray(x, np.float64).ravel())
+    np.testing.assert_allclose(np.asarray(g).ravel(), want_g, rtol=1e-3, atol=1e-4)
+
+    # the matrix itself gets zero gradient (Picard linearization)
+    gm = jax.grad(lambda m: jnp.sum(scipy_sparse_solve(m, b)))(dense_j)
+    np.testing.assert_array_equal(np.asarray(gm), 0.0)
