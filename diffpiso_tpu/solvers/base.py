@@ -217,11 +217,16 @@ def _pressure_solve_impl(
             precond=precond,
             tol=tol,
             max_iter=cfg.max_iterations,
-            residual_reset=cfg.residual_reset,
+            # adjoint solves are cold, converge in a handful of iterations
+            # and never early-exit: drop the reset cond (pointless below
+            # `residual_reset` iterations, costs kernels every iteration)
+            # and the whole-solve early-exit wrapper
+            residual_reset=0 if adjoint else cfg.residual_reset,
             deflate_mean=cfg.deflate_mean,
             # spectral preconditioners zero the k=0 mode -> output is
             # mean-free already; skip the explicit projection kernels
             precond_zero_mean=kind in ("fft", "dct"),
+            early_exit=not adjoint,
         )
     else:
         result = cg(

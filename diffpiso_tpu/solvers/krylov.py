@@ -280,6 +280,7 @@ def pcg(
     residual_reset: int = 0,
     deflate_mean: bool = False,
     precond_zero_mean: bool = False,
+    early_exit: bool = True,
 ) -> SolveResult:
     """Preconditioned CG: z = M^-1 r each iteration (e.g. one multigrid
     V-cycle or a spectral solve). This is the designed-in upgrade over the
@@ -294,7 +295,10 @@ def pcg(
         z0 preconditioner application and the final verification matvec,
         via one lax.cond;
       * precond_zero_mean marks M^-1 outputs as mean-free (the spectral
-        preconditioners zero the k=0 mode), eliding the explicit projection.
+        preconditioners zero the k=0 mode), eliding the explicit projection;
+      * early_exit=False drops the whole-solve lax.cond wrapper (profiled at
+        ~0.24 ms of pure overhead) for callers that KNOW the solve is cold
+        and non-trivial — the adjoint solves.
     """
     cold = x0 is None
     if cold:
@@ -359,7 +363,10 @@ def pcg(
         # r0 IS the true residual of x0; nothing to verify or solve
         return x0, rnorm0, jnp.zeros((), jnp.int32)
 
-    x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
+    if early_exit:
+        x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
+    else:
+        x, rnorm, k = run_solve(None)
     warn = ~jnp.isfinite(rnorm)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
 
