@@ -117,11 +117,25 @@ def _bicgstab_once(apply_A, precond, b, x0, tol, max_iter):
         return (x, r, p, v, rho_new, alpha, omega, k + 1, done)
 
     one = jnp.ones((), jax.tree_util.tree_leaves(b)[0].dtype)
-    init = (x0, r0, _zeros_like(b), _zeros_like(b), one, one, one, jnp.zeros((), jnp.int32), _tree_max_abs(r0) < tol)
-    x, r, *_rest, k, _done = jax.lax.while_loop(cond, body, init)
-    # true residual (the recurrence residual can drift)
-    r_true = _sub(b, apply_A(x))
-    return x, _tree_max_abs(r_true), k
+    rnorm0 = _tree_max_abs(r0)
+
+    def run_solve(_):
+        init = (
+            x0, r0, _zeros_like(b), _zeros_like(b), one, one, one,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        )
+        x, r, *_rest, k, _done = jax.lax.while_loop(cond, body, init)
+        # true residual (the recurrence residual can drift)
+        r_true = _sub(b, apply_A(x))
+        return x, _tree_max_abs(r_true), k
+
+    def skip_solve(_):
+        # the warm start already satisfies the tolerance (r0 is exact):
+        # skip loop + verification (PISO predictors on near-steady flow hit
+        # this often — same early-exit rationale as pcg)
+        return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+    return jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
 
 
 def bicgstab(
