@@ -227,6 +227,7 @@ def _pressure_solve_impl(
             # mean-free already; skip the explicit projection kernels
             precond_zero_mean=kind in ("fft", "dct"),
             early_exit=not adjoint,
+            stencil=lap,
         )
     else:
         result = cg(
@@ -237,6 +238,7 @@ def _pressure_solve_impl(
             max_iter=cfg.max_iterations,
             residual_reset=cfg.residual_reset,
             deflate_mean=cfg.deflate_mean,
+            stencil=lap,
         )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
     return x, result

@@ -93,7 +93,14 @@ class NeumannSpectralSolver:
         diag = -2.0 * (weights[0] + weights[1])
         block = self.solve(weights, r[:gy, :gx])
         out = r / diag  # remainder rows/cols: diagonal (Jacobi) scaling
-        return out.at[:gy, :gx].set(block.astype(r.dtype))
+        out = out.at[:gy, :gx].set(block.astype(r.dtype))
+        # restore the global zero-mean invariant the PCG callers rely on
+        # (precond_zero_mean): the remainder rows leak a mean component,
+        # which otherwise feeds the rank-one-shift null direction and can
+        # blow up the search when those rows are active (inactive identity
+        # rows, as in the lid cavity's dummy row, contribute r = 0 and this
+        # is a no-op)
+        return out - jnp.mean(out)
 
 
 def _smooth_size(n: int) -> int:

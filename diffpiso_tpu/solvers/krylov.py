@@ -200,6 +200,7 @@ def cg(
     max_iter: int = 2000,
     residual_reset: int = 0,
     deflate_mean: bool = False,
+    stencil=None,
 ) -> SolveResult:
     """Conjugate gradients in the reference CG's exact recurrence
     (pressure_solve_op.cu.cc:257-357):
@@ -216,6 +217,10 @@ def cg(
     system stalls at 0.6 after 3000 iters without resets, converges in 243
     with reset=50). The reference sidesteps this by casting to float64
     (piso_cuda_pressure_solver.py:56-58), a luxury TPUs don't have natively.
+
+    stencil — the raw LaplaceStencil behind apply_A, enabling the fused
+    single-launch Pallas iteration (solvers/pallas_krylov.py) on eligible
+    shapes; apply_A remains the semantic definition and the fallback.
 
     deflate_mean subtracts the mean from the residual every iteration —
     projecting out the constant null space of the all-Neumann (rank
@@ -234,10 +239,29 @@ def cg(
     else:
         project = lambda v: v
 
+    fused = False
+    if stencil is not None and not isinstance(b, (tuple, list, dict)):
+        leaves = jax.tree_util.tree_leaves(b)
+        if len(leaves) == 1 and hasattr(leaves[0], "shape"):
+            from diffpiso_tpu.solvers.pallas_krylov import eligible
+
+            fused = eligible(leaves[0].shape, leaves[0].dtype)
+    if fused:
+        from diffpiso_tpu.solvers.pallas_krylov import (
+            fused_cg_iteration,
+            fused_residual,
+        )
+
     # zero guess -> r0 = b without an A x0 matvec (see pcg's kernel-count
     # discipline note)
-    r0 = project(b) if cold else project(_sub(b, apply_A(x0)))
-    rnorm0 = _tree_max_abs(r0)
+    if cold:
+        r0 = project(b)
+        rnorm0 = _tree_max_abs(r0)
+    elif fused:
+        r0, rnorm0 = fused_residual(stencil, b, x0, deflate_mean)
+    else:
+        r0 = project(_sub(b, apply_A(x0)))
+        rnorm0 = _tree_max_abs(r0)
 
     def cond(state):
         x, r, p, k, done = state
@@ -248,7 +272,10 @@ def cg(
         if residual_reset > 0:
             def reset(args):
                 x, r, p = args
-                rr = project(_sub(b, apply_A(x)))
+                if fused:
+                    rr, _ = fused_residual(stencil, b, x, deflate_mean)
+                else:
+                    rr = project(_sub(b, apply_A(x)))
                 return x, rr, rr
 
             def keep(args):
@@ -257,21 +284,27 @@ def cg(
             x, r, p = jax.lax.cond(
                 (k + 1) % residual_reset == 0, reset, keep, (x, r, p)
             )
-        z = apply_A(p)
-        pz = tree_vdot(p, z)
-        pr = tree_vdot(p, r)
-        alpha = jnp.where(jnp.abs(pz) > eps, pr / pz, 0.0)
-        x = _axpy(alpha, p, x)
-        r = project(_axpy(-alpha, z, r))
-        rnorm = _tree_max_abs(r)
-        beta = jnp.where(jnp.abs(pz) > eps, -tree_vdot(r, z) / pz, 0.0)
-        p = _axpy(beta, p, r)
+        if fused:
+            x, r, p, rnorm = fused_cg_iteration(stencil, x, r, p, deflate_mean)
+        else:
+            z = apply_A(p)
+            pz = tree_vdot(p, z)
+            pr = tree_vdot(p, r)
+            alpha = jnp.where(jnp.abs(pz) > eps, pr / pz, 0.0)
+            x = _axpy(alpha, p, x)
+            r = project(_axpy(-alpha, z, r))
+            rnorm = _tree_max_abs(r)
+            beta = jnp.where(jnp.abs(pz) > eps, -tree_vdot(r, z) / pz, 0.0)
+            p = _axpy(beta, p, r)
         done = (rnorm < tol) | ~jnp.isfinite(rnorm)
         return (x, r, p, k + 1, done)
 
     def run_solve(_):
         init = (x0, r0, r0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
         x, r, p, k, _ = jax.lax.while_loop(cond, body, init)
+        if fused:
+            _, rn = fused_residual(stencil, b, x, deflate_mean)
+            return x, rn, k
         r_true = project(_sub(b, apply_A(x)))
         return x, _tree_max_abs(r_true), k
 
@@ -295,6 +328,7 @@ def pcg(
     deflate_mean: bool = False,
     precond_zero_mean: bool = False,
     early_exit: bool = True,
+    stencil=None,
 ) -> SolveResult:
     """Preconditioned CG: z = M^-1 r each iteration (e.g. one multigrid
     V-cycle or a spectral solve). This is the designed-in upgrade over the
@@ -328,8 +362,28 @@ def pcg(
         project = lambda v: v
         project_z = lambda v: v
 
-    r0 = project(b) if cold else project(_sub(b, apply_A(x0)))
-    rnorm0 = _tree_max_abs(r0)
+    fused = False
+    if stencil is not None and not isinstance(b, (tuple, list, dict)):
+        leaves = jax.tree_util.tree_leaves(b)
+        if len(leaves) == 1 and hasattr(leaves[0], "shape"):
+            from diffpiso_tpu.solvers.pallas_krylov import eligible
+
+            fused = eligible(leaves[0].shape, leaves[0].dtype)
+    if fused:
+        from diffpiso_tpu.solvers.pallas_krylov import (
+            fused_pcg_apply,
+            fused_pcg_update,
+            fused_residual,
+        )
+
+    if cold:
+        r0 = project(b)
+        rnorm0 = _tree_max_abs(r0)
+    elif fused:
+        r0, rnorm0 = fused_residual(stencil, b, x0, deflate_mean)
+    else:
+        r0 = project(_sub(b, apply_A(x0)))
+        rnorm0 = _tree_max_abs(r0)
 
     def cond(state):
         x, r, z, p, rz, k, done = state
@@ -340,7 +394,10 @@ def pcg(
         if residual_reset > 0:
             def reset(args):
                 x, r, z, p, rz = args
-                rr = project(_sub(b, apply_A(x)))
+                if fused:
+                    rr, _ = fused_residual(stencil, b, x, deflate_mean)
+                else:
+                    rr = project(_sub(b, apply_A(x)))
                 zz = project_z(precond(rr))
                 return x, rr, zz, zz, tree_vdot(rr, zz)
 
@@ -350,16 +407,21 @@ def pcg(
             x, r, z, p, rz = jax.lax.cond(
                 (k + 1) % residual_reset == 0, reset, keep, (x, r, z, p, rz)
             )
-        q = apply_A(p)
-        pq = tree_vdot(p, q)
-        alpha = jnp.where(jnp.abs(pq) > eps, rz / pq, 0.0)
-        x = _axpy(alpha, p, x)
-        r = project(_axpy(-alpha, q, r))
-        rnorm = _tree_max_abs(r)
-        z = project_z(precond(r))
-        rz_new = tree_vdot(r, z)
-        beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
-        p = _axpy(beta, p, z)
+        if fused:
+            x, r, rnorm, _pq = fused_pcg_apply(stencil, rz, x, r, p, deflate_mean)
+            z = project_z(precond(r))
+            p, rz_new = fused_pcg_update(rz, r, z, p)
+        else:
+            q = apply_A(p)
+            pq = tree_vdot(p, q)
+            alpha = jnp.where(jnp.abs(pq) > eps, rz / pq, 0.0)
+            x = _axpy(alpha, p, x)
+            r = project(_axpy(-alpha, q, r))
+            rnorm = _tree_max_abs(r)
+            z = project_z(precond(r))
+            rz_new = tree_vdot(r, z)
+            beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
+            p = _axpy(beta, p, z)
         done = (rnorm < tol) | ~jnp.isfinite(rnorm)
         return (x, r, z, p, rz_new, k + 1, done)
 
@@ -370,6 +432,9 @@ def pcg(
             jnp.zeros((), bool),
         )
         x, r, z, p, rz, k, _ = jax.lax.while_loop(cond, body, init)
+        if fused:
+            _, rn = fused_residual(stencil, b, x, deflate_mean)
+            return x, rn, k
         r_true = project(_sub(b, apply_A(x)))
         return x, _tree_max_abs(r_true), k
 

@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernels for Krylov iterations on the pressure system.
+
+Motivation (measured, see CLAUDE.md): this TPU's per-HLO-kernel launch
+overhead is ~30 us while one 512^2 f32 plane costs ~2 us of bandwidth — the
+CG/PCG loops are LAUNCH-bound. One CG iteration assembled from jnp ops is
+~10-14 kernels; these kernels collapse it to 1 (plain CG) or 2 (PCG, around
+the unfusable spectral-preconditioner FFTs).
+
+Everything here runs inside the custom_vjp'd solves (solvers/base.py), which
+differentiate by solving the transposed system — the kernels themselves are
+never autodiffed, so no VJP rules are needed.
+
+Kernel set (all keep every operand resident in VMEM, scalars in SMEM):
+  fused_residual(stencil, b, x)     -> r = proj(b - A x), max|r|      [1 kernel]
+  fused_cg_iteration(stencil, ...)  -> full CG step incl. beta, p'    [1 kernel]
+  fused_pcg_apply(stencil, ...)     -> q=A p, alpha, x', r', max|r'|  [1 kernel]
+  fused_pcg_update(...)             -> rz', beta, p'                  [1 kernel]
+
+The 5-point matvec uses the same roll formulation as ops/pallas_stencil.py;
+the rank-one all-Neumann shift (s * sum(p), laplace rank deficiency) and the
+mean-deflation projection are folded in as in-kernel reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def eligible(shape, dtype) -> bool:
+    """Measured trade-off (tunneled v5e): the fused iteration wins on small
+    grids where launch overhead dominates (257x256: 7.1 vs 11.4 us/iter) but
+    LOSES at 512^2 where the monolithic Pallas kernel runs slower than the
+    XLA fusion chain (bench fwd 847 vs 1033 steps/s) — pltpu.roll on large
+    unaligned planes underperforms XLA's roll lowering. Default: small grids
+    only; DIFFPISO_FUSED_KRYLOV=always forces it, =never disables."""
+    mode = os.environ.get("DIFFPISO_FUSED_KRYLOV", "auto")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    # worst case resident planes: 5 coeffs + p + r + x + z + out x3
+    if 12 * shape[0] * shape[1] * itemsize > _VMEM_BUDGET_BYTES:
+        return False
+    if mode == "always":
+        return True
+    return shape[0] * shape[1] <= 320 * 320  # the measured crossover region
+
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _matvec(c, ly, hy, lx, hx, shift, p):
+    q = c * p
+    q = q + ly * _roll(p, 1, 0)
+    q = q + hy * _roll(p, -1, 0)
+    q = q + lx * _roll(p, 1, 1)
+    q = q + hx * _roll(p, -1, 1)
+    return q + shift * jnp.sum(p)
+
+
+_SPEC_V = None  # filled lazily (pl may be absent)
+
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * n
+
+
+def _smem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)] * n
+
+
+# -- r = proj(b - A x), rnorm ------------------------------------------------------
+
+
+def _residual_kernel(deflate, c, ly, hy, lx, hx, sh, b, x, out_r, out_n):
+    q = _matvec(c[:], ly[:], hy[:], lx[:], hx[:], sh[0], x[:])
+    r = b[:] - q
+    if deflate:
+        r = r - jnp.sum(r) / r.size
+    out_r[:] = r
+    out_n[0] = jnp.max(jnp.abs(r))
+
+
+def fused_residual(stencil, b, x, deflate: bool):
+    """r = proj(b - A x) and max|r| in one launch."""
+    out_shapes = (
+        jax.ShapeDtypeStruct(b.shape, b.dtype),
+        jax.ShapeDtypeStruct((1,), b.dtype),
+    )
+    r, n = pl.pallas_call(
+        functools.partial(_residual_kernel, deflate),
+        out_shape=out_shapes,
+        in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(2),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(
+        stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+        stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, b.dtype), (1,)),
+        b, x,
+    )
+    return r, n[0]
+
+
+# -- one full plain-CG iteration ---------------------------------------------------
+#   z = A p; alpha = (p.r)/(p.z); x += alpha p; r -= alpha z (proj);
+#   beta = -(r.z)/(p.z); p = r + beta p; rnorm = max|r|
+#   (the reference CG recurrence, pressure_solve_op.cu.cc:257-357)
+
+
+def _cg_iter_kernel(deflate, c, ly, hy, lx, hx, sh, x, r, p,
+                    out_x, out_r, out_p, out_n):
+    pv = p[:]
+    rv = r[:]
+    q = _matvec(c[:], ly[:], hy[:], lx[:], hx[:], sh[0], pv)
+    pq = jnp.sum(pv * q)
+    pr = jnp.sum(pv * rv)
+    eps = jnp.asarray(1e-30, pq.dtype)
+    alpha = jnp.where(jnp.abs(pq) > eps, pr / pq, 0.0)
+    xn = x[:] + alpha * pv
+    rn = rv - alpha * q
+    if deflate:
+        rn = rn - jnp.sum(rn) / rn.size
+    beta = jnp.where(jnp.abs(pq) > eps, -jnp.sum(rn * q) / pq, 0.0)
+    out_x[:] = xn
+    out_r[:] = rn
+    out_p[:] = rn + beta * pv
+    out_n[0] = jnp.max(jnp.abs(rn))
+
+
+def fused_cg_iteration(stencil, x, r, p, deflate: bool):
+    """One complete CG iteration in one launch. Returns (x', r', p', rnorm)."""
+    s = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    out_shapes = (s, s, s, jax.ShapeDtypeStruct((1,), x.dtype))
+    xo, ro, po, n = pl.pallas_call(
+        functools.partial(_cg_iter_kernel, deflate),
+        out_shape=out_shapes,
+        in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(3),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(
+        stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+        stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
+        x, r, p,
+    )
+    return xo, ro, po, n[0]
+
+
+# -- PCG halves around the (unfusable) spectral preconditioner ----------------------
+
+
+def _pcg_apply_kernel(deflate, c, ly, hy, lx, hx, sh, rz, x, r, p,
+                      out_x, out_r, out_n, out_pq):
+    pv = p[:]
+    q = _matvec(c[:], ly[:], hy[:], lx[:], hx[:], sh[0], pv)
+    pq = jnp.sum(pv * q)
+    eps = jnp.asarray(1e-30, pq.dtype)
+    alpha = jnp.where(jnp.abs(pq) > eps, rz[0] / pq, 0.0)
+    xn = x[:] + alpha * pv
+    rn = r[:] - alpha * q
+    if deflate:
+        rn = rn - jnp.sum(rn) / rn.size
+    out_x[:] = xn
+    out_r[:] = rn
+    out_n[0] = jnp.max(jnp.abs(rn))
+    out_pq[0] = pq
+
+
+def fused_pcg_apply(stencil, rz, x, r, p, deflate: bool):
+    """q = A p; alpha = rz/(p.q); x', r' = updates; returns
+    (x', r', rnorm, pq) in one launch."""
+    s = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    one = jax.ShapeDtypeStruct((1,), x.dtype)
+    xo, ro, n, pq = pl.pallas_call(
+        functools.partial(_pcg_apply_kernel, deflate),
+        out_shape=(s, s, one, one),
+        in_specs=_vmem_specs(5) + _smem_specs(2) + _vmem_specs(3),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(
+        stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+        stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
+        jnp.reshape(rz, (1,)), x, r, p,
+    )
+    return xo, ro, n[0], pq[0]
+
+
+def _pcg_update_kernel(rz_old, r, z, p, out_p, out_rz):
+    rv = r[:]
+    zv = z[:]
+    rz_new = jnp.sum(rv * zv)
+    eps = jnp.asarray(1e-30, rz_new.dtype)
+    beta = jnp.where(jnp.abs(rz_old[0]) > eps, rz_new / rz_old[0], 0.0)
+    out_p[:] = zv + beta * p[:]
+    out_rz[0] = rz_new
+
+
+def fused_pcg_update(rz_old, r, z, p):
+    """rz' = r.z; beta; p' = z + beta p — one launch. Returns (p', rz')."""
+    s = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    one = jax.ShapeDtypeStruct((1,), p.dtype)
+    po, rz = pl.pallas_call(
+        _pcg_update_kernel,
+        out_shape=(s, one),
+        in_specs=_smem_specs(1) + _vmem_specs(3),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(jnp.reshape(rz_old, (1,)), r, z, p)
+    return po, rz[0]
