@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from diffpiso_tpu.fields.grid import StaggeredField
-from diffpiso_tpu.fields.material import CIRCULAR
 
 
 def sample_bilinear(

@@ -14,7 +14,6 @@ par.2.5), so this layer is validated against our own global operator.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -17,7 +17,6 @@ matrix CG iterates on (not the continuous -k^2).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -31,8 +31,6 @@ Design decisions (idiomatic TPU, not a port):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
