@@ -17,7 +17,9 @@ from diffpiso_tpu.learning.training import (
     load_params,
     make_loss_fn,
     make_rollout_fn,
+    make_batched_train_step,
     make_train_step,
+    stack_samples,
     rollout_targets_from_tensor,
     save_params,
     training_run,
@@ -39,7 +41,9 @@ __all__ = [
     "load_params",
     "make_loss_fn",
     "make_rollout_fn",
+    "make_batched_train_step",
     "make_train_step",
+    "stack_samples",
     "rollout_targets_from_tensor",
     "save_params",
     "training_run",

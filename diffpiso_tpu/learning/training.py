@@ -230,6 +230,69 @@ def make_train_step(loss_fn, optimizer):
     return train_step
 
 
+def make_batched_train_step(loss_fn, optimizer, mesh=None):
+    """Data-parallel training step over a leading batch axis — the designed
+    -in fix for the reference's batch_size=1 limitation (SURVEY.md par.2.5:
+    solvers declare supports_batch=False, combined_training_integrated.py
+    feeds single samples). Per-sample losses/grads come from vmap; samples
+    whose solve warned or produced non-finite grads are masked OUT of the
+    batch mean (the batched generalization of the reference's skip-update
+    policy) instead of poisoning the whole step. With `mesh`, the batch axis
+    is sharded over mesh axis 'data' (pjit DP: gradients all-reduce
+    automatically)."""
+
+    def batched_loss(params, vel0, p0, targets, perts):
+        def one(v, pp, t, pe):
+            loss, (warn, parts) = loss_fn(params, v, pp, t, pe)
+            return loss, warn, parts
+
+        losses, warns, parts = jax.vmap(one)(vel0, p0, targets, perts)
+        valid = (~warns).astype(losses.dtype)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        mean_loss = jnp.sum(losses * valid) / denom
+        return mean_loss, (warns, parts)
+
+    @jax.jit
+    def train_step(params, opt_state, vel0, p0, targets, perts):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, P("data"))
+                ),
+                t,
+            )
+            vel0, p0, targets, perts = map(shard, (vel0, p0, targets, perts))
+        (loss, (warns, parts)), grads = jax.value_and_grad(
+            batched_loss, has_aux=True
+        )(params, vel0, p0, targets, perts)
+        finite = jnp.all(
+            jnp.stack(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        ok = jnp.logical_and(jnp.any(~warns), finite)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, params
+        )
+        opt_out = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+        )
+        return params_out, opt_out, loss, parts, warns
+
+    return train_step
+
+
+def stack_samples(setup, cfg, samples):
+    """Stack per-sample device tuples from _sample_to_device into batched
+    arrays for make_batched_train_step."""
+    devs = [_sample_to_device(setup, cfg, s) for s in samples]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *devs)
+
+
 def save_params(path: str, params):
     with open(path, "wb") as f:
         pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)

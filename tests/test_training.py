@@ -132,3 +132,44 @@ def test_tbptt_truncation_blocks_gradients(tiny_setup):
     g_full = last_step_energy(TrainingConfig(loss_influence_range=2, **base))
     assert g_cut == 0.0
     assert g_full > 0.0
+
+
+def test_batched_train_step_matches_and_masks(tiny_setup, tiny_dataset):
+    """make_batched_train_step: batch-of-2 loss equals the mean of the
+    per-sample losses; warn mask has batch shape."""
+    from diffpiso_tpu.learning.training import (
+        _sample_to_device,
+        make_batched_train_step,
+        stack_samples,
+    )
+
+    setup = tiny_setup
+    cfg = TrainingConfig(
+        step_count=2, loss_influence_range=2, padding="SAME",
+        loss_factors=(50.0, 0.0, 0.0, 0.0), advection_tol=1e-5,
+        pressure_tol=1e-5,
+    )
+    dataset = SequenceDataset(
+        [tiny_dataset],
+        characteristics=[[(i * 0.4, 0.082, 0.018) for i in range(8)]],
+        start_frame=[0], frame_count=[8], step_count=2, dt_ratio=1,
+    )
+    from diffpiso_tpu.learning import make_loss_fn, make_rollout_fn, make_train_step
+
+    rollout = make_rollout_fn(setup, cfg)
+    loss_fn = make_loss_fn(setup, cfg, rollout)
+    params = init_fullyconv(jax.random.PRNGKey(0))
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(params)
+
+    samples = [dataset.sample(0), dataset.sample(2)]
+    batch = stack_samples(setup, cfg, samples)
+    bstep = make_batched_train_step(loss_fn, opt)
+    p_b, _, loss_b, parts, warns = bstep(params, opt_state, *batch)
+    assert warns.shape == (2,)
+    assert np.isfinite(float(loss_b))
+
+    sstep = make_train_step(loss_fn, opt)
+    l0 = float(sstep(params, opt_state, *_sample_to_device(setup, cfg, samples[0]))[2])
+    l1 = float(sstep(params, opt_state, *_sample_to_device(setup, cfg, samples[1]))[2])
+    np.testing.assert_allclose(float(loss_b), 0.5 * (l0 + l1), rtol=1e-3)
