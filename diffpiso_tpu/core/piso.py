@@ -84,7 +84,7 @@ class PisoOutput(NamedTuple):
     pressure: jax.Array
     pressure_inc1: jax.Array
     pressure_inc2: jax.Array
-    warn: jax.Array  # bool: the momentum solve failed (gradient already gated)
+    warn: jax.Array  # bool: any solve failed - momentum or pressure (gradients gated)
     adv_residual: jax.Array
     p_iterations: jax.Array  # iterations of the two pressure solves (stacked)
     intermediates: Any  # dict when full_output else None
@@ -174,7 +174,7 @@ def piso_step(
     )
 
     v1_div = fv_divergence(velocity_star, dx)
-    p_inc1, iters1, _pw1 = solve_pressure_system(
+    p_inc1, iters1, pw1 = solve_pressure_system(
         sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess, pressure_tol
     )
 
@@ -194,7 +194,7 @@ def piso_step(
         periodic=velocity.periodic,
     )
     h_div = fv_divergence(h_over, dx)
-    p_inc2, iters2, _pw2 = solve_pressure_system(
+    p_inc2, iters2, pw2 = solve_pressure_system(
         sim.pressure_solver, laplacian, h_div, pressure_inc2_guess, pressure_tol
     )
 
@@ -228,7 +228,11 @@ def piso_step(
         pressure=new_pressure,
         pressure_inc1=p_inc1,
         pressure_inc2=p_inc2,
-        warn=warn,
+        # any failed solve taints the step: momentum OR either pressure
+        # corrector (the reference surfaces only the BiCGSTAB warn,
+        # piso_tf.py:44,81; the pressure flags close the recovery gap for
+        # stalled/non-finite CG — each solve's gradient is gated separately)
+        warn=warn | pw1 | pw2,
         adv_residual=jnp.zeros(()),
         p_iterations=jnp.stack([iters1, iters2]),
         intermediates=intermediates,

@@ -39,9 +39,13 @@ from diffpiso_tpu.ops.stencil import (
     apply_stencil,
     apply_stencil_transpose,
 )
-from diffpiso_tpu.solvers.krylov import SolveResult, bicgstab, cg
-
-_zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+from diffpiso_tpu.solvers.krylov import (
+    SolveResult,
+    _tree_max_abs,
+    _zeros_like as _zeros_like_tree,
+    bicgstab,
+    cg,
+)
 
 
 def _adjoint_tol(tol, cotangent):
@@ -53,12 +57,7 @@ def _adjoint_tol(tol, cotangent):
     need. Relative accuracy of the adjoint solve equals relative accuracy of
     the gradient (the reference sidesteps this by converging its float64 CG
     essentially fully)."""
-    scale = jnp.max(
-        jnp.stack(
-            [jnp.max(jnp.abs(l)) for l in jax.tree_util.tree_leaves(cotangent)]
-        )
-    )
-    return tol * jnp.maximum(1.0, scale)
+    return tol * jnp.maximum(1.0, _tree_max_abs(cotangent))
 
 
 # -- advection-diffusion (predictor) solve ---------------------------------------
@@ -118,10 +117,15 @@ def _adv_fwd(cfg, stencil, rhs, guess, tol):
 def _adv_bwd(cfg, residuals, cotangents):
     stencil, guess, warn, tol = residuals
     g, _g_warn = cotangents
-    db, _ = _adv_solve_impl(
+    db, adj_result = _adv_solve_impl(
         cfg, stencil, g, None, _adjoint_tol(tol, g), transpose=True
     )
-    gate = 1.0 - warn.astype(db.dtype)
+    # gate on the forward warn (linear_solver.py:173) AND on the adjoint
+    # solve's own failure — a diverged transpose solve is finite garbage the
+    # training loop's NaN check would never see
+    gate = (1.0 - warn.astype(db.dtype)) * (
+        1.0 - adj_result.warn.astype(db.dtype)
+    )
     db = db * gate
     return (
         _zeros_like_tree(stencil),

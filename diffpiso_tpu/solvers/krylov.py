@@ -170,7 +170,8 @@ def bicgstab(
     bad = (~jnp.isfinite(rnorm)) | (rnorm > 100.0 * tol)
 
     def restart(_):
-        return _bicgstab_once(apply_A, precond, b, _zeros_like(b), tol, max_iter)
+        xr, rr, kr = _bicgstab_once(apply_A, precond, b, _zeros_like(b), tol, max_iter)
+        return xr, rr, k + kr  # report TOTAL work, both attempts
 
     def keep(_):
         return x, rnorm, k
@@ -310,7 +311,9 @@ def cg(
         return x0, rnorm0, jnp.zeros((), jnp.int32)
 
     x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
-    warn = ~jnp.isfinite(rnorm)
+    # warn = failed solve: non-finite OR stalled far above tolerance (the
+    # bicgstab criterion, multi_..._op.cu.cc:392-408)
+    warn = (~jnp.isfinite(rnorm)) | (rnorm > 100.0 * tol)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
 
 
@@ -384,26 +387,26 @@ def pcg(
         rnorm0 = _tree_max_abs(r0)
 
     def cond(state):
-        x, r, z, p, rz, k, done = state
+        x, r, p, rz, k, done = state
         return (~done) & (k < max_iter)
 
     def body(state):
-        x, r, z, p, rz, k, done = state
+        x, r, p, rz, k, done = state
         if residual_reset > 0:
             def reset(args):
-                x, r, z, p, rz = args
+                x, r, p, rz = args
                 if fused:
                     rr, _ = fused_residual(stencil, b, x, deflate_mean)
                 else:
                     rr = project(_sub(b, apply_A(x)))
                 zz = project_z(precond(rr))
-                return x, rr, zz, zz, tree_vdot(rr, zz)
+                return x, rr, zz, tree_vdot(rr, zz)
 
             def keep(args):
                 return args
 
-            x, r, z, p, rz = jax.lax.cond(
-                (k + 1) % residual_reset == 0, reset, keep, (x, r, z, p, rz)
+            x, r, p, rz = jax.lax.cond(
+                (k + 1) % residual_reset == 0, reset, keep, (x, r, p, rz)
             )
         if fused:
             x, r, rnorm, _pq = fused_pcg_apply(stencil, rz, x, r, p, deflate_mean)
@@ -421,15 +424,15 @@ def pcg(
             beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
             p = _axpy(beta, p, z)
         done = (rnorm < tol) | ~jnp.isfinite(rnorm)
-        return (x, r, z, p, rz_new, k + 1, done)
+        return (x, r, p, rz_new, k + 1, done)
 
     def run_solve(_):
         z0 = project_z(precond(r0))
         init = (
-            x0, r0, z0, z0, tree_vdot(r0, z0), jnp.zeros((), jnp.int32),
+            x0, r0, z0, tree_vdot(r0, z0), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool),
         )
-        x, r, z, p, rz, k, _ = jax.lax.while_loop(cond, body, init)
+        x, r, p, rz, k, _ = jax.lax.while_loop(cond, body, init)
         if fused:
             _, rn = fused_residual(stencil, b, x, deflate_mean)
             return x, rn, k
@@ -444,7 +447,10 @@ def pcg(
         x, rnorm, k = jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
     else:
         x, rnorm, k = run_solve(None)
-    warn = ~jnp.isfinite(rnorm)
+    # warn = failed solve: non-finite OR stalled far above tolerance (the
+    # bicgstab criterion, multi_..._op.cu.cc:392-408) — gates gradients and
+    # triggers the training loop's skip/rollback
+    warn = (~jnp.isfinite(rnorm)) | (rnorm > 100.0 * tol)
     return SolveResult(x=x, iterations=k, residual_norm=rnorm, converged=rnorm < tol, warn=warn)
 
 

@@ -30,14 +30,16 @@ def _dense_from_stencil(st, component: int | None = None) -> np.ndarray:
     return stencil_to_dense(st, component)
 
 
-def _host_solve(matrix: np.ndarray, rhs: np.ndarray, transpose: bool) -> np.ndarray:
+def _host_solve(matrix: np.ndarray, rhs: np.ndarray, transpose: bool, out_dtype) -> np.ndarray:
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     m = sp.csr_matrix(np.asarray(matrix, np.float64))
     if transpose:
         m = m.T.tocsr()
-    return spla.spsolve(m, np.asarray(rhs, np.float64).ravel()).astype(np.float32)
+    # factorize in float64, return in the caller's dtype (float64 callers —
+    # the cast_to_double oracle paths — keep full precision)
+    return spla.spsolve(m, np.asarray(rhs, np.float64).ravel()).astype(out_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -45,9 +47,9 @@ def scipy_sparse_solve(matrix: jax.Array, rhs: jax.Array, transpose: bool = Fals
     """Solve (dense-represented) matrix @ x = rhs on the host with scipy's
     sparse direct factorization. matrix: (n, n); rhs: any shape with n
     elements; returns x with rhs's shape."""
-    out_shape = jax.ShapeDtypeStruct(rhs.shape, jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(rhs.shape, rhs.dtype)
     return jax.pure_callback(
-        lambda m, b: _host_solve(m, b, transpose).reshape(rhs.shape),
+        lambda m, b: _host_solve(m, b, transpose, rhs.dtype).reshape(rhs.shape),
         out_shape,
         matrix,
         rhs,
