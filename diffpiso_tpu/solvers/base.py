@@ -167,6 +167,11 @@ class PressureSolver:
     # Adjoint solves start cold (no warm start exists), where FFT-PCG pays
     # off even when the warm-started forward prefers plain CG.
     adjoint_preconditioner: str | None = "same"
+    # retry count from pseudo-randomly perturbed guesses when a solve fails
+    # — the reference's cuRAND randomized restarts
+    # (pressure_solve_op.cu.cc:359-396); deterministic here (counter-based
+    # jax.random keys) so results reproduce
+    randomized_restarts: int = 0
 
     def solve(self, laplacian, rhs, guess=None, tol=1e-6):
         return solve_pressure_system(self, laplacian, rhs, guess, tol)
@@ -207,6 +212,27 @@ def _pressure_solve_impl(
         lap = jax.tree_util.tree_map(lambda a: a.astype(dt), lap)
         rhs = rhs.astype(dt)
         guess = None if guess is None else guess.astype(dt)
+    result = _pressure_solve_once(cfg, lap, rhs, guess, tol, adjoint)
+    # randomized restarts from perturbed guesses on failure
+    # (pressure_solve_op.cu.cc:359-396): the perturbation kicks CG off a
+    # stagnated Krylov subspace; keys are counter-based so runs reproduce
+    for attempt in range(cfg.randomized_restarts):
+        def retry(res=result, a=attempt):
+            key = jax.random.fold_in(jax.random.PRNGKey(42), a)
+            scale = 0.01 * (jnp.max(jnp.abs(res.x)) + jnp.max(jnp.abs(rhs)))
+            perturbed = res.x + scale * jax.random.normal(
+                key, res.x.shape, res.x.dtype
+            )
+            return _pressure_solve_once(cfg, lap, rhs, perturbed, tol, adjoint)
+
+        result = jax.lax.cond(result.warn, lambda _: retry(), lambda _: result, None)
+    x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
+    return x, result
+
+
+def _pressure_solve_once(
+    cfg: PressureSolver, lap: LaplaceStencil, rhs, guess, tol, adjoint: bool
+):
     kind = cfg.preconditioner
     if adjoint and cfg.adjoint_preconditioner != "same":
         kind = cfg.adjoint_preconditioner
@@ -244,8 +270,7 @@ def _pressure_solve_impl(
             deflate_mean=cfg.deflate_mean,
             stencil=lap,
         )
-    x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
-    return x, result
+    return result
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
