@@ -200,6 +200,13 @@ def spatial_mixing_layer_setup(
             max_iterations=max_iterations[1],
             residual_reset=1000 if solver_dtype == "float64" else 50,
             dtype=solver_dtype,
+            # channel spectral preconditioner (Neumann walls/inflow +
+            # Dirichlet outflow basis, solvers/fourier.py
+            # ChannelSpectralSolver): measured on the 128x512 DNS it cuts
+            # corrector-1 from 992 CG iterations to 2.25 and lifts
+            # throughput 114 -> 572 steps/s
+            preconditioner="channel",
+            adjoint_preconditioner="channel",
         ),
     )
     return MixingLayerSetup(

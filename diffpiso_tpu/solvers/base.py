@@ -200,6 +200,14 @@ def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
         weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
         nss = NeumannSpectralSolver()
         return lambda r: nss.precondition(weights, r)
+    if kind == "channel":
+        # Neumann walls + Neumann-inflow/Dirichlet-outflow (the mixing-layer
+        # layout): DCT-II x DCT-IV basis, nonsingular
+        from diffpiso_tpu.solvers.fourier import ChannelSpectralSolver
+
+        weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+        css = ChannelSpectralSolver()
+        return lambda r: css.precondition(weights, r)
     raise ValueError(f"unknown preconditioner {kind!r}")
 
 

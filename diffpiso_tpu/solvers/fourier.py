@@ -102,6 +102,64 @@ class NeumannSpectralSolver:
         return out - jnp.mean(out)
 
 
+def dct4(x: jax.Array, axis: int = -1) -> jax.Array:
+    """DCT-IV along `axis` via one length-2n complex FFT (jax.scipy.fft has
+    only type 2):  X_k = sum_i x_i cos(pi (2i+1)(2k+1) / 4n)
+                      = Re[ e^{-i pi (2k+1)/4n} * FFT_{2n}(x_i e^{-i pi i/2n})_k ]."""
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    i = jnp.arange(n)
+    y = x.astype(jnp.complex64) * jnp.exp(-1j * jnp.pi * i / (2 * n))
+    Y = jnp.fft.fft(y, n=2 * n, axis=-1)[..., :n]
+    k = jnp.arange(n)
+    out = 2.0 * jnp.real(jnp.exp(-1j * jnp.pi * (2 * k + 1) / (4 * n)) * Y)
+    return jnp.moveaxis(out, -1, axis)  # scipy's unnormalized convention
+
+
+def idct4(x: jax.Array, axis: int = -1) -> jax.Array:
+    """DCT-IV is self-inverse up to 1/(2n) in the unnormalized convention."""
+    return dct4(x, axis) / (2.0 * x.shape[axis])
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelSpectralSolver:
+    """Spectral inverse for the CHANNEL pressure layout: Neumann walls in y
+    (closed boundaries) and Neumann-inflow / Dirichlet-outflow in x — the
+    spatial-mixing-layer configuration (compute_mixingLayer_masks,
+    piso_helpers.py:73-133: accessible zeroed at y walls and x=0, open ring
+    at x=nx). Basis: DCT-II in y (x_{-1}=x_0 mirror), DCT-IV in x (mirror at
+    the inflow face, zero at the outflow face). Eigenvalues
+      lam_y(k) = w_y (2 cos(pi k / ny) - 2)
+      lam_x(k) = w_x (2 cos(pi (k + 1/2) / nx) - 2)
+    and lam_x < 0 for ALL k: the preconditioner is nonsingular, matching the
+    outflow-pinned (non-rank-deficient) operator — unlike the all-Neumann
+    DCT-II, whose zero mode makes PCG on this system stall outright
+    (measured: 2000-iteration cap vs ~1000 for plain CG at 128x512).
+    Exactness note: the operator's outflow row uses a zero ghost CELL while
+    DCT-IV zeroes the ghost FACE — a half-cell mismatch at one column, fine
+    for preconditioning."""
+
+    def solve(self, weights, rhs, guess=None, tol=None):
+        from jax.scipy.fft import dctn, idctn
+
+        ny, nx = rhs.shape
+        ky = 2.0 * jnp.cos(jnp.pi * jnp.arange(ny) / ny) - 2.0
+        kx = 2.0 * jnp.cos(jnp.pi * (jnp.arange(nx) + 0.5) / nx) - 2.0
+        symbol = weights[0] * ky[:, None] + weights[1] * kx[None, :]
+        rhs_hat = dct4(dctn(rhs, type=2, axes=(0,)), axis=1)
+        p_hat = rhs_hat / symbol  # symbol < 0 everywhere: no gauge fixing
+        return idctn(idct4(p_hat, axis=1), type=2, axes=(0,)).astype(rhs.dtype)
+
+    def precondition(self, weights, r):
+        ny, nx = r.shape
+        gy, gx = _smooth_size(ny), _smooth_size(nx)
+        if (gy, gx) == (ny, nx):
+            return self.solve(weights, r)
+        block = self.solve(weights, r[:gy, :gx])
+        out = r / (-2.0 * (weights[0] + weights[1]))
+        return out.at[:gy, :gx].set(block.astype(r.dtype))
+
+
 def _smooth_size(n: int) -> int:
     """Largest 2,3,5-smooth integer <= n (fast-FFT length)."""
     def smooth(m):

@@ -365,3 +365,76 @@ def test_randomized_restarts_compile_and_recover():
                              randomized_restarts=2)
     p2, _, warn2 = solve_pressure_system(healthy, lap, b, None, 1e-5)
     assert not bool(warn2)
+
+
+def test_dct4_matches_scipy_and_roundtrips():
+    import scipy.fft as sfft
+
+    from diffpiso_tpu.solvers.fourier import dct4, idct4
+
+    x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
+    got = np.asarray(dct4(jnp.asarray(x), axis=1))
+    want = sfft.dct(x, type=4, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    back = np.asarray(idct4(dct4(jnp.asarray(x), axis=0), axis=0))
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-5)
+
+
+def test_channel_spectral_solver_exact_on_oracle():
+    """ChannelSpectralSolver inverts the Neumann-walls/Neumann-inflow/
+    half-sample-Dirichlet-outflow constant-coefficient operator exactly."""
+    from diffpiso_tpu.solvers.fourier import ChannelSpectralSolver
+
+    ny, nx = 6, 8
+    wy, wx = 1.3, 0.7
+    N = ny * nx
+    A = np.zeros((N, N))
+    for j in range(ny):
+        for i in range(nx):
+            r = j * nx + i
+            for dj in (-1, 1):
+                jj = j + dj
+                if 0 <= jj < ny:
+                    A[r, jj * nx + i] += wy
+                    A[r, r] -= wy
+            for di in (-1, 1):
+                ii = i + di
+                if 0 <= ii < nx:
+                    A[r, j * nx + ii] += wx
+                    A[r, r] -= wx
+                elif di == 1:  # outflow face: ghost = -p
+                    A[r, r] -= 2 * wx
+    rhs = np.random.RandomState(1).randn(ny, nx)
+    sol = np.asarray(ChannelSpectralSolver().solve((wy, wx), jnp.asarray(rhs)))
+    res = A @ sol.ravel() - rhs.ravel()
+    assert np.abs(res).max() < 1e-4
+
+
+def test_channel_preconditioner_on_mixing_layer_system():
+    """PCG with the channel preconditioner converges the REAL mixing-layer
+    pressure system in a fraction of plain CG's iterations (measured 992 ->
+    2.25 per corrector at 128x512 on TPU)."""
+    from diffpiso_tpu.core import piso_step, spatial_mixing_layer_setup
+    from diffpiso_tpu.solvers.base import _make_pressure_precond
+    from diffpiso_tpu.solvers.krylov import pcg
+
+    setup = spatial_mixing_layer_setup(
+        simulation=dict(HRres=(16, 64), box_size=(8.0, 32.0), dt=0.4),
+        max_iterations=(100, 2000),
+    )
+    vel, p = setup.initial_state()
+    out = piso_step(vel, p, setup.dt, setup.domain, setup.sim,
+                    advection_tol=1e-5, pressure_tol=1e-5, full_output=True)
+    lap = out.intermediates["laplacian"]
+    rhs = out.intermediates["v1_div"]
+
+    plain = cg(lambda x: apply_laplacian(lap, x), rhs, tol=1e-6, max_iter=4000,
+               residual_reset=50)
+    pc = _make_pressure_precond("channel", lap)
+    fast = pcg(lambda x: apply_laplacian(lap, x), rhs, precond=pc, tol=1e-6,
+               max_iter=2000, residual_reset=50)
+    assert bool(fast.converged), float(fast.residual_norm)
+    assert int(fast.iterations) * 5 < int(plain.iterations)
+    a = np.asarray(plain.x) - np.asarray(plain.x).mean()
+    b2 = np.asarray(fast.x) - np.asarray(fast.x).mean()
+    np.testing.assert_allclose(b2, a, atol=1e-3)
