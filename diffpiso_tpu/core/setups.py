@@ -73,6 +73,11 @@ def decaying_turbulence_setup(
             residual_reset=50,
             deflate_mean=True,
             dtype=solver_dtype,
+            # periodic box: the FFT spectral inverse is near-exact (mean
+            # stencil weights); measured at 256^2: iterations 61/26 -> 1/1,
+            # 478 -> 615 steps/s
+            preconditioner="fft",
+            adjoint_preconditioner="fft",
         ),
     )
     return domain, sim
