@@ -62,7 +62,7 @@ def main():
         laplace_rank_deficient=False,  # open outflow fixes the pressure level
         linear_solver=AdvectionSolver(max_iterations=100),
         pressure_solver=PressureSolver(
-            max_iterations=800, deflate_mean=False, preconditioner="dct",
+            max_iterations=800, deflate_mean=False, preconditioner="channel",
         ),
     )
     dt = 0.3 * (1.0 / ny)  # CFL-ish at U=1

@@ -156,7 +156,7 @@ def test_obstacle_channel_masks_and_flow():
         accessible_mask=accessible, no_slip_mask=no_slip, viscosity=5e-3,
         laplace_rank_deficient=False,
         linear_solver=AdvectionSolver(max_iterations=60),
-        pressure_solver=PressureSolver(max_iterations=400, preconditioner="dct"),
+        pressure_solver=PressureSolver(max_iterations=400, preconditioner="channel"),
     )
     vel = domain.staggered_grid(0.0)
     vel = type(vel)(
