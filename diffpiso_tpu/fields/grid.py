@@ -164,10 +164,14 @@ class StaggeredField:
     __mul__ = _binop(lambda a, b: a * b)
     __rmul__ = _binop(lambda a, b: b * a)
     __truediv__ = _binop(lambda a, b: a / b)
-    __neg__ = lambda self: StaggeredField(tuple(-a for a in self.components))
+    __neg__ = lambda self: StaggeredField(
+        tuple(-a for a in self.components), periodic=self.periodic
+    )
 
     def astype(self, dtype) -> "StaggeredField":
-        return StaggeredField(tuple(a.astype(dtype) for a in self.components))
+        return StaggeredField(
+            tuple(a.astype(dtype) for a in self.components), periodic=self.periodic
+        )
 
     def flatten(self, x_first: bool = True) -> jax.Array:
         """Concatenate flattened components into one vector.
@@ -179,18 +183,23 @@ class StaggeredField:
         return jnp.concatenate([c.reshape(-1) for c in comps])
 
     @staticmethod
-    def unflatten(flat, resolution, x_first: bool = True) -> "StaggeredField":
+    def unflatten(flat, resolution, x_first: bool = True, periodic=None) -> "StaggeredField":
         res = tuple(int(r) for r in resolution)
         rank = len(res)
+        if periodic is None:
+            periodic = (False,) * rank
         order = range(rank - 1, -1, -1) if x_first else range(rank)
         comps = [None] * rank
         offset = 0
         for d in order:
-            shape = tuple(r + (1 if i == d else 0) for i, r in enumerate(res))
+            shape = tuple(
+                r + (1 if i == d and not periodic[i] else 0)
+                for i, r in enumerate(res)
+            )
             n = int(np.prod(shape))
             comps[d] = flat[offset : offset + n].reshape(shape)
             offset += n
-        return StaggeredField(tuple(comps))
+        return StaggeredField(tuple(comps), periodic=periodic)
 
 
 @jax.tree_util.register_dataclass

@@ -35,9 +35,13 @@ def _load_lib():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "npz_loader.cc")
+        stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+            os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR] + (["-B"] if stale else []),
                 check=True,
                 capture_output=True,
                 timeout=120,

@@ -241,17 +241,6 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
     is sharded over mesh axis 'data' (pjit DP: gradients all-reduce
     automatically)."""
 
-    def batched_loss(params, vel0, p0, targets, perts):
-        def one(v, pp, t, pe):
-            loss, (warn, parts) = loss_fn(params, v, pp, t, pe)
-            return loss, warn, parts
-
-        losses, warns, parts = jax.vmap(one)(vel0, p0, targets, perts)
-        valid = (~warns).astype(losses.dtype)
-        denom = jnp.maximum(jnp.sum(valid), 1.0)
-        mean_loss = jnp.sum(losses * valid) / denom
-        return mean_loss, (warns, parts)
-
     @jax.jit
     def train_step(params, opt_state, vel0, p0, targets, perts):
         if mesh is not None:
@@ -264,15 +253,34 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
                 t,
             )
             vel0, p0, targets, perts = map(shard, (vel0, p0, targets, perts))
-        (loss, (warns, parts)), grads = jax.value_and_grad(
-            batched_loss, has_aux=True
-        )(params, vel0, p0, targets, perts)
-        finite = jnp.all(
-            jnp.stack(
-                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+
+        # Per-sample grads, masked individually: a warned solve usually
+        # yields non-finite fields, so a batch-mean loss would be NaN and
+        # NaN*0 stays NaN under reverse-mode — masking must happen on the
+        # per-sample gradients, not the summed loss.
+        def one(v, pp, t, pe):
+            (loss, (warn, parts)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, v, pp, t, pe
             )
-        )
-        ok = jnp.logical_and(jnp.any(~warns), finite)
+            g_finite = jnp.all(
+                jnp.stack(
+                    [jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(g)]
+                )
+            )
+            valid = jnp.logical_and(~warn, jnp.isfinite(loss) & g_finite)
+            return loss, warn, parts, g, valid
+
+        losses, warns, parts, grads, valids = jax.vmap(one)(vel0, p0, targets, perts)
+        w = valids.astype(losses.dtype)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        loss = jnp.sum(jnp.where(valids, losses, 0.0)) / denom
+
+        def mask_mean(g):
+            wb = w.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jnp.sum(jnp.where(wb > 0, g, 0.0), axis=0) / denom
+
+        grads = jax.tree_util.tree_map(mask_mean, grads)
+        ok = jnp.any(valids)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         params_out = jax.tree_util.tree_map(

@@ -88,7 +88,9 @@ def fullyconv_apply(
         )
     h = x
     for w in params[:-1]:
-        h = jax.nn.leaky_relu(_conv(h, w, padding))
+        # tf.nn.leaky_relu defaults to alpha=0.2 (reference networks.py:34-40);
+        # jax.nn.leaky_relu defaults to 0.01, so pin the reference slope
+        h = jax.nn.leaky_relu(_conv(h, w, padding), negative_slope=0.2)
     out = _conv(h, params[-1], padding)
 
     if padding == "VALID" and restore_shape:

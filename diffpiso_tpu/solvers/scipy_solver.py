@@ -92,3 +92,59 @@ def _dense_from_stencil_traced(st, component: int | None = None):
     """Materialize the dense operator; works outside jit (tests)."""
     host = jax.tree_util.tree_map(np.asarray, st)
     return _dense_from_stencil(host, component)
+
+
+# -- sparse CSR bridges (vectorized; production-size oracles) --------------------
+
+
+def _coeffs_to_csr(center: np.ndarray, lo, hi, shift: float = 0.0):
+    """Build a scipy CSR matrix from 5/7-point stencil coefficient arrays.
+
+    Vectorized equivalent of stencil_to_dense / laplacian_to_dense that
+    scales to production grids (512^2 and beyond) — the role the reference's
+    convert_to_scipy_csr bridge plays for its CUDA CSR buffers
+    (diffpiso/piso_helpers.py:326-343). Neighbor columns wrap modulo the
+    axis length, matching apply_stencil's jnp.roll semantics (non-periodic
+    boundary coefficients are zero by construction, so wraps are inert).
+    shift != 0 (the rank-one all-Neumann regularization) is returned as a
+    separate scalar — callers handle it via Sherman-Morrison or pinning
+    (adding s*1*1^T would densify the matrix).
+    """
+    import scipy.sparse as sp
+
+    center = np.asarray(center, np.float64)
+    S = center.shape
+    n = center.size
+    idx = np.indices(S)
+    flat = np.arange(n)
+    rows = [flat]
+    cols = [flat]
+    vals = [center.ravel()]
+    for d in range(len(S)):
+        for arr, delta in ((lo[d], -1), (hi[d], +1)):
+            coeff = np.asarray(arr, np.float64).ravel()
+            j = [idx[i] for i in range(len(S))]
+            j[d] = (idx[d] + delta) % S[d]
+            col = np.ravel_multi_index(tuple(j), S).ravel()
+            nz = coeff != 0.0
+            rows.append(flat[nz])
+            cols.append(col[nz])
+            vals.append(coeff[nz])
+    m = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    return m
+
+
+def stencil_to_scipy_csr(st: AdvectionStencil, component: int):
+    """Sparse CSR of one advection-diffusion component operator."""
+    host = jax.tree_util.tree_map(np.asarray, st)
+    return _coeffs_to_csr(host.center[component], host.lo[component], host.hi[component])
+
+
+def laplacian_to_scipy_csr(lap: LaplaceStencil):
+    """Sparse CSR of the pressure Laplacian (WITHOUT the rank-one shift).
+    Returns (csr_matrix, shift_scalar); see _coeffs_to_csr on the shift."""
+    host = jax.tree_util.tree_map(np.asarray, lap)
+    return _coeffs_to_csr(host.center, host.lo, host.hi), float(host.shift)

@@ -438,3 +438,26 @@ def test_channel_preconditioner_on_mixing_layer_system():
     a = np.asarray(plain.x) - np.asarray(plain.x).mean()
     b2 = np.asarray(fast.x) - np.asarray(fast.x).mean()
     np.testing.assert_allclose(b2, a, atol=1e-3)
+
+
+def test_sparse_csr_bridge_matches_dense():
+    """stencil_to_scipy_csr / laplacian_to_scipy_csr (the production-scale
+    oracle bridge used by the measured baseline protocol) agree with the
+    scalar-loop dense constructions."""
+    from diffpiso_tpu.solvers.scipy_solver import (
+        laplacian_to_scipy_csr,
+        stencil_to_scipy_csr,
+    )
+
+    st, _, _, _ = physical_case(seed=11)
+    lap = laplace_case(rank_deficient=True)
+    for c in range(2):
+        dense = stencil_to_dense(st, c)
+        sparse = stencil_to_scipy_csr(st, c).toarray()
+        np.testing.assert_allclose(sparse, dense, rtol=0, atol=1e-12)
+    dense_l = laplacian_to_dense(lap)
+    csr, shift = laplacian_to_scipy_csr(lap)
+    n = dense_l.shape[0]
+    np.testing.assert_allclose(
+        csr.toarray() + shift * np.ones((n, n)), dense_l, rtol=0, atol=1e-12
+    )
