@@ -21,7 +21,7 @@ from diffpiso_tpu.fields.geometry import (
     union,
     union_mask,
 )
-from diffpiso_tpu.fields.noise import noise, noise_staggered
+from diffpiso_tpu.fields.noise import noise, noise_staggered, random_solenoidal
 from diffpiso_tpu.fields import struct
 
 __all__ = [
@@ -47,4 +47,5 @@ __all__ = [
     "union_mask",
     "noise",
     "noise_staggered",
+    "random_solenoidal",
 ]

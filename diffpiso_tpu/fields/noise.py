@@ -52,6 +52,35 @@ def noise(
     return arr[..., 0] if channels is None else arr
 
 
+def random_solenoidal(domain, key, k_peak: float = 6.0, amplitude: float = 1.0) -> StaggeredField:
+    """Divergence-free random field on a fully periodic domain, from a
+    streamfunction with a peaked-spectrum filter (k^4 exp(-2(k/k_peak)^2)) —
+    the canonical decaying-turbulence initial condition. Exactly solenoidal
+    w.r.t. the staggered fv_divergence; normalized to rms speed `amplitude`.
+    (2-D; used by examples/decaying_turbulence.py and bench.py.)"""
+    import numpy as np
+
+    ny, nx = domain.resolution
+    ky = np.fft.fftfreq(ny, d=1.0 / ny)
+    kx = np.fft.fftfreq(nx, d=1.0 / nx)
+    kk = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    filt = (kk**4) * np.exp(-2 * (kk / k_peak) ** 2)
+    rnd = jax.random.normal(key, (ny, nx))
+    psi_hat = jnp.fft.fft2(rnd) * jnp.asarray(filt)
+    psi = jnp.real(jnp.fft.ifft2(psi_hat))
+    dy, dx = domain.dx
+    # psi lives on cell corners (j-1/2, i-1/2); u face (j, i-1/2) spans the
+    # corners j-1/2..j+1/2, so the forward difference makes the staggered
+    # divergence cancel exactly
+    u = (jnp.roll(psi, -1, 0) - psi) / dy
+    v = -(jnp.roll(psi, -1, 1) - psi) / dx
+    rms = jnp.sqrt(0.5 * (jnp.mean(u**2) + jnp.mean(v**2)))
+    u, v = u / rms * amplitude, v / rms * amplitude
+    return StaggeredField(
+        (v.astype(jnp.float32), u.astype(jnp.float32)), periodic=(True, True)
+    )
+
+
 def noise_staggered(
     key: jax.Array,
     resolution: Sequence[int],

@@ -19,33 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffpiso_tpu import StaggeredField
+from diffpiso_tpu.fields.noise import random_solenoidal
 from diffpiso_tpu.core import piso_step
 from diffpiso_tpu.core.setups import decaying_turbulence_setup
 from diffpiso_tpu.eval import ek_spectrum_2d
 from diffpiso_tpu.utils import Scene
-
-
-def random_solenoidal(domain, key, k_peak=6.0, amplitude=1.0):
-    """Divergence-free random field from a streamfunction with a
-    peaked-spectrum filter (periodic, unique faces)."""
-    ny, nx = domain.resolution
-    ky = np.fft.fftfreq(ny, d=1.0 / ny)
-    kx = np.fft.fftfreq(nx, d=1.0 / nx)
-    kk = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
-    filt = (kk**4) * np.exp(-2 * (kk / k_peak) ** 2)
-    noise = jax.random.normal(key, (ny, nx))
-    psi_hat = jnp.fft.fft2(noise) * jnp.asarray(filt)
-    psi = jnp.real(jnp.fft.ifft2(psi_hat))
-    dy, dx = domain.dx
-    # u = d(psi)/dy on u faces, v = -d(psi)/dx on v faces (exactly solenoidal
-    # w.r.t. the staggered divergence); normalize to rms(|u|) = amplitude
-    u = (psi - jnp.roll(psi, 1, 0)) / dy  # at (j-1/2) -> u faces
-    v = -(psi - jnp.roll(psi, 1, 1)) / dx
-    rms = jnp.sqrt(0.5 * (jnp.mean(u**2) + jnp.mean(v**2)))
-    u, v = u / rms * amplitude, v / rms * amplitude
-    return StaggeredField(
-        (v.astype(jnp.float32), u.astype(jnp.float32)), periodic=(True, True)
-    )
 
 
 def main():
