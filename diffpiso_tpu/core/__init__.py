@@ -1,5 +1,9 @@
 from diffpiso_tpu.core.piso import PisoOutput, SimulationParameters, piso_step
-from diffpiso_tpu.core.masks import lid_driven_cavity_masks, mixing_layer_masks
+from diffpiso_tpu.core.masks import (
+    lid_driven_cavity_masks,
+    lid_driven_cavity_masks_3d,
+    mixing_layer_masks,
+)
 from diffpiso_tpu.core.setups import (
     MixingLayerSetup,
     spatial_mixing_layer_setup,
@@ -10,6 +14,7 @@ __all__ = [
     "SimulationParameters",
     "piso_step",
     "lid_driven_cavity_masks",
+    "lid_driven_cavity_masks_3d",
     "mixing_layer_masks",
     "MixingLayerSetup",
     "spatial_mixing_layer_setup",

@@ -65,6 +65,66 @@ def lid_driven_cavity_masks(N: int, lid_velocity: float = 1.0, dtype=np.float32)
     )
 
 
+def lid_driven_cavity_masks_3d(N: int, lid_velocity: float = 1.0, dtype=np.float32):
+    """3-D lid-driven cavity on an (N+1, N, N) grid, axes (y, x, z).
+
+    Direct extension of the 2-D construction (lid_driven_cavity_2d.py:20-43)
+    to the reference's 3-D kernel semantics: the CUDA assembly is natively
+    3-D (calcCellFluxesZ, central_difference_csr_op.cu.cc:103; w-component
+    solve, multi_bicgstab_ilu_linear_solve_op.cu.cc:493-512). The moving lid
+    drives u (x-velocity) on the dummy top row; z behaves like x: Dirichlet
+    normal faces at the z walls, tangential components feel the no-slip 2*nu
+    wall penalty.
+
+    Returns (dirichlet_mask, dirichlet_values, active, accessible, no_slip).
+    """
+    ny, nx, nz = N + 1, N, N
+
+    dm_v = np.zeros((ny + 1, nx, nz), bool)
+    dm_v[0] = True
+    dm_v[-2:] = True
+    dm_u = np.zeros((ny, nx + 1, nz), bool)
+    dm_u[:, 0, :] = True
+    dm_u[:, -1, :] = True
+    dm_u[-1] = True
+    dm_w = np.zeros((ny, nx, nz + 1), bool)
+    dm_w[:, :, 0] = True
+    dm_w[:, :, -1] = True
+    dm_w[-1] = True
+    dirichlet_mask = StaggeredField(
+        (jnp.asarray(dm_v), jnp.asarray(dm_u), jnp.asarray(dm_w))
+    )
+
+    dv_v = np.zeros((ny + 1, nx, nz), dtype)
+    dv_u = np.zeros((ny, nx + 1, nz), dtype)
+    dv_u[-1] = lid_velocity
+    dv_w = np.zeros((ny, nx, nz + 1), dtype)
+    dirichlet_values = StaggeredField(
+        (jnp.asarray(dv_v), jnp.asarray(dv_u), jnp.asarray(dv_w))
+    )
+
+    active = np.zeros((ny + 2, nx + 2, nz + 2), dtype)
+    active[1:-1, 1:-1, 1:-1] = 1
+    active[-2] = 0  # the dummy layer of cells above the lid
+    accessible = active.copy()
+
+    no_slip = np.zeros((ny + 2, nx + 2, nz + 2), bool)
+    no_slip[0] = True
+    no_slip[-2:] = True
+    no_slip[:, 0, :] = True
+    no_slip[:, -1, :] = True
+    no_slip[:, :, 0] = True
+    no_slip[:, :, -1] = True
+
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(active),
+        jnp.asarray(accessible),
+        jnp.asarray(no_slip),
+    )
+
+
 def temporal_mixing_layer_masks(
     resolution: Tuple[int, int],
     upper_velocity: np.ndarray,

@@ -30,32 +30,36 @@ from diffpiso_tpu.ops.fv import centered_to_staggered
 from diffpiso_tpu.solvers import AdvectionSolver, PressureSolver
 
 def decaying_turbulence_setup(
-    resolution: Tuple[int, int] = (128, 128),
-    box_size: Tuple[float, float] = (2 * _math.pi, 2 * _math.pi),
+    resolution: Tuple[int, ...] = (128, 128),
+    box_size: Tuple[float, ...] | None = None,
     viscosity: float = 1e-3,
     solver_precision: float = 1e-6,
     max_iterations: Tuple[int, int] = (200, 1000),
     solver_dtype: str | None = None,
 ):
-    """Fully periodic box for decaying 2-D turbulence (the no-model forward
-    configuration in BASELINE.json). All faces are unique (no duplicated
-    wrap columns), masks are all-fluid, and the pressure system is singular
-    (all-Neumann) -> rank-one shift + mean deflation.
+    """Fully periodic box for decaying turbulence (the no-model forward
+    configuration in BASELINE.json). Rank-generic (2-D or 3-D — the
+    reference's CUDA kernels are natively 3-D, calcCellFluxesZ,
+    central_difference_csr_op.cu.cc:103). All faces are unique (no
+    duplicated wrap columns), masks are all-fluid, and the pressure system
+    is singular (all-Neumann) -> rank-one shift + mean deflation.
 
     Returns (domain, sim)."""
     from diffpiso_tpu.fields.material import PERIODIC
 
+    rank = len(resolution)
+    if box_size is None:
+        box_size = (2 * _math.pi,) * rank
     domain = Domain(resolution, Box.from_size(box_size), boundaries=PERIODIC)
-    ny, nx = resolution
+    res = tuple(int(r) for r in resolution)
+    periodic = (True,) * rank
     dm = StaggeredField(
-        (jnp.zeros((ny, nx), bool), jnp.zeros((ny, nx), bool)),
-        periodic=(True, True),
+        tuple(jnp.zeros(res, bool) for _ in range(rank)), periodic=periodic
     )
     dv = StaggeredField(
-        (jnp.zeros((ny, nx), jnp.float32), jnp.zeros((ny, nx), jnp.float32)),
-        periodic=(True, True),
+        tuple(jnp.zeros(res, jnp.float32) for _ in range(rank)), periodic=periodic
     )
-    ones = jnp.ones((ny + 2, nx + 2), jnp.float32)  # wrap padding of all-ones
+    ones = jnp.ones(tuple(r + 2 for r in res), jnp.float32)  # wrap pad of ones
     sim = SimulationParameters(
         dirichlet_mask=dm,
         dirichlet_values=dv,
@@ -64,7 +68,7 @@ def decaying_turbulence_setup(
         no_slip_mask=None,
         viscosity=viscosity,
         laplace_rank_deficient=True,
-        bool_periodic=(True, True),
+        bool_periodic=periodic,
         linear_solver=AdvectionSolver(
             max_iterations=max_iterations[0], dtype=solver_dtype
         ),

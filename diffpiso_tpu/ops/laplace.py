@@ -139,14 +139,21 @@ def assemble_pressure_laplacian(
 def detect_rank_deficiency(active_mask, accessible_mask) -> jax.Array:
     """Auto-detect the all-Neumann (singular) pressure system from the mask
     boundary ring: deficient iff every ring cell has active == accessible
-    (piso_cuda_pressure_solver.py:84-87)."""
+    (piso_cuda_pressure_solver.py:84-87). Rank-generic: the "ring" is every
+    boundary face layer of the padded mask (edges/corners shared by several
+    layers enter more than once — harmless for a product)."""
     act = jnp.asarray(active_mask)
     acc = jnp.asarray(accessible_mask)
     agree = acc * act + (1 - acc) * (1 - act)
-    ring = jnp.concatenate(
-        [agree[0, 1:-1], agree[-1, 1:-1], agree[1:-1, 0], agree[1:-1, -1]]
-    )
-    return jnp.prod(ring) != 0
+    rank = agree.ndim
+    parts = []
+    for d in range(rank):
+        for end in (0, -1):
+            idx = tuple(
+                end if i == d else slice(1, -1) for i in range(rank)
+            )
+            parts.append(agree[idx].reshape(-1))
+    return jnp.prod(jnp.concatenate(parts)) != 0
 
 
 def apply_laplacian(st: LaplaceStencil, p: jax.Array) -> jax.Array:

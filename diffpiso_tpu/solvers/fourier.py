@@ -23,6 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _stencil_symbol(weights, shape, eig_fn):
+    """sum_d w_d * eig_fn(n_d)[k_d], broadcast over an N-d spectrum grid."""
+    rank = len(shape)
+    return sum(
+        weights[d]
+        * eig_fn(shape[d]).reshape(
+            tuple(-1 if i == d else 1 for i in range(rank))
+        )
+        for d in range(rank)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class FourierPressureSolver:
     """Direct spectral solve of  L p = rhs  for the uniform periodic
@@ -34,17 +46,18 @@ class FourierPressureSolver:
     remains the exact option)."""
 
     def solve(self, weights, rhs, guess=None, tol=None):
-        """weights: (w_y, w_x) scalars; rhs: (ny, nx). Returns zero-mean p
+        """weights: one scalar per axis; rhs: any rank. Returns zero-mean p
         with L p = rhs - mean(rhs) (the compatible projection)."""
-        ny, nx = rhs.shape
-        ky = jnp.cos(2 * jnp.pi * jnp.arange(ny) / ny) * 2 - 2
-        kx = jnp.cos(2 * jnp.pi * jnp.arange(nx) / nx) * 2 - 2
-        symbol = weights[0] * ky[:, None] + weights[1] * kx[None, :]
-        rhs_hat = jnp.fft.fft2(rhs)
+        symbol = _stencil_symbol(
+            weights,
+            rhs.shape,
+            lambda n: jnp.cos(2 * jnp.pi * jnp.arange(n) / n) * 2 - 2,
+        )
+        rhs_hat = jnp.fft.fftn(rhs)
         symbol = jnp.where(jnp.abs(symbol) < 1e-12, 1.0, symbol)
         p_hat = rhs_hat / symbol
-        p_hat = p_hat.at[0, 0].set(0.0)  # zero-mean gauge
-        return jnp.real(jnp.fft.ifft2(p_hat)).astype(rhs.dtype)
+        p_hat = p_hat.at[(0,) * rhs.ndim].set(0.0)  # zero-mean gauge
+        return jnp.real(jnp.fft.ifftn(p_hat)).astype(rhs.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,14 +77,15 @@ class NeumannSpectralSolver:
     def solve(self, weights, rhs, guess=None, tol=None):
         from jax.scipy.fft import dctn, idctn
 
-        ny, nx = rhs.shape
-        ky = 2.0 * jnp.cos(jnp.pi * jnp.arange(ny) / ny) - 2.0
-        kx = 2.0 * jnp.cos(jnp.pi * jnp.arange(nx) / nx) - 2.0
-        symbol = weights[0] * ky[:, None] + weights[1] * kx[None, :]
+        symbol = _stencil_symbol(
+            weights,
+            rhs.shape,
+            lambda n: 2.0 * jnp.cos(jnp.pi * jnp.arange(n) / n) - 2.0,
+        )
         rhs_hat = dctn(rhs, type=2)
         symbol = jnp.where(jnp.abs(symbol) < 1e-12, 1.0, symbol)
         p_hat = rhs_hat / symbol
-        p_hat = p_hat.at[0, 0].set(0.0)  # zero-mean gauge (null space)
+        p_hat = p_hat.at[(0,) * rhs.ndim].set(0.0)  # zero-mean gauge (null space)
         return idctn(p_hat, type=2).astype(rhs.dtype)
 
     def precondition(self, weights, r):
@@ -85,14 +99,14 @@ class NeumannSpectralSolver:
         whose extra row is inactive identity rows) and scale the remaining
         rows/columns by the stencil diagonal. Block-diagonal => symmetric,
         same sign => definite: PCG theory holds."""
-        ny, nx = r.shape
-        gy, gx = _smooth_size(ny), _smooth_size(nx)
-        if (gy, gx) == (ny, nx):
+        gs = tuple(_smooth_size(n) for n in r.shape)
+        if gs == r.shape:
             return self.solve(weights, r)
-        diag = -2.0 * (weights[0] + weights[1])
-        block = self.solve(weights, r[:gy, :gx])
+        diag = -2.0 * sum(weights)
+        blk = tuple(slice(0, g) for g in gs)
+        block = self.solve(weights, r[blk])
         out = r / diag  # remainder rows/cols: diagonal (Jacobi) scaling
-        out = out.at[:gy, :gx].set(block.astype(r.dtype))
+        out = out.at[blk].set(block.astype(r.dtype))
         # restore the global zero-mean invariant the PCG callers rely on
         # (precond_zero_mean): the remainder rows leak a mean component,
         # which otherwise feeds the rank-one-shift null direction and can
