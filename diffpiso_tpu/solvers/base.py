@@ -214,6 +214,25 @@ def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
         weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
         css = ChannelSpectralSolver()
         return lambda r: css.precondition(weights, r)
+    if kind in ("dct_mm", "fft_mm", "channel_mm"):
+        # Matmul (MXU) variants of the spectral inverses: identical
+        # mathematics applied through precomputed orthonormal eigenbases
+        # instead of FFTs, so they partition under GSPMD (the sharded
+        # multi-chip pressure solve keeps its preconditioner — round-1's
+        # multichip dryrun had to fall back to plain CG) and batch under
+        # vmap. See solvers/fourier.py MatmulSpectralSolver.
+        from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
+
+        rank = lap.center.ndim
+        if kind == "dct_mm":
+            kinds = ("dct2",) * rank
+        elif kind == "fft_mm":
+            kinds = ("fourier",) * rank
+        else:
+            kinds = ("dct2",) * (rank - 1) + ("dct4",)
+        weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+        mss = MatmulSpectralSolver(kinds=kinds, shape=lap.center.shape)
+        return lambda r: mss.precondition(weights, r)
     raise ValueError(f"unknown preconditioner {kind!r}")
 
 
@@ -269,7 +288,7 @@ def _pressure_solve_once(
             deflate_mean=cfg.deflate_mean,
             # spectral preconditioners zero the k=0 mode -> output is
             # mean-free already; skip the explicit projection kernels
-            precond_zero_mean=kind in ("fft", "dct"),
+            precond_zero_mean=kind in ("fft", "dct", "fft_mm", "dct_mm"),
             early_exit=not adjoint,
             stencil=lap,
         )

@@ -17,6 +17,7 @@ matrix CG iterates on (not the continuous -k^2).
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -172,6 +173,124 @@ class ChannelSpectralSolver:
         block = self.solve(weights, r[:gy, :gx])
         out = r / (-2.0 * (weights[0] + weights[1]))
         return out.at[:gy, :gx].set(block.astype(r.dtype))
+
+
+# -- matmul spectral transforms (MXU path; shards under GSPMD) --------------------
+#
+# The FFT-based preconditioners above are fastest single-chip, but XLA's FFT
+# lowers to an opaque custom-call that GSPMD cannot partition (and XLA:CPU's
+# FFT thunk rejects sharded layouts outright), so round 1 had to DISABLE
+# spectral preconditioning under spatial sharding. The TPU-native fix is to
+# express the transforms as dense contractions with precomputed orthonormal
+# eigenbases: a matmul is the one op the SPMD partitioner handles best (it
+# inserts all-gather/reduce-scatter over ICI on its own) and it runs on the
+# MXU. At preconditioning sizes (n <= ~2048) the O(n) extra arithmetic is
+# cheaper than the per-kernel launch overhead the FFT path pays anyway, and
+# awkward (non-2/3/5-smooth) lengths lose their penalty entirely — no
+# _smooth_size block hack needed.
+
+
+def dct2_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II analysis matrix V (rows = eigenvectors of the
+    homogeneous-Neumann second-difference stencil): V[k, i] =
+    s_k cos(pi k (2i+1) / 2n), eigenvalue 2 cos(pi k / n) - 2. V V^T = I."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    V = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    V[0] *= np.sqrt(1.0 / n)
+    V[1:] *= np.sqrt(2.0 / n)
+    return V
+
+
+def dct4_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-IV matrix: V[k, i] = sqrt(2/n) cos(pi (2k+1)(2i+1)/4n)
+    — eigenvectors of the Neumann-lo / Dirichlet-hi(face) stencil with
+    eigenvalue 2 cos(pi (k + 1/2) / n) - 2. Self-inverse (V = V^T = V^-1)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k + 1) * (2 * i + 1) / (4 * n))
+
+
+def fourier_basis(n: int) -> np.ndarray:
+    """Orthonormal REAL Fourier basis (rows = eigenvectors of the periodic
+    second-difference stencil). Row ordering pairs each cosine with its sine;
+    the eigenvalue of row r is 2 cos(2 pi freq(r) / n) - 2 (see
+    fourier_eigs)."""
+    i = np.arange(n)[None, :]
+    rows = [np.full((1, n), np.sqrt(1.0 / n))]
+    for k in range(1, (n - 1) // 2 + 1):
+        rows.append(np.sqrt(2.0 / n) * np.cos(2 * np.pi * k * i / n))
+        rows.append(np.sqrt(2.0 / n) * np.sin(2 * np.pi * k * i / n))
+    if n % 2 == 0:
+        rows.append(np.sqrt(1.0 / n) * np.cos(np.pi * i))
+    return np.concatenate(rows, axis=0)
+
+
+def _eigs(n: int, kind: str) -> np.ndarray:
+    if kind == "dct2":
+        return 2.0 * np.cos(np.pi * np.arange(n) / n) - 2.0
+    if kind == "dct4":
+        return 2.0 * np.cos(np.pi * (np.arange(n) + 0.5) / n) - 2.0
+    if kind == "fourier":
+        freqs = [0] + [k for k in range(1, (n - 1) // 2 + 1) for _ in (0, 1)]
+        if n % 2 == 0:
+            freqs.append(n // 2)
+        return 2.0 * np.cos(2 * np.pi * np.asarray(freqs) / n) - 2.0
+    raise ValueError(kind)
+
+
+_BASIS = {"dct2": dct2_basis, "dct4": dct4_basis, "fourier": fourier_basis}
+
+
+@dataclasses.dataclass(frozen=True)
+class MatmulSpectralSolver:
+    """Spectral inverse of a separable constant-coefficient stencil applied
+    as per-axis dense contractions with precomputed orthonormal eigenbases.
+
+    kinds — per-axis basis: 'dct2' (homogeneous Neumann — the bounded-domain
+    pressure layout), 'dct4' (Neumann-in/Dirichlet-out — the channel x-axis),
+    'fourier' (periodic). Replaces NeumannSpectralSolver /
+    ChannelSpectralSolver / FourierPressureSolver where the computation must
+    shard (GSPMD) or batch (vmap); the inverse transform is the transpose
+    contraction. zero_mean fixes the gauge of the all-singular combination
+    (every axis' zero mode) like the FFT solvers' p_hat[0...]=0."""
+
+    kinds: Tuple[str, ...]
+    shape: Tuple[int, ...]
+
+    def _mats(self, dtype):
+        return [
+            jnp.asarray(_BASIS[k](n), dtype)
+            for k, n in zip(self.kinds, self.shape)
+        ]
+
+    def _symbol(self, weights, dtype):
+        rank = len(self.shape)
+        return sum(
+            weights[d]
+            * jnp.asarray(_eigs(self.shape[d], self.kinds[d]), dtype).reshape(
+                tuple(-1 if i == d else 1 for i in range(rank))
+            )
+            for d in range(rank)
+        )
+
+    def solve(self, weights, rhs, guess=None, tol=None):
+        mats = self._mats(rhs.dtype)
+        h = rhs
+        for d, V in enumerate(mats):
+            h = jnp.tensordot(V, h, axes=([1], [d]))
+            h = jnp.moveaxis(h, 0, d)
+        symbol = self._symbol(weights, rhs.dtype)
+        singular = jnp.abs(symbol) < 1e-12
+        h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, symbol))
+        for d, V in enumerate(mats):
+            h = jnp.tensordot(V.T, h, axes=([1], [d]))
+            h = jnp.moveaxis(h, 0, d)
+        return h.astype(rhs.dtype)
+
+    # preconditioning needs no smooth-size block handling: matmuls don't
+    # care about awkward lengths
+    precondition = solve
 
 
 def _smooth_size(n: int) -> int:
