@@ -3,6 +3,7 @@ from diffpiso_tpu.core.masks import (
     lid_driven_cavity_masks,
     lid_driven_cavity_masks_3d,
     mixing_layer_masks,
+    second_order_lid_values,
 )
 from diffpiso_tpu.core.setups import (
     MixingLayerSetup,
@@ -16,6 +17,7 @@ __all__ = [
     "lid_driven_cavity_masks",
     "lid_driven_cavity_masks_3d",
     "mixing_layer_masks",
+    "second_order_lid_values",
     "MixingLayerSetup",
     "spatial_mixing_layer_setup",
 ]

@@ -173,7 +173,16 @@ def piso_step(
         sim.laplace_rank_deficient,
     )
 
-    v1_div = fv_divergence(velocity_star, dx)
+    # The pressure systems are only defined on active cells (the Laplacian has
+    # zero rows elsewhere, laplace_op.cu.cc:118-135 semantics): a nonzero rhs
+    # on an inactive cell makes the singular system inconsistent and CG
+    # diverges. The reference never hits this because its Dirichlet values are
+    # constant along each boundary row, so the ghost-row divergence vanishes;
+    # state-dependent ghost values (core/masks.py second_order_lid_values)
+    # break that invariant — mask the rhs explicitly.
+    active_int = sim.active_mask[tuple(slice(1, -1) for _ in range(len(dx)))]
+
+    v1_div = fv_divergence(velocity_star, dx) * active_int
     p_inc1, iters1, pw1 = solve_pressure_system(
         sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess, pressure_tol
     )
@@ -193,7 +202,7 @@ def piso_step(
         tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components)),
         periodic=velocity.periodic,
     )
-    h_div = fv_divergence(h_over, dx)
+    h_div = fv_divergence(h_over, dx) * active_int
     p_inc2, iters2, pw2 = solve_pressure_system(
         sim.pressure_solver, laplacian, h_div, pressure_inc2_guess, pressure_tol
     )

@@ -142,8 +142,11 @@ class MixingLayerSetup:
             return base
         u = base.components[1]
         profile = jnp.asarray(self.inflow_profile, u.dtype)[1:-1] + perturbation[1:-1]
-        u = u.at[:, 0].set(profile)
-        return StaggeredField((base.components[0], u))
+        # cast: x64 oracle runs produce f64 perturbations; the scatter into the
+        # f32 dirichlet array must not rely on implicit down-cast (FutureWarning
+        # -> error in future JAX)
+        u = u.at[:, 0].set(profile.astype(u.dtype))
+        return StaggeredField((base.components[0], u), periodic=base.periodic)
 
     def initial_state(self):
         """u = inflow profile everywhere, v = 0, p = 0

@@ -302,11 +302,30 @@ def stack_samples(setup, cfg, samples):
 
 
 def save_params(path: str, params):
-    with open(path, "wb") as f:
-        pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+    """Single-artifact param export. Orbax directory when available (the
+    unified checkpoint backend, utils/checkpoint.py), pickle file otherwise;
+    load_params auto-detects either layout."""
+    from diffpiso_tpu.utils.checkpoint import _ORBAX
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if _ORBAX:
+        import orbax.checkpoint as ocp
+        import shutil
+
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+        ocp.PyTreeCheckpointer().save(path, params)
+    else:  # pragma: no cover
+        with open(path, "wb") as f:
+            pickle.dump(params, f)
 
 
 def load_params(path: str):
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return pickle.load(f)
 

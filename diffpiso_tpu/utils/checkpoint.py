@@ -64,12 +64,16 @@ class CheckpointManager:
         self._prune()
         return path
 
-    def restore(self, step: Optional[int] = None) -> Any:
+    def restore(self, step: Optional[int] = None, target: Any = None) -> Any:
+        """Restore a step checkpoint. `target` (a pytree of the same
+        structure, e.g. the live (params, opt_state) before restore) makes
+        orbax rebuild custom containers — optax NamedTuple states round-trip
+        instead of coming back as raw dicts."""
         if step is None:
             step = self.latest_step()
             if step is None:
                 raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        return self._read(self._step_path(step))
+        return self._read(self._step_path(step), target)
 
     # -- tagged checkpoints (model_last_working analog) --------------------------
     def save_tag(self, tag: str, state: Any):
@@ -77,10 +81,15 @@ class CheckpointManager:
         self._write(path, state)
         return path
 
-    def restore_tag(self, tag: str) -> Any:
+    def restore_tag(self, tag: str, target: Any = None) -> Any:
         return self._read(
-            os.path.join(self.directory, tag if self.use_orbax else tag + ".ckpt")
+            os.path.join(self.directory, tag if self.use_orbax else tag + ".ckpt"),
+            target,
         )
+
+    def has_tag(self, tag: str) -> bool:
+        path = os.path.join(self.directory, tag if self.use_orbax else tag + ".ckpt")
+        return os.path.exists(path)
 
     # -- backends -----------------------------------------------------------------
     def _write(self, path: str, state: Any):
@@ -100,14 +109,21 @@ class CheckpointManager:
                     f,
                 )
 
-    def _read(self, path: str) -> Any:
+    def _read(self, path: str, target: Any = None) -> Any:
         if self.use_orbax:
+            if target is not None:
+                return self._ckptr.restore(path, item=target)
             return self._ckptr.restore(path)
         import jax
 
         with open(path, "rb") as f:
             data = pickle.load(f)
-        return jax.tree_util.tree_unflatten(data["treedef"], data["leaves"])
+        out = jax.tree_util.tree_unflatten(data["treedef"], data["leaves"])
+        if target is not None:
+            out = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(target), jax.tree_util.tree_leaves(out)
+            )
+        return out
 
     def _prune(self):
         steps = self.steps()

@@ -8,7 +8,18 @@ Expected result (matches the reference's discretization): profile
 correlation > 0.999 with Ghia; magnitudes ~10% shallow (u_min -0.338 vs
 Ghia -0.383) because the lid enters as a ghost-row Dirichlet value — a
 first-order moving-wall treatment inherited from the reference's mask
-construction (lid_driven_cavity_2d.py:28-31).
+construction (lid_driven_cavity_2d.py:28-31). The shallowness is a property
+of that discretization, not of this implementation: with --lid2 the ghost
+row is set to 2*U_lid - u_interior each step (second-order moving wall,
+core/masks.py second_order_lid_values) and the SAME solver recovers the
+Ghia magnitudes. Measured on TPU:
+
+    --N 128 --lid2                              u_min -0.3719 (2.9%), rms 0.0086
+    --N 256 --dt 0.004 --t-final 120 --lid2     u_min -0.3808 (0.6%), rms 0.0032
+
+(vs Ghia -0.3829; the remaining 128^2 gap is spatial+temporal truncation —
+it vanishes under refinement, confirming the first-order lid treatment was
+the entire ~10% deficit.)
 """
 
 import argparse
@@ -22,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffpiso_tpu.core import piso_step
+from diffpiso_tpu.core import piso_step, second_order_lid_values
 from lid_driven_cavity import build
 
 GHIA_Y = np.array([0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813, 0.4531,
@@ -39,6 +50,10 @@ def main():
     ap.add_argument("--dt", type=float, default=0.01)
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--tol", type=float, default=3e-6)
+    ap.add_argument("--lid2", action="store_true",
+                    help="second-order moving-wall ghost values (2*U - u_int)")
+    ap.add_argument("--save", type=str, default=None,
+                    help="save the centerline profile (y, u) to this npz path")
     args = ap.parse_args()
 
     N = args.N
@@ -48,8 +63,10 @@ def main():
     def chunk(vel, p):
         def body(carry, _):
             vel, p = carry
+            dv = (second_order_lid_values(sim.dirichlet_values, vel)
+                  if args.lid2 else None)
             out = piso_step(
-                vel, p, args.dt, domain, sim,
+                vel, p, args.dt, domain, sim, dirichlet_values=dv,
                 advection_tol=args.tol, pressure_tol=args.tol,
             )
             return (out.velocity, out.pressure), out.warn
@@ -73,6 +90,8 @@ def main():
 
     u_centerline = np.asarray(vel.components[1])[:N, N // 2]
     y = (np.arange(N) + 0.5) / N
+    if args.save:
+        np.savez(args.save, y=y, u=u_centerline)
     ui = np.interp(GHIA_Y, y, u_centerline)
     corr = np.corrcoef(ui, GHIA_U)[0, 1]
     rms = float(np.sqrt(np.mean((ui - GHIA_U) ** 2)))

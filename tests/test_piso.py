@@ -70,6 +70,53 @@ def test_cavity_steps_stable_and_divergence_free():
     np.testing.assert_allclose(u[:-1, 0], 0.0, atol=1e-6)
 
 
+def test_second_order_lid_stable_and_deeper():
+    """The state-dependent ghost row (2*U - u_int, core/masks.py
+    second_order_lid_values) must run stably — its column-varying ghost
+    values put nonzero divergence on INACTIVE dummy-row cells, which the
+    piso_step rhs masking must zero (else the singular pressure system is
+    inconsistent and CG diverges) — and must deepen the centerline compared
+    to the first-order lid at equal step count (the Ghia-gap fix,
+    examples/validate_ghia.py)."""
+    from diffpiso_tpu.core import second_order_lid_values
+
+    N = 24
+    domain, sim = cavity_setup(N=N)
+
+    @jax.jit
+    def step(vel, p, lid2):
+        dv = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(lid2, a, b),
+            second_order_lid_values(sim.dirichlet_values, vel),
+            sim.dirichlet_values,
+        )
+        out = piso_step(
+            vel, p, 0.02, domain, sim, dirichlet_values=dv,
+            advection_tol=1e-8, pressure_tol=1e-8,
+        )
+        return out.velocity, out.pressure, out.warn
+
+    mins = {}
+    for lid2 in (False, True):
+        vel = domain.staggered_grid(0.0)
+        p = domain.centered_grid(0.0)
+        for _ in range(40):
+            u_pre_top = np.asarray(vel.components[1])[-2, 1:-1]
+            vel, p, warn = step(vel, p, jnp.asarray(lid2))
+            assert not bool(warn)
+        u = np.asarray(vel.components[1])
+        assert np.all(np.isfinite(u))
+        mins[lid2] = u[:N, N // 2].min()
+        if lid2:
+            # ghost row holds 2*U - u_interior (lagged: dv is computed from
+            # the pre-step state, like the reference's explicit BC updates)
+            np.testing.assert_allclose(
+                u[-1, 1:-1], 2.0 - u_pre_top, atol=1e-5
+            )
+    # stronger effective lid -> deeper return flow
+    assert mins[True] < mins[False] - 1e-4, mins
+
+
 def test_cavity_velocity_magnitude_bounded():
     domain, sim = cavity_setup(N=16)
     vel, p, warns = run_steps(domain, sim, 10, dt=0.02, tol=1e-7)
