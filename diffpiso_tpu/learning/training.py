@@ -354,6 +354,32 @@ def _sample_to_device(setup, cfg, sample):
     return vel0, p0, targets, perts
 
 
+def _pack_hist(values):
+    # orbax rejects zero-size arrays — prefix with the element count
+    vals = np.asarray(values, np.float64)
+    return np.concatenate([[float(vals.size)], vals])
+
+
+def _unpack_hist(arr):
+    arr = np.atleast_1d(np.asarray(arr, np.float64))
+    return list(arr[1 : 1 + int(arr[0])])
+
+
+def _train_ckpt_state(params, opt_state, epoch, it, lr, loss_hist, val_hist):
+    """Full-train-state pytree for CheckpointManager — everything needed to
+    resume an interrupted epoch exactly: params, optimizer state, position
+    (epoch, iteration), current lr and loss curves."""
+    return {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+        "epoch": np.int64(epoch),
+        "iteration": np.int64(it),
+        "lr": np.float64(lr),
+        "loss_history": _pack_hist(loss_hist),
+        "val_history": _pack_hist(val_hist),
+    }
+
+
 def training_run(
     base_dir: str,
     setup: MixingLayerSetup,
@@ -362,10 +388,23 @@ def training_run(
     train_dataset,
     val_dataset=None,
     log_fn=print,
+    resume: bool = False,
 ):
     """Epoch loop with warn recovery, checkpointing, and lr decay. Returns
-    (params, train_loss_history, val_loss_history)."""
+    (params, train_loss_history, val_loss_history).
+
+    All checkpoints go through utils/checkpoint.CheckpointManager (orbax):
+    full-train-state step checkpoints in <base_dir>/checkpoints every
+    cfg.checkpoint_every good iterations and at each epoch end, the
+    'last_working' rolling tag (reference model_last_working,
+    combined_training_integrated.py:193), and per-epoch 'epoch_<E>' tags
+    (:264,369). With resume=True the latest step checkpoint is restored —
+    params + optimizer state + position — and the run continues mid-epoch
+    (sample order is deterministic per epoch, so the skip is exact)."""
+    from diffpiso_tpu.utils.checkpoint import CheckpointManager
+
     os.makedirs(base_dir, exist_ok=True)
+    mgr = CheckpointManager(os.path.join(base_dir, "checkpoints"))
     rollout_fn = make_rollout_fn(setup, cfg)
     loss_fn = make_loss_fn(setup, cfg, rollout_fn)
 
@@ -378,14 +417,36 @@ def training_run(
     )
 
     loss_history, val_history = [], []
+    start_epoch, resume_it = 0, -1
+    if resume and mgr.latest_step() is not None:
+        # two-phase restore: raw first (gives exact shapes for the metadata
+        # arrays), then re-restore with the live params/opt_state spliced in
+        # as the structure target so optax NamedTuple states round-trip
+        raw = mgr.restore()
+        target = dict(raw)
+        target["params"] = params
+        target["opt_state"] = opt_state
+        st = mgr.restore(target=target)
+        params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+        opt_state = st["opt_state"]
+        start_epoch, resume_it = int(st["epoch"]), int(st["iteration"])
+        lr = float(st["lr"])
+        loss_history = _unpack_hist(st["loss_history"])
+        val_history = _unpack_hist(st["val_history"])
+        log_fn(f"[train] resumed from step {mgr.latest_step()} "
+               f"(epoch {start_epoch}, iteration {resume_it})")
+
     last_working = jax.tree_util.tree_map(np.asarray, params)
     consecutive_warns = 0
     prev_eval = None
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         t_epoch = time.perf_counter()
         for it, sample in enumerate(train_dataset.iterate(shuffle=True, seed=epoch)):
+            if epoch == start_epoch and it <= resume_it:
+                continue  # deterministic per-epoch order -> exact mid-epoch skip
+            global_step = epoch * len(train_dataset) + it
             vel0, p0, targets, perts = _sample_to_device(setup, cfg, sample)
             params, opt_state, loss, parts, warn = train_step(
                 params, opt_state, vel0, p0, targets, perts
@@ -406,7 +467,11 @@ def training_run(
                 consecutive_warns = 0
                 if it % cfg.checkpoint_every == 0:
                     last_working = jax.tree_util.tree_map(np.asarray, params)
-                    save_params(os.path.join(base_dir, "model_last_working.pkl"), params)
+                    state = _train_ckpt_state(
+                        params, opt_state, epoch, it, lr, loss_history, val_history
+                    )
+                    mgr.save(global_step, state)
+                    mgr.save_tag("last_working", state)
                     np.savez(
                         os.path.join(base_dir, "training_loss_progression.npz"),
                         np.asarray(loss_history),
@@ -419,8 +484,11 @@ def training_run(
                     log_fn(f"[train] eval jumped {ev:.3g} > {cfg.rollback_threshold}x, rolled back")
                 else:
                     prev_eval = ev
-                    save_params(
-                        os.path.join(base_dir, f"model_e{epoch}_i{it}.pkl"), params
+                    mgr.save_tag(
+                        f"eval_e{epoch}_i{it}",
+                        _train_ckpt_state(
+                            params, opt_state, epoch, it, lr, loss_history, val_history
+                        ),
                     )
 
         # validation sweep (:305-366)
@@ -432,8 +500,12 @@ def training_run(
                 os.path.join(base_dir, "validation_loss_progression.npz"),
                 np.asarray(val_history),
             )
-        save_params(os.path.join(base_dir, f"model_epoch{epoch}.pkl"), params)
         lr = lr * cfg.lr_decay
+        state = _train_ckpt_state(
+            params, opt_state, epoch + 1, -1, lr, loss_history, val_history
+        )
+        mgr.save((epoch + 1) * len(train_dataset), state)
+        mgr.save_tag(f"epoch_{epoch}", state)
         log_fn(
             f"[train] epoch {epoch} done in {time.perf_counter() - t_epoch:.1f}s, "
             f"mean loss {np.mean(loss_history[-max(1, len(train_dataset)):]):.4g}, next lr {lr:.2e}"

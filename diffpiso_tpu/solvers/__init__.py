@@ -17,6 +17,7 @@ from diffpiso_tpu.solvers.base import (
     solve_advection_system,
     solve_pressure_system,
 )
+from diffpiso_tpu.solvers.poisson import cg_differentiable, poisson_solve
 
 __all__ = [
     "SolveResult",
@@ -32,4 +33,6 @@ __all__ = [
     "PressureSolver",
     "solve_advection_system",
     "solve_pressure_system",
+    "cg_differentiable",
+    "poisson_solve",
 ]
