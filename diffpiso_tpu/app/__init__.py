@@ -7,8 +7,11 @@ from diffpiso_tpu.app.app import (
     LearningApp,
 )
 from diffpiso_tpu.app.display import render_dashboard
+from diffpiso_tpu.app.server import AppServer, show
 
 __all__ = [
+    "AppServer",
+    "show",
     "App",
     "EditableBool",
     "EditableFloat",

@@ -102,7 +102,9 @@ def incompressible_flow_step(
     if density is not None:
         density = advect_centered(density, vel, dt, domain.dx)
     vel = advect_semi_lagrangian(vel, vel, dt, domain.dx)
-    if density is not None and buoyancy_factor:
+    # buoyancy_factor may be a traced value (live EditableValue controls feed
+    # it through jit) — never branch on its value, only on None
+    if density is not None and buoyancy_factor is not None:
         buoy = centered_to_faces_like(density * buoyancy_factor * dt, vel)
         vel = StaggeredField(
             (vel.components[0] + buoy, vel.components[1]), periodic=vel.periodic

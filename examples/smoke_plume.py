@@ -6,6 +6,9 @@ advected by a divergence-free velocity and drives a buoyancy force; the App
 records frames and renders the static HTML dashboard.
 
 Run:  python examples/smoke_plume.py --n 64 --steps 100
+Live: python examples/smoke_plume.py --serve            # browser dashboard
+      (play/pause/step + live buoyancy slider at http://127.0.0.1:8050/;
+      the reference's interactive Dash GUI experience, phi/viz/dash/)
 """
 
 import argparse
@@ -26,6 +29,9 @@ def main():
     ap.add_argument("--dt", type=float, default=0.5)
     ap.add_argument("--out", default="runs")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--serve", action="store_true",
+                    help="serve the live dashboard instead of a batch run")
+    ap.add_argument("--port", type=int, default=8050)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -50,17 +56,25 @@ def main():
     buoyancy = app.add_control(EditableFloat("buoyancy", 0.2, (0.0, 2.0)))
 
     @jax.jit
-    def step(state):
+    def step(state, buoy):
         return incompressible_flow_step(
-            state, domain, args.dt, buoyancy_factor=buoyancy.value
+            state, domain, args.dt, buoyancy_factor=buoy
         )
 
-    app.set_step(step, FlowState(velocity=vel, density=density))
+    # the control value enters as a traced argument so live slider edits
+    # take effect without retracing
+    app.set_step(lambda s: step(s, jnp.float32(buoyancy.value)),
+                 FlowState(velocity=vel, density=density))
     app.add_field("density", lambda: app.state.density)
     app.add_field(
         "speed",
         lambda: jnp.linalg.norm(app.state.velocity.at_centers(), axis=-1),
     )
+    if args.serve:
+        from diffpiso_tpu.app import show
+
+        show(app, port=args.port)  # blocks; ctrl-c to exit
+        return
     app.run(args.steps)
     print("dashboard:", render_dashboard(app))
     print("scene:", app.scene.directory, "frames:", app.scene.frames("density"))

@@ -1,0 +1,77 @@
+"""Live dashboard server (parity with the reference's phi/viz/dash web GUI):
+real HTTP round-trips against AppServer — status, field PNGs, control edits,
+play/pause/step actions."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from diffpiso_tpu.app import App, AppServer, EditableFloat
+
+
+def _http(url, data=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(data).encode() if data is not None else None
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.read()
+
+
+@pytest.fixture
+def served_app(tmp_path):
+    app = App("srv-test", base_dir=str(tmp_path), record_every=0)
+    speed = app.add_control(EditableFloat("speed", 1.0, (0.0, 4.0)))
+
+    def step_fn(state):
+        app.log_scalar("energy", float(np.sum(state**2)))
+        return state * (1.0 - 0.01 * speed.value)
+
+    app.set_step(step_fn, np.outer(np.sin(np.linspace(0, 3, 24)), np.ones(32)))
+    app.add_field("u", lambda: app.state)
+    app.add_action("reset", lambda: None)
+    server = AppServer(app, port=0).start(block=False)  # port=0: ephemeral
+    yield app, server, f"http://127.0.0.1:{server.port}"
+    server.stop()
+
+
+def test_status_page_and_field_png(served_app):
+    app, server, base = served_app
+    page = _http(base + "/").decode()
+    assert "dashboard" in page
+    st = json.loads(_http(base + "/api/status"))
+    assert st["name"] == "srv-test"
+    assert st["fields"] == ["u"]
+    assert st["control_specs"][0]["name"] == "speed"
+    assert "reset" in st["actions"]
+    png = _http(base + "/api/field/u")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_actions_and_controls(served_app):
+    app, server, base = served_app
+    _http(base + "/api/action", {"name": "step"})
+    _http(base + "/api/action", {"name": "step"})
+    assert app.steps == 2
+    # control edit is clamped to its bounds
+    out = json.loads(_http(base + "/api/control", {"name": "speed", "value": 9.0}))
+    assert out["value"] == 4.0
+    assert app.controls["speed"].value == 4.0
+    # scalars endpoint mirrors log_scalar history
+    vals = json.loads(_http(base + "/api/scalars/energy"))
+    assert len(vals) == 2 and vals[1] < vals[0]
+
+
+def test_play_pause_loop(served_app):
+    app, server, base = served_app
+    _http(base + "/api/action", {"name": "play"})
+    deadline = time.time() + 10
+    while app.steps < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    _http(base + "/api/action", {"name": "pause"})
+    assert app.steps >= 3
+    paused_at = app.steps
+    time.sleep(0.3)
+    assert app.steps == paused_at
