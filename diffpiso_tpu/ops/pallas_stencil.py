@@ -32,6 +32,9 @@ except Exception:  # pragma: no cover
 # ~12 MiB of VMEM for the 7 planes leaves headroom in 16 MiB/core
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
+# tests flip this to exercise the exact production kernels on CPU
+_INTERPRET = False
+
 
 def _roll(x, shift, axis):
     # pltpu.roll requires a non-negative shift; jnp.roll semantics otherwise
@@ -70,17 +73,104 @@ def pallas_eligible(shape, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if itemsize > 4:  # float64 path stays on XLA
         return False
+    if _pick_tile(shape[0]) is not None:
+        return True  # row-tiled path: VMEM holds ~8 tiles, not the plane
     return 7 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
 
 
-def _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool):
+def _pallas_matvec_monolithic(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool):
     kernel = _stencil_kernel_T if transpose else _stencil_kernel
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
     )(center, lo_y, hi_y, lo_x, hi_x, x)
+
+
+# -- row-tiled halo variant ------------------------------------------------------
+# Grid over row tiles so the pallas pipeline double-buffers HBM<->VMEM DMA
+# instead of staging the whole plane (the monolithic kernel loses to XLA at
+# 512^2 because nothing overlaps). The y-shift wrap rows come from two 8-row
+# halo slivers fetched via modular index maps, so the periodic roll semantics
+# are preserved exactly across tile boundaries.
+
+
+def _tiled_kernel(c_ref, ly_ref, hy_ref, lx_ref, hx_ref, x_ref, up_ref, dn_ref, z_ref):
+    x = x_ref[:]
+    xm = jnp.concatenate([up_ref[7:8, :], x[:-1]], 0)  # roll(x, +1, 0)
+    xp = jnp.concatenate([x[1:], dn_ref[0:1, :]], 0)   # roll(x, -1, 0)
+    z = c_ref[:] * x
+    z = z + ly_ref[:] * xm + hy_ref[:] * xp
+    z = z + lx_ref[:] * _roll(x, 1, 1) + hx_ref[:] * _roll(x, -1, 1)
+    z_ref[:] = z
+
+
+def _tiled_kernel_T(
+    c_ref, ly_ref, hy_ref, lx_ref, hx_ref, x_ref,
+    up_ref, dn_ref, hyup_ref, lydn_ref, z_ref,
+):
+    # z = c x + roll(ly x, -1, 0) + roll(hy x, +1, 0)
+    #         + roll(lx x, -1, 1) + roll(hx x, +1, 1)
+    x = x_ref[:]
+    a = ly_ref[:] * x
+    am = jnp.concatenate([a[1:], lydn_ref[0:1, :] * dn_ref[0:1, :]], 0)
+    b = hy_ref[:] * x
+    bp = jnp.concatenate([hyup_ref[7:8, :] * up_ref[7:8, :], b[:-1]], 0)
+    z = c_ref[:] * x + am + bp
+    z = z + _roll(lx_ref[:] * x, -1, 1) + _roll(hx_ref[:] * x, 1, 1)
+    z_ref[:] = z
+
+
+def _pick_tile(ny: int):
+    # 128 rows measured fastest at 512^2..1024^2 (microbench in the r2 tiled
+    #-kernel commit); larger tiles pipeline less, smaller ones launch more
+    for t in (128, 256, 64, 32, 16, 8):
+        if ny % t == 0 and ny // t >= 2:
+            return t
+    return None
+
+
+def _pallas_matvec_tiled(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool, tile: int):
+    ny, nx = x.shape
+    n_tiles = ny // tile
+    nb8 = ny // 8
+    tpb = tile // 8  # 8-row blocks per tile
+    tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+    up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+    dn_spec = pl.BlockSpec((8, nx), lambda i: (((i + 1) * tpb) % nb8, 0))
+    if not transpose:
+        return pl.pallas_call(
+            _tiled_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(n_tiles,),
+            in_specs=[tile_spec] * 6 + [up_spec, dn_spec],
+            out_specs=tile_spec,
+            interpret=_INTERPRET,
+        )(center, lo_y, hi_y, lo_x, hi_x, x, x, x)
+    return pl.pallas_call(
+        _tiled_kernel_T,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n_tiles,),
+        in_specs=[tile_spec] * 6 + [up_spec, dn_spec, up_spec, dn_spec],
+        out_specs=tile_spec,
+        interpret=_INTERPRET,
+    )(center, lo_y, hi_y, lo_x, hi_x, x, x, x, hi_y, lo_y)
+
+
+def _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool):
+    ny, nx = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    tile = _pick_tile(ny)
+    # tiled wherever a tiling exists and the plane is big enough for the
+    # pipeline to matter; tiny planes stay monolithic (one launch, no
+    # pipeline bubbles to hide)
+    if tile is not None and ny * nx * itemsize >= 256 * 1024:
+        return _pallas_matvec_tiled(
+            center, lo_y, hi_y, lo_x, hi_x, x, transpose, tile
+        )
+    return _pallas_matvec_monolithic(center, lo_y, hi_y, lo_x, hi_x, x, transpose)
 
 
 # pltpu.roll has no AD rule, so the fused matvec carries a custom VJP: the

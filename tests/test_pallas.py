@@ -97,7 +97,52 @@ def test_fused_matvec_custom_vjp_math(monkeypatch):
 
 def test_eligibility_gating():
     assert not pallas_stencil.pallas_eligible((512, 512), jnp.float64)
-    assert not pallas_stencil.pallas_eligible((4096, 4096), jnp.float32)
     # on CPU the backend gate keeps it off regardless of size
     if jax.default_backend() != "tpu":
         assert not pallas_stencil.pallas_eligible((256, 256), jnp.float32)
+    # large tileable planes go through the row-tiled path (VMEM holds tiles,
+    # not the plane); odd row counts can't tile and must fit one VMEM block
+    assert pallas_stencil._pick_tile(4096) == 128
+    assert pallas_stencil._pick_tile(513) is None
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+@pytest.mark.parametrize("shape", [(64, 48), (128, 32)])
+def test_tiled_matvec_matches_rolls(transpose, shape, monkeypatch):
+    """The row-tiled halo kernel (grid over row blocks, 8-row wrap slivers
+    via modular index maps) must reproduce the XLA roll formulation exactly,
+    including the periodic wrap across tile boundaries."""
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+
+    monkeypatch.setattr(pallas_stencil, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_stencil, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(3)
+    ny, nx = shape
+    c, ly, hy, lx, hx, x = (
+        jnp.asarray(rng.randn(ny, nx), jnp.float32) for _ in range(6)
+    )
+    tile = pallas_stencil._pick_tile(ny)
+    assert tile is not None and tile < ny
+    out = pallas_stencil._pallas_matvec_tiled(c, ly, hy, lx, hx, x, transpose, tile)
+    if not transpose:
+        expected = (
+            c * x
+            + ly * jnp.roll(x, 1, 0)
+            + hy * jnp.roll(x, -1, 0)
+            + lx * jnp.roll(x, 1, 1)
+            + hx * jnp.roll(x, -1, 1)
+        )
+    else:
+        expected = (
+            c * x
+            + jnp.roll(ly * x, -1, 0)
+            + jnp.roll(hy * x, 1, 0)
+            + jnp.roll(lx * x, -1, 1)
+            + jnp.roll(hx * x, 1, 1)
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
