@@ -236,6 +236,34 @@ class FrameSelect(DerivedStream):
         return self.stream.get(source, [sel[i] for i in indices])
 
 
+class MantaScalar(DerivedStream):
+    """Crop one layer of cells on the positive sides of scalar fields —
+    loads mantaflow scenes whose scalar grids are one cell larger than the
+    staggered arrays (stream.py:202-233)."""
+
+    def __init__(self, stream):
+        super().__init__([stream])
+        self.stream = self.inputs[0]
+
+    def shape(self, source):
+        s = self.stream.shape(source)
+        if s is None:
+            return None
+        return tuple(d - 1 if i < 2 else d for i, d in enumerate(s))
+
+    def size(self, source):
+        return self.stream.size(source)
+
+    def frames(self, source):
+        return self.stream.frames(source)
+
+    def get(self, source, indices):
+        out = []
+        for a in self.stream.get(source, indices):
+            out.append(a[tuple(slice(0, d - 1) for d in a.shape[:2])])
+        return out
+
+
 def consecutive_frames(stream, n: int) -> Tuple[FrameSelect, ...]:
     """n streams whose i-th member yields the i-th frame of every length-n
     consecutive window (stream.py:236-247) — the standard way to construct

@@ -83,28 +83,18 @@ def assemble_pressure_laplacian(
     cell_not_dead = jnp.logical_not((act_c == 0) & (acc_c == 0))
     cell_active = act_c != 0
 
-    diag = jnp.zeros(res, dtype)
-    lo_coeffs, hi_coeffs = [], []
+    # Mask planes per axis/side. These depend only on the (typically
+    # jit-constant) boundary masks, so XLA folds their construction; the
+    # runtime work is the influence combination below — which the fused
+    # Pallas kernel (ops/pallas_assembly.py) does in one launch on TPU.
+    diag_m, link_m = [], []
     for d in range(rank):
-        comp = influence.components[d].astype(dtype)
-        if periodic[d]:
-            # unique faces: lo face of cell i is face i, hi face wraps
-            infl_lo = comp
-            infl_hi = jnp.roll(comp, -1, axis=d)
-        else:
-            infl_lo = jax.lax.slice_in_dim(comp, 0, res[d], axis=d)
-            infl_hi = jax.lax.slice_in_dim(comp, 1, res[d] + 1, axis=d)
-
         off_lo = tuple(-1 if i == d else 0 for i in range(rank))
         off_hi = tuple(1 if i == d else 0 for i in range(rank))
         act_lo, act_hi = _nwin(act, off_lo, res), _nwin(act, off_hi, res)
         acc_lo, acc_hi = _nwin(acc, off_lo, res), _nwin(acc, off_hi, res)
-
         nbr_counts_lo = jnp.logical_not((act_lo == 0) & (acc_lo == 0)) & cell_active
         nbr_counts_hi = jnp.logical_not((act_hi == 0) & (acc_hi == 0)) & cell_active
-        diag = diag - jnp.where(nbr_counts_lo, infl_lo, 0.0)
-        diag = diag - jnp.where(nbr_counts_hi, infl_hi, 0.0)
-
         link_lo = (act_lo == 1) & (acc_lo == 1) & cell_not_dead
         link_hi = (act_hi == 1) & (acc_hi == 1) & cell_not_dead
         if not periodic[d]:
@@ -118,13 +108,47 @@ def assemble_pressure_laplacian(
             )
             link_lo = link_lo & (idx > 0)
             link_hi = link_hi & (idx < n - 1)
-        lo_coeffs.append(jnp.where(link_lo, infl_lo, 0.0))
-        hi_coeffs.append(jnp.where(link_hi, infl_hi, 0.0))
+        diag_m.append((nbr_counts_lo, nbr_counts_hi))
+        link_m.append((link_lo, link_hi))
+
+    from diffpiso_tpu.ops.pallas_assembly import assembly_eligible, fused_laplace_assembly
+
+    if assembly_eligible(res, rank, dtype):
+        planes = tuple(
+            m.astype(dtype)
+            for pair in (diag_m[0], diag_m[1], link_m[0], link_m[1])
+            for m in pair
+        )
+        # matrix coefficients carry zero gradient (piso_tf.py:116-128); the
+        # kernel has no AD rule, so make that explicit here
+        comp_y = jax.lax.stop_gradient(influence.components[0].astype(dtype))
+        comp_x = jax.lax.stop_gradient(influence.components[1].astype(dtype))
+        diag, lo_y, hi_y, lo_x, hi_x, sum_abs = fused_laplace_assembly(
+            comp_y, comp_x, planes, periodic, res, dtype
+        )
+        lo_coeffs, hi_coeffs = [lo_y, lo_x], [hi_y, hi_x]
+    else:
+        diag = jnp.zeros(res, dtype)
+        lo_coeffs, hi_coeffs = [], []
+        for d in range(rank):
+            comp = influence.components[d].astype(dtype)
+            if periodic[d]:
+                # unique faces: lo face of cell i is face i, hi face wraps
+                infl_lo = comp
+                infl_hi = jnp.roll(comp, -1, axis=d)
+            else:
+                infl_lo = jax.lax.slice_in_dim(comp, 0, res[d], axis=d)
+                infl_hi = jax.lax.slice_in_dim(comp, 1, res[d] + 1, axis=d)
+            diag = diag - jnp.where(diag_m[d][0], infl_lo, 0.0)
+            diag = diag - jnp.where(diag_m[d][1], infl_hi, 0.0)
+            lo_coeffs.append(jnp.where(link_m[d][0], infl_lo, 0.0))
+            hi_coeffs.append(jnp.where(link_m[d][1], infl_hi, 0.0))
+        sum_abs = jnp.sum(jnp.abs(diag))
 
     n = float(np.prod(res))
     shift = jnp.where(
         jnp.asarray(rank_deficient, bool),
-        0.1 * jnp.sum(jnp.abs(diag)) / n,
+        0.1 * sum_abs / n,
         jnp.zeros((), dtype),
     ).astype(dtype)
     return LaplaceStencil(

@@ -93,3 +93,15 @@ def test_stream_reader_batches(tmp_path):
 
 def scenes_to_sources(scenes):
     return [SceneSource(s) for s in scenes]
+
+
+def test_manta_scalar_crop(tmp_path):
+    from diffpiso_tpu.learning.stream import MantaScalar
+
+    src = SceneSource(_make_scene(tmp_path, shape=(5, 7)))
+    cropped = MantaScalar(SourceStream("velocity"))
+    assert cropped.shape(src) == (4, 6)
+    a = cropped.get(src, [2])[0]
+    assert a.shape == (4, 6)
+    np.testing.assert_allclose(a, 2.0)
+    assert cropped.size(src) == 6
