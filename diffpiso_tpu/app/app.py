@@ -161,7 +161,8 @@ class LearningApp(App):
     def save_model(self, params, tag: str = "model"):
         from diffpiso_tpu.learning.training import save_params
 
-        path = os.path.join(self.scene.directory, f"{tag}.npz")
+        # orbax writes a directory; keep the name extension-free
+        path = os.path.join(self.scene.directory, tag)
         save_params(path, params)
         return path
 

@@ -41,12 +41,14 @@ _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
 def eligible(shape, dtype) -> bool:
-    """Measured trade-off (tunneled v5e): the fused iteration wins on small
-    grids where launch overhead dominates (257x256: 7.1 vs 11.4 us/iter) but
-    LOSES at 512^2 where the monolithic Pallas kernel runs slower than the
-    XLA fusion chain (bench fwd 847 vs 1033 steps/s) — pltpu.roll on large
-    unaligned planes underperforms XLA's roll lowering. Default: small grids
-    only; DIFFPISO_FUSED_KRYLOV=always forces it, =never disables."""
+    """Measured trade-off (tunneled v5e): the fused iteration wins wherever
+    the 12 resident planes fit VMEM. Small grids (257x256): 7.1 vs 11.4
+    us/iter. 512^2 (remeasured r2, back-to-back bench A/B after the
+    kernel-count and warm-start work changed the baseline): fwd 988.6 vs
+    944.0 steps/s, grad30 453.5 vs 432.3 — the r1 crossover where the
+    monolithic kernel lost at 512^2 no longer exists. Default: on up to the
+    VMEM budget; DIFFPISO_FUSED_KRYLOV=always forces it past nothing extra,
+    =never disables."""
     mode = os.environ.get("DIFFPISO_FUSED_KRYLOV", "auto")
     if mode == "never":
         return False
@@ -62,11 +64,7 @@ def eligible(shape, dtype) -> bool:
     if itemsize > 4:
         return False
     # worst case resident planes: 5 coeffs + p + r + x + z + out x3
-    if 12 * shape[0] * shape[1] * itemsize > _VMEM_BUDGET_BYTES:
-        return False
-    if mode == "always":
-        return True
-    return shape[0] * shape[1] <= 320 * 320  # the measured crossover region
+    return 12 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
 
 
 def _roll(x, shift, axis):

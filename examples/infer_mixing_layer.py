@@ -3,8 +3,13 @@ spatial_mixing_layer_differentiable_inference.py): restore checkpoint, roll
 out, record per-step wall-clock into performance_<hostname>.npz.
 
 Usage:
-    python examples/infer_mixing_layer.py --model runs/training/.../model_epoch1.pkl \
-        [--steps 2500]
+    python examples/infer_mixing_layer.py \
+        --model runs/training/.../checkpoints/epoch_1 [--steps 2500]
+
+(--model accepts an orbax checkpoint directory produced by training_run —
+a tagged epoch_<E>/last_working dir or a step_<N> dir; a training_run
+checkpoint stores the full train state, so the params sub-tree is used —
+or a legacy pickle file.)
 """
 
 import argparse
@@ -24,7 +29,7 @@ from diffpiso_tpu.utils import Scene, StepTimer, device_memory_stats
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", type=str, default=None, help="params pkl; omit for no-model run")
+    ap.add_argument("--model", type=str, default=None, help="orbax checkpoint dir (or legacy pkl); omit for no-model run")
     ap.add_argument("--hrres", type=int, nargs=2, default=[64, 256])
     ap.add_argument("--box", type=float, nargs=2, default=[64.0, 256.0])
     ap.add_argument("--dt", type=float, default=0.4)
@@ -49,6 +54,8 @@ def main():
         perturb_inlet=True,
     )
     params = load_params(args.model) if args.model else None
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]  # full-train-state checkpoint from training_run
     rollout = make_rollout_fn(setup, cfg, with_network=params is not None)
     rollout = jax.jit(rollout)
 
