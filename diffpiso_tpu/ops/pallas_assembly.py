@@ -43,6 +43,10 @@ def assembly_eligible(resolution, rank, dtype) -> bool:
 
     if not _PALLAS_AVAILABLE or rank != 2:
         return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
+        return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False
     if jax.default_backend() != "tpu" and not _INTERPRET:

@@ -35,6 +35,32 @@ _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # tests flip this to exercise the exact production kernels on CPU
 _INTERPRET = False
 
+# no_pallas() nesting depth: pallas_call is an opaque custom-call to the
+# GSPMD partitioner, so spatially-sharded jits must trace with the pallas
+# dispatch off (rolls/reductions partition natively; the kernels don't).
+_DISABLED_DEPTH = 0
+
+
+def no_pallas():
+    """Context manager: disable all pallas dispatch for code traced inside.
+
+    Use around `jit` tracing of spatially-sharded steps
+    (parallel/sharding.py): GSPMD partitions the jnp roll/reduction
+    formulation across the mesh, but cannot partition pallas_call — without
+    this gate a sharded trace would replicate (or reject) the kernels."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _DISABLED_DEPTH
+        _DISABLED_DEPTH += 1
+        try:
+            yield
+        finally:
+            _DISABLED_DEPTH -= 1
+
+    return _ctx()
+
 
 def _roll(x, shift, axis):
     # pltpu.roll requires a non-negative shift; jnp.roll semantics otherwise
@@ -63,6 +89,8 @@ def _stencil_kernel_T(c_ref, ly_ref, hy_ref, lx_ref, hx_ref, x_ref, z_ref):
 
 def pallas_eligible(shape, dtype) -> bool:
     if not _PALLAS_AVAILABLE:
+        return False
+    if _DISABLED_DEPTH > 0:
         return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False

@@ -1,3 +1,4 @@
+from diffpiso_tpu.ops.pallas_stencil import no_pallas
 from diffpiso_tpu.parallel.sharding import (
     make_mesh,
     shard_field,
@@ -7,6 +8,7 @@ from diffpiso_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "no_pallas",
     "make_mesh",
     "shard_field",
     "shard_piso_args",

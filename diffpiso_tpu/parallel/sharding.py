@@ -23,6 +23,11 @@ divide the mesh axis; spatial_spec falls back to replication on such axes
 (periodic configs shard perfectly — unique faces have exact resolution
 shapes). An explicitly halo-exchanged shard_map kernel path can replace
 GSPMD where its collectives prove suboptimal; measure first.
+
+IMPORTANT: trace spatially-sharded jits inside `no_pallas()` (re-exported
+here from ops/pallas_stencil.py). The single-chip fast path dispatches to
+Pallas kernels, which the GSPMD partitioner treats as opaque custom-calls;
+the roll/reduction formulation is the one that partitions.
 """
 
 from __future__ import annotations

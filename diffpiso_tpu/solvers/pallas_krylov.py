@@ -54,6 +54,10 @@ def eligible(shape, dtype) -> bool:
         return False
     if not _PALLAS_AVAILABLE:
         return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
+        return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False
     if jax.default_backend() not in ("tpu",):

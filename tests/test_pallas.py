@@ -106,6 +106,23 @@ def test_eligibility_gating():
     assert pallas_stencil._pick_tile(513) is None
 
 
+def test_no_pallas_context_gates_all_dispatch(monkeypatch):
+    """no_pallas() must turn off every pallas dispatch site at trace time —
+    sharded jits rely on it (GSPMD can't partition pallas_call)."""
+    from diffpiso_tpu.ops import pallas_assembly
+    from diffpiso_tpu.solvers import pallas_krylov
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pallas_stencil.pallas_eligible((256, 256), jnp.float32)
+    assert pallas_krylov.eligible((256, 256), jnp.float32)
+    assert pallas_assembly.assembly_eligible((256, 256), 2, jnp.float32)
+    with pallas_stencil.no_pallas():
+        assert not pallas_stencil.pallas_eligible((256, 256), jnp.float32)
+        assert not pallas_krylov.eligible((256, 256), jnp.float32)
+        assert not pallas_assembly.assembly_eligible((256, 256), 2, jnp.float32)
+    assert pallas_stencil.pallas_eligible((256, 256), jnp.float32)
+
+
 @pytest.mark.parametrize("transpose", [False, True])
 @pytest.mark.parametrize("shape", [(64, 48), (128, 32)])
 def test_tiled_matvec_matches_rolls(transpose, shape, monkeypatch):
