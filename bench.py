@@ -181,6 +181,45 @@ def build_turbulence(n, tol, viscosity=1e-4, p_tol=None):
     return domain, sim, step, initial_state
 
 
+def build_turbulence_3d(n, tol, viscosity=1e-3, p_tol=None):
+    """3-D periodic decaying turbulence (the reference's native-3-D kernel
+    capability, calcCellFluxesZ / w-component solves). Random IC; the first
+    PISO step's correctors project it divergence-free, so the spin-up chunk
+    doubles as the projection."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffpiso_tpu.core import piso_step
+    from diffpiso_tpu.core.setups import decaying_turbulence_setup
+
+    if p_tol is None:
+        p_tol = 1e-8
+    domain, sim = decaying_turbulence_setup((n, n, n), viscosity=viscosity)
+    dt = 0.4 / n
+
+    def step(vel, p, g1, g2, forcing):
+        return piso_step(
+            vel, p, dt, domain, sim,
+            forcing_term=forcing,
+            pressure_inc1_guess=g1,
+            pressure_inc2_guess=g2,
+            advection_tol=tol,
+            pressure_tol=p_tol,
+        )
+
+    def initial_state(seed=0):
+        from diffpiso_tpu.fields.grid import StaggeredField
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+        comps = tuple(
+            0.5 * jax.random.normal(k, (n, n, n), jnp.float32) for k in keys
+        )
+        vel = StaggeredField(comps, periodic=(True, True, True))
+        return vel, domain.centered_grid(0.0)
+
+    return domain, sim, step, initial_state
+
+
 # -- measurement helpers -------------------------------------------------------------
 
 
@@ -301,6 +340,22 @@ def workload_turbulence(args):
     return out
 
 
+def workload_turb3d(args):
+    n = 32 if args.quick else min(args.n, 128)
+    domain, sim, step, initial_state = build_turbulence_3d(n, args.tol, p_tol=args.p_tol)
+    vel, p = initial_state(seed=0)
+    steps_per_call = 5 if args.quick else 25
+    reps = 2 if args.quick else 4
+    fwd_sps, fwd_iters, _ = bench_forward(
+        step, vel, p, steps_per_call, reps, spinup_calls=1 if args.quick else 2
+    )
+    return {
+        "workload": f"3-D decaying turbulence {n}^3 (periodic, random IC projected by spin-up)",
+        "fwd_steps_per_sec": round(fwd_sps, 3),
+        "fwd_pressure_iters_per_step": [round(float(x), 2) for x in fwd_iters],
+    }
+
+
 def workload_cavity(args):
     domain, sim, step = build(args.n, args.tol)
     vel = domain.staggered_grid(0.0)
@@ -414,6 +469,7 @@ def workload_training(args):
     cfg = TrainingConfig(
         step_count=10, loss_influence_range=10, padding="VALID",
         advection_tol=args.tol, pressure_tol=args.tol,
+        network_dtype=getattr(args, "network_dtype", None),
     )
     rollout_fn = make_rollout_fn(setup, cfg)
     loss_fn = make_loss_fn(setup, cfg, rollout_fn)
@@ -475,8 +531,13 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--spinup", type=int, default=2000, help="cavity spin-up steps")
     ap.add_argument(
+        "--network-dtype", default=None, dest="network_dtype",
+        help="closure-CNN compute dtype for the training workload "
+             "(e.g. bfloat16; f32 master weights)",
+    )
+    ap.add_argument(
         "--workload", default="turb",
-        choices=["turb", "cavity", "dns", "training", "all"],
+        choices=["turb", "turb3d", "cavity", "dns", "training", "all"],
     )
     args = ap.parse_args()
 
@@ -536,6 +597,18 @@ def main():
                 }
             )
         )
+    elif args.workload == "turb3d":
+        out = workload_turb3d(args)
+        print(
+            json.dumps(
+                {
+                    "metric": "piso3d_steps_per_sec",
+                    "value": out["fwd_steps_per_sec"],
+                    "unit": "steps/s",
+                    **out,
+                }
+            )
+        )
     elif args.workload == "dns":
         res = (32, 128) if args.quick else (128, 512)
         out = workload_dns(args, res)
@@ -565,6 +638,7 @@ def main():
     else:  # all
         detail = {}
         detail["turb"] = workload_turbulence(args)
+        detail["turb3d"] = workload_turb3d(args)
         detail["cavity"] = workload_cavity(args)
         detail["dns_128x512"] = workload_dns(args, (32, 128) if args.quick else (128, 512))
         if not args.quick:

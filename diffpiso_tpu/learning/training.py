@@ -66,6 +66,10 @@ class TrainingConfig:
     rollback_threshold: float = 20.0
     perturb_inlet: bool = True
     eval_interval: int = 0  # 0 disables intermediate forward evals
+    # mixed precision for the closure CNN only: 'bfloat16' runs the convs on
+    # the MXU at 2x f32 rate with f32 master weights; the solver stays f32
+    # (the physics tolerances need it). None = f32 throughout.
+    network_dtype: Optional[str] = None
 
 
 def _centered_gradient(p: jax.Array, dx) -> jax.Array:
@@ -108,6 +112,7 @@ def make_rollout_fn(setup: MixingLayerSetup, cfg: TrainingConfig, with_network: 
             padding=cfg.padding,
             buffer_width=cfg.buffer_width,
             restore_shape=cfg.restore_shape,
+            compute_dtype=jnp.dtype(cfg.network_dtype) if cfg.network_dtype else None,
         )
         nn_out = jnp.pad(nn_out, ((0, 0), (0, nx - sponge_start), (0, 0)))
         return StaggeredField(

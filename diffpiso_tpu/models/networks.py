@@ -63,6 +63,7 @@ def fullyconv_apply(
     padding: str = "SAME",
     buffer_width=None,
     restore_shape: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Apply the closure CNN.
 
@@ -71,10 +72,19 @@ def fullyconv_apply(
     input before the convs and re-padded with zeros after (networks.py:4-13,50-52).
     restore_shape — with VALID padding, zero-pad the output back to the
     cropped input shape (networks.py:44-48).
+    compute_dtype — mixed precision: cast activations AND weights to this
+    dtype for the convolutions (jnp.bfloat16 feeds the MXU at 2x the f32
+    rate) and cast the output back to x's dtype. Params (and their
+    gradients, via the cast's transpose) stay in the stored dtype — the
+    standard master-weights scheme. None = run in x's dtype.
     """
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        params = [w.astype(compute_dtype) for w in params]
     if buffer_width is not None:
         (t, b), (l, r) = buffer_width
         x = x[:, t : x.shape[1] - b, l : x.shape[2] - r, :]
@@ -107,4 +117,5 @@ def fullyconv_apply(
     if buffer_width is not None:
         (t, b), (l, r) = buffer_width
         out = jnp.pad(out, ((0, 0), (t, b), (l, r), (0, 0)))
+    out = out.astype(out_dtype)
     return out[0] if squeeze else out
