@@ -39,6 +39,9 @@ except Exception:  # pragma: no cover
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
+# tests flip this to run the exact production kernels on CPU
+_INTERPRET = False
+
 
 def eligible(shape, dtype) -> bool:
     """Measured trade-off (tunneled v5e): the fused iteration wins wherever
@@ -121,6 +124,7 @@ def fused_residual(stencil, b, x, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=_INTERPRET,
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, b.dtype), (1,)),
@@ -169,6 +173,7 @@ def fused_cg_iteration(stencil, x, r, p, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=_INTERPRET,
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
@@ -212,6 +217,7 @@ def fused_pcg_apply(stencil, rz, x, r, p, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=_INTERPRET,
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
@@ -242,5 +248,6 @@ def fused_pcg_update(rz_old, r, z, p):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=_INTERPRET,
     )(jnp.reshape(rz_old, (1,)), r, z, p)
     return po, rz[0]

@@ -1,0 +1,91 @@
+"""Fused Pallas Krylov kernels vs the jnp solver path, end-to-end through
+cg / solve_pressure_system, in interpret mode on CPU (the compiled path is
+the TPU default at <= 512^2 and is exercised by the benchmarks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffpiso_tpu import StaggeredField
+from diffpiso_tpu.ops import apply_laplacian, assemble_pressure_laplacian
+from diffpiso_tpu.solvers import PressureSolver, cg, solve_pressure_system
+from diffpiso_tpu.solvers import pallas_krylov
+
+
+def _system(res=(16, 32), rank_deficient=True, seed=0):
+    ny, nx = res
+    rng = np.random.RandomState(seed)
+    infl = StaggeredField(
+        (
+            jnp.asarray(rng.rand(ny + 1, nx) + 0.5, jnp.float32),
+            jnp.asarray(rng.rand(ny, nx + 1) + 0.5, jnp.float32),
+        )
+    )
+    act = np.zeros((ny + 2, nx + 2), np.float32)
+    act[1:-1, 1:-1] = 1
+    lap = assemble_pressure_laplacian(
+        infl, jnp.asarray(act), jnp.asarray(act), (False, False), rank_deficient
+    )
+    rhs = rng.randn(ny, nx).astype(np.float32)
+    rhs -= rhs.mean()
+    return lap, jnp.asarray(rhs)
+
+
+def _force_fused(monkeypatch):
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setattr(pallas_krylov, "eligible", lambda *a, **k: True)
+
+
+@pytest.mark.parametrize("deflate", [False, True])
+def test_fused_cg_solve_matches_jnp(deflate, monkeypatch):
+    lap, rhs = _system(rank_deficient=deflate)
+
+    ref = cg(
+        lambda p: apply_laplacian(lap, p), rhs, None,
+        tol=1e-6, max_iter=400, residual_reset=50, deflate_mean=deflate,
+        stencil=None,  # jnp path
+    )
+    assert not bool(ref.warn)
+
+    _force_fused(monkeypatch)
+    fused = cg(
+        lambda p: apply_laplacian(lap, p), rhs, None,
+        tol=1e-6, max_iter=400, residual_reset=50, deflate_mean=deflate,
+        stencil=lap,
+    )
+    assert not bool(fused.warn)
+    # same system, same tolerance: solutions agree to solver accuracy
+    a = np.asarray(fused.x) - np.asarray(fused.x).mean()
+    b = np.asarray(ref.x) - np.asarray(ref.x).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    # and the fused solve really converged on the operator
+    res = np.asarray(apply_laplacian(lap, fused.x) - rhs)
+    assert np.abs(res - (res.mean() if deflate else 0.0)).max() < 5e-5
+
+
+def test_fused_pcg_through_pressure_solver(monkeypatch):
+    """solve_pressure_system with the DCT preconditioner: fused pcg halves
+    (apply/update kernels around the spectral solve) vs the jnp path."""
+    lap, rhs = _system(rank_deficient=True)
+    cfg = PressureSolver(
+        max_iterations=200, deflate_mean=True,
+        preconditioner="dct", adjoint_preconditioner="dct",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-7)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    x_fused, it_fused, warn_fused = solve_pressure_system(cfg, lap, rhs, None, 1e-7)
+    assert not bool(warn_fused)
+    a = np.asarray(x_fused) - np.asarray(x_fused).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    # warm start with the previous solution converges (near-)immediately
+    _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_fused, 1e-6)
+    assert not bool(w2) and int(it2) <= 2
