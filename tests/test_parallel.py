@@ -250,3 +250,64 @@ def test_sharded_bounded_domain_multistep_rollout():
     div = np.asarray(fv_divergence(vel_out, domain.dx))
     interior = div[1:-2, 1:-1]
     assert np.abs(interior).max() < 5e-6
+
+
+def test_sharded_cg_matches_global_solver():
+    """Full distributed CG inside one shard_map region (make_sharded_cg,
+    parallel/halo.py): per-iteration cross-device traffic is one ppermute
+    edge plane per sharded axis + psum scalars. Must converge to the same
+    solution as the single-device cg, bounded AND periodic."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffpiso_tpu.ops.fv import centered_to_staggered
+    from diffpiso_tpu.ops.laplace import apply_laplacian, assemble_pressure_laplacian
+    from diffpiso_tpu.parallel.halo import make_sharded_cg
+    from diffpiso_tpu.parallel.sharding import make_mesh
+    from diffpiso_tpu.solvers import cg
+
+    rng = np.random.RandomState(3)
+    for periodic in ((False, False), (True, True)):
+        ny, nx = 32, 16
+        if periodic == (True, True):
+            comps = (
+                jnp.asarray(0.5 + rng.rand(ny, nx), jnp.float32),
+                jnp.asarray(0.5 + rng.rand(ny, nx), jnp.float32),
+            )
+            from diffpiso_tpu import StaggeredField
+
+            infl = StaggeredField(comps, periodic=periodic)
+            active = np.pad(np.ones((ny, nx), np.float32), 1, mode="wrap")
+        else:
+            infl = centered_to_staggered(
+                jnp.asarray(0.5 + rng.rand(ny, nx).astype(np.float32))
+            )
+            active = np.zeros((ny + 2, nx + 2), np.float32)
+            active[1:-1, 1:-1] = 1
+        lap = assemble_pressure_laplacian(
+            infl, jnp.asarray(active), jnp.asarray(active), periodic, True
+        )
+        b = rng.randn(ny, nx).astype(np.float32)
+        b -= b.mean()
+        b = jnp.asarray(b)
+
+        ref = cg(
+            lambda p: apply_laplacian(lap, p), b,
+            tol=1e-6, max_iter=500, residual_reset=50, deflate_mean=True,
+        )
+        assert not bool(ref.warn)
+
+        mesh = make_mesh((4, 2), ("y", "x"))
+        solve = jax.jit(
+            make_sharded_cg(mesh, ("y", "x"), tol=1e-6, max_iter=500,
+                            residual_reset=50, deflate_mean=True),
+            static_argnames=(),
+        )
+        x, iters, warn = solve(lap, b)
+        assert not bool(warn), periodic
+        a = np.asarray(x) - np.asarray(x).mean()
+        r = np.asarray(ref.x) - np.asarray(ref.x).mean()
+        np.testing.assert_allclose(a, r, atol=5e-5)
+        # converged in a comparable iteration count (same algorithm)
+        assert abs(int(iters) - int(ref.iterations)) <= 5, (
+            int(iters), int(ref.iterations))
