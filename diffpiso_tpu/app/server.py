@@ -117,10 +117,11 @@ setInterval(refresh,1000);refresh();
 </script></body></html>"""
 
 
-def _render_png(arr: np.ndarray) -> bytes:
+def _render_png(arr: np.ndarray, axis: int = 0, index: Optional[int] = None) -> bytes:
     """Render a field snapshot to PNG. 2-D arrays become a viridis heatmap;
     trailing component axes ((..., 2/3) staggered tensors) render magnitude;
-    3-D volumes render the mid z-slice."""
+    3-D volumes render a slice — `axis`/`index` select it (defaults: first
+    axis, mid plane; the webglviewer-analog slicing control)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -130,7 +131,9 @@ def _render_png(arr: np.ndarray) -> bytes:
     if a.ndim >= 3 and a.shape[-1] in (2, 3) and a.ndim - 1 >= 2:
         a = np.sqrt(np.sum(a * a, axis=-1))
     while a.ndim > 2:
-        a = a[a.shape[0] // 2]
+        ax = min(max(axis, 0), a.ndim - 1) if a.ndim == 3 else 0
+        i = a.shape[ax] // 2 if index is None else min(max(index, 0), a.shape[ax] - 1)
+        a = np.take(a, i, axis=ax)
     a = np.nan_to_num(a)
     lo, hi = float(a.min()), float(a.max())
     norm = (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
@@ -200,10 +203,10 @@ class AppServer:
         )
         return st
 
-    def field_png(self, name: str) -> bytes:
+    def field_png(self, name: str, axis: int = 0, index: Optional[int] = None) -> bytes:
         with self._lock:
             arr = np.asarray(self.app.fields[name]())
-        return _render_png(arr)
+        return _render_png(arr, axis=axis, index=index)
 
     # -- loop + server ------------------------------------------------------------
     def _worker(self):
@@ -240,8 +243,17 @@ class AppServer:
                     elif path == "/api/status":
                         self._send(200, json.dumps(server.status()).encode())
                     elif path.startswith("/api/field/"):
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        axis = int(q.get("axis", ["0"])[0])
+                        index = (
+                            int(q["index"][0]) if "index" in q else None
+                        )
                         self._send(
-                            200, server.field_png(path.split("/", 3)[3]), "image/png"
+                            200,
+                            server.field_png(path.split("/", 3)[3], axis, index),
+                            "image/png",
                         )
                     elif path.startswith("/api/scalars/"):
                         name = path.split("/", 3)[3]

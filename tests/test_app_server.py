@@ -64,6 +64,24 @@ def test_actions_and_controls(served_app):
     assert len(vals) == 2 and vals[1] < vals[0]
 
 
+def test_3d_field_slicing(tmp_path):
+    """?axis=&index= select the rendered slice of a 3-D field (the
+    webglviewer-analog volume navigation)."""
+    app = App("srv-3d", base_dir=str(tmp_path), record_every=0)
+    vol = np.arange(4 * 6 * 8, dtype=np.float32).reshape(4, 6, 8)
+    app.set_step(lambda s: s, vol)
+    app.add_field("q", lambda: app.state)
+    server = AppServer(app, port=0).start(block=False)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        for url in ("/api/field/q", "/api/field/q?axis=1&index=2",
+                    "/api/field/q?axis=2&index=0"):
+            png = _http(base + url)
+            assert png[:8] == b"\x89PNG\r\n\x1a\n", url
+    finally:
+        server.stop()
+
+
 def test_play_pause_loop(served_app):
     app, server, base = served_app
     _http(base + "/api/action", {"name": "play"})
