@@ -241,3 +241,104 @@ def fused_stencil_matvec(center, lo, hi, x, transpose: bool = False):
     Drop-in replacement for the jnp roll formulation; callers should gate on
     pallas_eligible()."""
     return _fused_matvec(center, lo[0], hi[0], lo[1], hi[1], x, transpose=transpose)
+
+
+# -- fused residual: r = b -/+ S x, max|r| -----------------------------------------
+# The warm-start entry and exit of every Krylov solve (r0 check, true-residual
+# verification) — one launch instead of the matvec + subtract + reduce chain.
+# Used inside the custom_vjp'd solves only, so no AD rule is needed.
+
+
+def _mk_residual_kernel(transpose, negate):
+    def kernel(c, ly, hy, lx, hx, b_ref, x_ref, r_ref, n_ref):
+        x = x_ref[:]
+        if not transpose:
+            m = c[:] * x
+            m = m + ly[:] * _roll(x, 1, 0) + hy[:] * _roll(x, -1, 0)
+            m = m + lx[:] * _roll(x, 1, 1) + hx[:] * _roll(x, -1, 1)
+        else:
+            m = c[:] * x
+            m = m + _roll(ly[:] * x, -1, 0) + _roll(hy[:] * x, 1, 0)
+            m = m + _roll(lx[:] * x, -1, 1) + _roll(hx[:] * x, 1, 1)
+        r = (b_ref[:] + m) if negate else (b_ref[:] - m)
+        r_ref[:] = r
+        n_ref[0] = jnp.max(jnp.abs(r))
+
+    return kernel
+
+
+def _mk_residual_kernel_tiled(transpose, negate):
+    def kernel(c, ly, hy, lx, hx, b_ref, x_ref, up_ref, dn_ref,
+               hyup_ref, lydn_ref, r_ref, n_ref):
+        x = x_ref[:]
+        if not transpose:
+            xm = jnp.concatenate([up_ref[7:8, :], x[:-1]], 0)
+            xp = jnp.concatenate([x[1:], dn_ref[0:1, :]], 0)
+            m = c[:] * x + ly[:] * xm + hy[:] * xp
+            m = m + lx[:] * _roll(x, 1, 1) + hx[:] * _roll(x, -1, 1)
+        else:
+            a = ly[:] * x
+            am = jnp.concatenate([a[1:], lydn_ref[0:1, :] * dn_ref[0:1, :]], 0)
+            bb = hy[:] * x
+            bp = jnp.concatenate([hyup_ref[7:8, :] * up_ref[7:8, :], bb[:-1]], 0)
+            m = c[:] * x + am + bp
+            m = m + _roll(lx[:] * x, -1, 1) + _roll(hx[:] * x, 1, 1)
+        r = (b_ref[:] + m) if negate else (b_ref[:] - m)
+        r_ref[:] = r
+        part = jnp.max(jnp.abs(r))
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            n_ref[0, 0] = part
+
+        @pl.when(i != 0)
+        def _():
+            n_ref[0, 0] = jnp.maximum(n_ref[0, 0], part)
+
+    return kernel
+
+
+def fused_stencil_residual(center, lo, hi, b, x, negate: bool = False,
+                           transpose: bool = False):
+    """r = b - S x (negate: r = b + S x, the '-M' advection operator) and
+    max|r| in one launch. Callers gate on pallas_eligible()."""
+    ny, nx = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    tile = _pick_tile(ny)
+    if tile is not None and ny * nx * itemsize >= 256 * 1024:
+        n_tiles = ny // tile
+        nb8 = ny // 8
+        tpb = tile // 8
+        tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+        up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+        dn_spec = pl.BlockSpec((8, nx), lambda i: (((i + 1) * tpb) % nb8, 0))
+        r, n = pl.pallas_call(
+            _mk_residual_kernel_tiled(transpose, negate),
+            grid=(n_tiles,),
+            in_specs=[tile_spec] * 7 + [up_spec, dn_spec, up_spec, dn_spec],
+            out_specs=[
+                tile_spec,
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((1, 1), x.dtype),
+            ],
+            interpret=_INTERPRET,
+        )(center, lo[0], hi[0], lo[1], hi[1], b, x, x, x, hi[0], lo[0])
+        return r, n[0, 0]
+    r, n = pl.pallas_call(
+        _mk_residual_kernel(transpose, negate),
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1,), x.dtype),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        interpret=_INTERPRET,
+    )(center, lo[0], hi[0], lo[1], hi[1], b, x)
+    return r, n[0]

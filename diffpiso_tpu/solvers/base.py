@@ -88,6 +88,50 @@ def _adv_operator_diag(stencil: AdvectionStencil, periodic):
     return StaggeredField(tuple(-c for c in stencil.center), periodic=periodic)
 
 
+def _make_adv_residual_fn(stencil, transpose: bool):
+    """Fused per-component residual (matvec + subtract + max in one pallas
+    launch each, joint max outside) for the '-M' advection operator:
+    r = b + M x. None when any component is pallas-ineligible.
+
+    OFF by default: in-process A/B at the 512^2 turbulence headline measured
+    it 3.5% SLOWER than XLA's fused chain (on 943/949 vs off 974/983
+    steps/s) — the advection solve's residual ops fuse into their neighbors
+    under XLA, so the extra pallas launches don't pay. Kept available
+    (DIFFPISO_FUSED_ADV_RESID=always) and correctness-tested for platforms
+    where the trade-off differs."""
+    import os
+
+    from diffpiso_tpu.ops.pallas_stencil import (
+        fused_stencil_residual,
+        pallas_eligible,
+    )
+
+    if os.environ.get("DIFFPISO_FUSED_ADV_RESID", "never") != "always":
+        return None
+    if not all(
+        pallas_eligible(c.shape, c.dtype) for c in stencil.center
+    ):
+        return None
+
+    def residual_fn(b, x):
+        comps, norms = [], []
+        for ci in range(len(b.components)):
+            r, n = fused_stencil_residual(
+                stencil.center[ci], stencil.lo[ci], stencil.hi[ci],
+                b.components[ci], x.components[ci],
+                negate=True, transpose=transpose,
+            )
+            comps.append(r)
+            norms.append(n)
+        r_tree = StaggeredField(tuple(comps), periodic=b.periodic)
+        rnorm = norms[0]
+        for n in norms[1:]:
+            rnorm = jnp.maximum(rnorm, n)
+        return r_tree, rnorm
+
+    return residual_fn
+
+
 def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: bool):
     apply_fn = apply_stencil_transpose if transpose else apply_stencil
     in_dtype = rhs.dtype
@@ -103,6 +147,7 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
         tol=tol,
         max_iter=cfg.max_iterations,
         diag=_adv_operator_diag(stencil, rhs.periodic) if cfg.precondition else None,
+        residual_fn=_make_adv_residual_fn(stencil, transpose),
     )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
     return x, result

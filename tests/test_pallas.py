@@ -163,3 +163,83 @@ def test_tiled_matvec_matches_rolls(transpose, shape, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+@pytest.mark.parametrize("negate", [False, True])
+@pytest.mark.parametrize("shape", [(24, 40), (64, 48)])
+def test_fused_residual_matches_rolls(transpose, negate, shape, monkeypatch):
+    """fused_stencil_residual (mono and tiled variants) must equal
+    b -/+ S x with the jnp roll formulation, plus the exact max|r|."""
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+
+    monkeypatch.setattr(pallas_stencil, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_stencil, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(5)
+    ny, nx = shape
+    c, ly, hy, lx, hx, b, x = (
+        jnp.asarray(rng.randn(ny, nx), jnp.float32) for _ in range(7)
+    )
+    # production dispatch only tiles above 256 KiB, so exercise the tiled
+    # variant directly for the larger case and the mono path for the smaller
+    r, n = pallas_stencil.fused_stencil_residual(
+        c, (ly, lx), (hy, hx), b, x, negate=negate, transpose=transpose
+    ) if shape != (64, 48) else _tiled_residual_direct(
+        c, ly, hy, lx, hx, b, x, negate, transpose
+    )
+    if not transpose:
+        m = (
+            c * x
+            + ly * jnp.roll(x, 1, 0)
+            + hy * jnp.roll(x, -1, 0)
+            + lx * jnp.roll(x, 1, 1)
+            + hx * jnp.roll(x, -1, 1)
+        )
+    else:
+        m = (
+            c * x
+            + jnp.roll(ly * x, -1, 0)
+            + jnp.roll(hy * x, 1, 0)
+            + jnp.roll(lx * x, -1, 1)
+            + jnp.roll(hx * x, 1, 1)
+        )
+    want = b + m if negate else b - m
+    np.testing.assert_allclose(np.asarray(r), np.asarray(want), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(n), float(jnp.max(jnp.abs(want))), rtol=1e-5
+    )
+
+
+def _tiled_residual_direct(c, ly, hy, lx, hx, b, x, negate, transpose):
+    """Invoke the tiled residual kernel directly (the production dispatch
+    picks it only above the 256 KiB threshold)."""
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = x.shape
+    tile = 32
+    n_tiles = ny // tile
+    nb8 = ny // 8
+    tpb = tile // 8
+    tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+    up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+    dn_spec = pl.BlockSpec((8, nx), lambda i: (((i + 1) * tpb) % nb8, 0))
+    r, n = pl.pallas_call(
+        pallas_stencil._mk_residual_kernel_tiled(transpose, negate),
+        grid=(n_tiles,),
+        in_specs=[tile_spec] * 7 + [up_spec, dn_spec, up_spec, dn_spec],
+        out_specs=[
+            tile_spec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            _jax.ShapeDtypeStruct(x.shape, x.dtype),
+            _jax.ShapeDtypeStruct((1, 1), x.dtype),
+        ],
+        interpret=True,
+    )(c, ly, hy, lx, hx, b, x, x, x, hy, ly)
+    return r, n[0, 0]

@@ -461,3 +461,32 @@ def test_sparse_csr_bridge_matches_dense():
     np.testing.assert_allclose(
         csr.toarray() + shift * np.ones((n, n)), dense_l, rtol=0, atol=1e-12
     )
+
+
+def test_bicgstab_residual_fn_plumbing():
+    """bicgstab with an explicit residual_fn (the fused-kernel hook,
+    solvers/base.py _make_adv_residual_fn) must reproduce the default
+    path exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffpiso_tpu.solvers.krylov import bicgstab, tree_vdot
+
+    rng = np.random.RandomState(11)
+    n = 40
+    A = np.eye(n) * 4.0 + 0.3 * rng.randn(n, n)
+    A = (A + A.T) / 2  # symmetric, diagonally dominant
+    b = jnp.asarray(rng.randn(n).astype(np.float32))
+    Aj = jnp.asarray(A.astype(np.float32))
+
+    apply_A = lambda v: Aj @ v
+
+    def residual_fn(bb, x):
+        r = bb - Aj @ x
+        return r, jnp.max(jnp.abs(r))
+
+    ref = bicgstab(apply_A, b, tol=1e-6, max_iter=200)
+    got = bicgstab(apply_A, b, tol=1e-6, max_iter=200, residual_fn=residual_fn)
+    assert not bool(ref.warn) and not bool(got.warn)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), rtol=1e-6)
+    assert int(got.iterations) == int(ref.iterations)
