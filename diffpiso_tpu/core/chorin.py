@@ -29,15 +29,31 @@ def divergence_free(
     accessible_mask: Optional[jax.Array] = None,
     tol=1e-5,
     max_iter: int = 2000,
+    obstacles=(),
 ):
     """Project a staggered velocity onto its divergence-free part
     (fluid.py:203-250). Periodic boxes use the exact spectral solve; bounded
     domains run CG on the masked unit-coefficient Laplacian.
 
+    obstacles — sequence of physics.obstacle.Obstacle: their cells leave the
+    active mask and moving obstacles imprint their rigid-body velocity
+    before the solve (fluid.py:230-244). Obstacles force the bounded CG
+    path (the spectral inverse assumes an unobstructed periodic box).
+
     Returns (velocity_div_free, pressure-like potential)."""
+    if obstacles:
+        from diffpiso_tpu.physics.obstacle import (
+            apply_obstacle_velocities,
+            obstacle_accessible_mask,
+        )
+
+        velocity = apply_obstacle_velocities(velocity, obstacles, domain.box)
+        accessible_mask = obstacle_accessible_mask(
+            obstacles, domain.resolution, domain.box, accessible_mask
+        )
     dx = domain.dx
     div = fv_divergence(velocity, dx) / (dx[0] * dx[1])  # point divergence
-    if all(domain.periodic):
+    if all(domain.periodic) and accessible_mask is None:
         # discrete-symbol spectral solve: exactly inverts the 5-point
         # Laplacian the staggered divergence/gradient pair induces, so the
         # projection is divergence-free to machine precision
@@ -48,17 +64,41 @@ def divergence_free(
             gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
             comps_fd.append(v - gq)
         return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
-    # bounded: CG on the unit-influence masked Laplacian
+    # bounded/masked: CG on the unit-influence masked Laplacian (also the
+    # periodic-with-obstacles case — the spectral inverse assumes an
+    # unobstructed box)
     ny, nx = domain.resolution
     if accessible_mask is None:
         accessible_mask = jnp.ones((ny + 2, nx + 2), jnp.float32)
         active = jnp.zeros((ny + 2, nx + 2), jnp.float32).at[1:-1, 1:-1].set(1)
     else:
         active = accessible_mask
-    influence = centered_to_staggered(jnp.ones((ny, nx), velocity.dtype))
+    if all(domain.periodic):
+        # unique faces on periodic axes
+        influence = StaggeredField(
+            (
+                jnp.ones((ny, nx), velocity.dtype),
+                jnp.ones((ny, nx), velocity.dtype),
+            ),
+            periodic=domain.periodic,
+        )
+    else:
+        influence = centered_to_staggered(jnp.ones((ny, nx), velocity.dtype))
     lap = assemble_pressure_laplacian(
         influence, active, accessible_mask, domain.periodic, rank_deficient=True
     )
+
+    # hard boundary conditions: a face is open only if BOTH adjacent cells
+    # are accessible (PoissonDomain.with_hard_boundary_conditions,
+    # solver_api.py:114-122) — zeroing velocity through solid faces is what
+    # puts the obstacle's blockage into the divergence source. The pressure
+    # correction passes through the same filter, so solid faces stay solid.
+    face_acc = _face_accessibility(accessible_mask, domain.periodic, (ny, nx))
+    velocity = StaggeredField(
+        tuple(v * f for v, f in zip(velocity.components, face_acc)),
+        periodic=velocity.periodic,
+    )
+    div = fv_divergence(velocity, dx) / (dx[0] * dx[1])
     from diffpiso_tpu.ops.laplace import apply_laplacian
 
     res = cg(
@@ -72,13 +112,39 @@ def divergence_free(
     q = res.x
     comps_fd = []
     for d, v in enumerate(velocity.components):
-        pad = [(0, 0)] * 2
-        pad[d] = (1, 1)
-        qp = jnp.pad(q, pad, mode="edge")
-        lo = jax.lax.slice_in_dim(qp, 0, qp.shape[d] - 1, axis=d)
-        hi = jax.lax.slice_in_dim(qp, 1, qp.shape[d], axis=d)
-        comps_fd.append(v - (hi - lo) / dx[d])
+        if domain.periodic[d]:
+            # unique faces: grad at face i = (q_i - q_{i-1}) / dx, wrapped
+            gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
+        else:
+            pad = [(0, 0)] * 2
+            pad[d] = (1, 1)
+            qp = jnp.pad(q, pad, mode="edge")
+            lo = jax.lax.slice_in_dim(qp, 0, qp.shape[d] - 1, axis=d)
+            hi = jax.lax.slice_in_dim(qp, 1, qp.shape[d], axis=d)
+            gq = (hi - lo) / dx[d]
+        comps_fd.append(v - gq * face_acc[d])
     return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
+
+
+def _face_accessibility(accessible_mask, periodic, res):
+    """Per-component face-open masks: min of the two adjacent cells'
+    accessibility (solver_api.py:114-122). accessible_mask is padded by one;
+    periodic axes use unique faces (face i between cells i-1 and i, wrapped)."""
+    interior = accessible_mask[1:-1, 1:-1]
+    faces = []
+    for d in range(2):
+        if periodic[d]:
+            faces.append(jnp.minimum(interior, jnp.roll(interior, 1, axis=d)))
+        else:
+            n = res[d]
+            sl_all = [slice(1, -1), slice(1, -1)]
+            lo_idx, hi_idx = list(sl_all), list(sl_all)
+            lo_idx[d] = slice(0, n + 1)
+            hi_idx[d] = slice(1, n + 2)
+            faces.append(
+                jnp.minimum(accessible_mask[tuple(lo_idx)], accessible_mask[tuple(hi_idx)])
+            )
+    return tuple(faces)
 
 
 class FlowState(NamedTuple):
@@ -94,6 +160,7 @@ def incompressible_flow_step(
     forces: Optional[StaggeredField] = None,
     accessible_mask=None,
     tol=1e-5,
+    obstacles=(),
 ) -> FlowState:
     """One operator-splitting step: advect density & velocity, apply
     buoyancy/forces, project (IncompressibleFlow.step, fluid.py:92-118)."""
@@ -111,7 +178,9 @@ def incompressible_flow_step(
         )
     if forces is not None:
         vel = vel + forces * dt
-    vel, _ = divergence_free(vel, domain, accessible_mask, tol=tol)
+    vel, _ = divergence_free(
+        vel, domain, accessible_mask, tol=tol, obstacles=obstacles
+    )
     return FlowState(velocity=vel, density=density)
 
 

@@ -24,6 +24,12 @@ from diffpiso_tpu.physics.schroedinger import (
     wave_packet,
 )
 from diffpiso_tpu.physics.fluid import IncompressibleFlow
+from diffpiso_tpu.physics.obstacle import (
+    GeometryMovement,
+    Obstacle,
+    apply_obstacle_velocities,
+    obstacle_accessible_mask,
+)
 
 __all__ = [
     "Physics",
@@ -48,4 +54,8 @@ __all__ = [
     "step_potential",
     "wave_packet",
     "IncompressibleFlow",
+    "GeometryMovement",
+    "Obstacle",
+    "apply_obstacle_velocities",
+    "obstacle_accessible_mask",
 ]

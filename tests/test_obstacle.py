@@ -1,0 +1,100 @@
+"""Obstacle layer (reference phi/physics/obstacle.py + the obstacle handling
+in fluid.divergence_free, fluid.py:216-250): mask carve-out, rigid-body
+velocity imprinting (translation + rotation), GeometryMovement finite
+-difference velocities, and projection around an obstacle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffpiso_tpu.core.chorin import FlowState, divergence_free, incompressible_flow_step
+from diffpiso_tpu.fields import Box, Domain, PERIODIC
+from diffpiso_tpu.fields.geometry import Sphere
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.ops.fv import fv_divergence
+from diffpiso_tpu.physics import (
+    GeometryMovement,
+    Obstacle,
+    apply_obstacle_velocities,
+    obstacle_accessible_mask,
+)
+
+
+def test_accessible_mask_carves_obstacle():
+    obs = Obstacle(Sphere(center=(8.0, 8.0), radius=3.0))
+    mask = obstacle_accessible_mask([obs], (16, 16), Box.from_size((16.0, 16.0)))
+    m = np.asarray(mask)
+    assert m.shape == (18, 18)
+    assert m[1 + 8, 1 + 8] == 0.0  # center cell solid
+    assert m[1 + 1, 1 + 1] == 1.0  # far corner fluid
+    # carved area ~ pi r^2
+    carved = (1.0 - m[1:-1, 1:-1]).sum()
+    assert abs(carved - np.pi * 9) < 8
+
+
+def test_rigid_body_velocity_imprint():
+    # pure rotation: v = +w(x-cx), u = -w(y-cy) inside the disc
+    obs = Obstacle(Sphere(center=(8.0, 8.0), radius=4.0), angular_velocity=0.5)
+    n = 16
+    vel = StaggeredField((jnp.zeros((n + 1, n)), jnp.zeros((n, n + 1))))
+    out = apply_obstacle_velocities(vel, [obs], Box.from_size((16.0, 16.0)))
+    v, u = np.asarray(out.components[0]), np.asarray(out.components[1])
+    # v at face (y=8, x=10.5): deep inside, expect +0.5*(10.5-8)=1.25
+    np.testing.assert_allclose(v[8, 10], 0.5 * 2.5, atol=1e-5)
+    # u at face (y=10.5, x=8): expect -0.5*(10.5-8)=-1.25
+    np.testing.assert_allclose(u[10, 8], -0.5 * 2.5, atol=1e-5)
+    # far outside: untouched
+    np.testing.assert_allclose(v[1, 1], 0.0, atol=1e-6)
+
+    # pure translation
+    obs2 = Obstacle(Sphere(center=(8.0, 8.0), radius=4.0), velocity=(0.3, -0.2))
+    out2 = apply_obstacle_velocities(vel, [obs2], Box.from_size((16.0, 16.0)))
+    np.testing.assert_allclose(np.asarray(out2.components[0])[8, 8], 0.3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2.components[1])[8, 8], -0.2, atol=1e-5)
+
+
+def test_geometry_movement_velocity():
+    mover = GeometryMovement(lambda t: Sphere(center=(5.0 + 2.0 * t, 3.0), radius=1.0))
+    obs = mover.step(Obstacle(Sphere(center=(5.0, 3.0), radius=1.0)), t=0.0, dt=0.1)
+    assert abs(obs.geometry.center[0] - 5.2) < 1e-6
+    np.testing.assert_allclose(obs.velocity[0], 2.0, rtol=1e-4)
+    np.testing.assert_allclose(obs.velocity[1], 0.0, atol=1e-6)
+
+
+def test_projection_respects_obstacle():
+    """Uniform flow past a disc: after projection the interior divergence
+    (outside the solid) is small and the flow deflects around the disc."""
+    n = 32
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n)), jnp.ones((n, n))), periodic=(True, True)
+    )
+    obs = Obstacle(Sphere(center=(16.0, 16.0), radius=5.0))
+    out, q = divergence_free(vel, domain, tol=1e-7, obstacles=[obs])
+    div = np.asarray(fv_divergence(out, domain.dx))
+    mask = np.asarray(
+        obstacle_accessible_mask([obs], (n, n), domain.box)
+    )[1:-1, 1:-1]
+    # fluid cells NOT adjacent to the solid: divergence at solver tolerance
+    from scipy.ndimage import binary_erosion
+
+    fluid_core = binary_erosion(mask > 0.5, iterations=2)
+    assert np.abs(div[fluid_core]).max() < 1e-4
+    # flow speeds up beside the disc (continuity): u above the disc > inflow
+    u = np.asarray(out.components[1])
+    assert u[26, 16] > 1.05
+
+
+def test_flow_step_with_obstacle_stable():
+    n = 24
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n)), jnp.ones((n, n))), periodic=(True, True)
+    )
+    state = FlowState(velocity=vel)
+    obs = Obstacle(Sphere(center=(12.0, 12.0), radius=4.0))
+    for _ in range(3):
+        state = incompressible_flow_step(
+            state, domain, dt=0.5, obstacles=[obs], tol=1e-6
+        )
+    for c in state.velocity.components:
+        assert bool(jnp.all(jnp.isfinite(c)))
