@@ -161,13 +161,21 @@ def incompressible_flow_step(
     accessible_mask=None,
     tol=1e-5,
     obstacles=(),
+    density_effects=(),
+    velocity_effects=(),
 ) -> FlowState:
     """One operator-splitting step: advect density & velocity, apply
-    buoyancy/forces, project (IncompressibleFlow.step, fluid.py:92-118)."""
+    effects/buoyancy/forces, project (IncompressibleFlow.step,
+    fluid.py:92-118: density_effects apply to the advected density,
+    velocity_effects to the velocity before projection)."""
+    from diffpiso_tpu.physics.effect import effect_applied
+
     vel = state.velocity
     density = state.density
     if density is not None:
         density = advect_centered(density, vel, dt, domain.dx)
+        for eff in density_effects:
+            density = effect_applied(eff, density, dt)
     vel = advect_semi_lagrangian(vel, vel, dt, domain.dx)
     # buoyancy_factor may be a traced value (live EditableValue controls feed
     # it through jit) — never branch on its value, only on None
@@ -178,6 +186,8 @@ def incompressible_flow_step(
         )
     if forces is not None:
         vel = vel + forces * dt
+    for eff in velocity_effects:
+        vel = effect_applied(eff, vel, dt)
     vel, _ = divergence_free(
         vel, domain, accessible_mask, tol=tol, obstacles=obstacles
     )

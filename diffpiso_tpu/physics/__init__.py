@@ -24,6 +24,20 @@ from diffpiso_tpu.physics.schroedinger import (
     wave_packet,
 )
 from diffpiso_tpu.physics.fluid import IncompressibleFlow
+from diffpiso_tpu.physics.effect import (
+    ADD,
+    FIX,
+    GROW,
+    Accelerator,
+    ColdSource,
+    ConstantVelocity,
+    Fan,
+    FieldEffect,
+    Gravity,
+    HeatSource,
+    Inflow,
+    effect_applied,
+)
 from diffpiso_tpu.physics.obstacle import (
     GeometryMovement,
     Obstacle,
@@ -54,6 +68,9 @@ __all__ = [
     "step_potential",
     "wave_packet",
     "IncompressibleFlow",
+    "ADD", "FIX", "GROW",
+    "Accelerator", "ColdSource", "ConstantVelocity", "Fan", "FieldEffect",
+    "Gravity", "HeatSource", "Inflow", "effect_applied",
     "GeometryMovement",
     "Obstacle",
     "apply_obstacle_velocities",
