@@ -471,12 +471,12 @@ def workload_training(args):
         advection_tol=args.tol, pressure_tol=args.tol,
         network_dtype=getattr(args, "network_dtype", None),
     )
+    batch = getattr(args, "batch", 1) or 1
     rollout_fn = make_rollout_fn(setup, cfg)
     loss_fn = make_loss_fn(setup, cfg, rollout_fn)
     optimizer = optax.adam(1e-5)
     params = init_fullyconv(jax.random.PRNGKey(0), in_channels=4)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(loss_fn, optimizer)
 
     vel0, p0 = setup.initial_state()
     perts = jnp.stack(
@@ -487,6 +487,20 @@ def workload_training(args):
         None, vel0, p0, perts
     )
     targets = vels
+
+    if batch > 1:
+        # data-parallel batch on ONE chip (make_batched_train_step, the
+        # designed-in fix for the reference's supports_batch=False): vmap
+        # amortizes the ~30 us/launch overhead across samples
+        from diffpiso_tpu.learning.training import make_batched_train_step
+
+        train_step = make_batched_train_step(loss_fn, optimizer)
+        stack = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * batch), t
+        )
+        vel0, p0, targets, perts = map(stack, (vel0, p0, targets, perts))
+    else:
+        train_step = make_train_step(loss_fn, optimizer)
 
     params, opt_state, loss, parts, warn = train_step(
         params, opt_state, vel0, p0, targets, perts
@@ -500,16 +514,22 @@ def workload_training(args):
         )
     jax.block_until_ready(loss)
     per_iter = (time.perf_counter() - t0) / reps
+    samples_s = batch / per_iter
     print(
-        f"[bench] training: {1.0/per_iter:.2f} iterations/s "
-        f"({cfg.step_count/per_iter:.1f} unrolled steps/s), loss={float(loss):.4g}, "
-        f"warn={bool(warn)}",
+        f"[bench] training (batch {batch}): {1.0/per_iter:.2f} iterations/s "
+        f"({samples_s:.2f} samples/s, {cfg.step_count*batch/per_iter:.1f} "
+        f"unrolled sample-steps/s), loss={float(jnp.mean(loss)):.4g}, "
+        f"warn={bool(jnp.any(warn))}",
         file=sys.stderr,
     )
     return {
-        "workload": f"closure training iteration {res[0]}x{res[1]}, 10-step unroll, 4 losses, Adam",
+        "workload": (
+            f"closure training iteration {res[0]}x{res[1]}, 10-step unroll, "
+            f"4 losses, Adam, batch {batch}"
+        ),
         "train_iterations_per_sec": round(1.0 / per_iter, 3),
-        "unrolled_steps_per_sec": round(cfg.step_count / per_iter, 3),
+        "samples_per_sec": round(samples_s, 3),
+        "unrolled_steps_per_sec": round(cfg.step_count * batch / per_iter, 3),
     }
 
 
@@ -530,6 +550,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small CPU smoke run")
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--spinup", type=int, default=2000, help="cavity spin-up steps")
+    ap.add_argument(
+        "--batch", type=int, default=1,
+        help="data-parallel batch for the training workload (vmap on one chip)",
+    )
     ap.add_argument(
         "--network-dtype", default=None, dest="network_dtype",
         help="closure-CNN compute dtype for the training workload "

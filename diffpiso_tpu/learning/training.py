@@ -275,7 +275,16 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
             valid = jnp.logical_and(~warn, jnp.isfinite(loss) & g_finite)
             return loss, warn, parts, g, valid
 
-        losses, warns, parts, grads, valids = jax.vmap(one)(vel0, p0, targets, perts)
+        # vmap and the fused Pallas kernels don't compose (batching the
+        # kernels' SMEM scalar blocks is unsupported), and vmap already
+        # amortizes the per-launch overhead the kernels exist to avoid —
+        # trace the batched rollouts through the XLA roll/reduction path
+        from diffpiso_tpu.ops.pallas_stencil import no_pallas
+
+        with no_pallas():
+            losses, warns, parts, grads, valids = jax.vmap(one)(
+                vel0, p0, targets, perts
+            )
         w = valids.astype(losses.dtype)
         denom = jnp.maximum(jnp.sum(w), 1.0)
         loss = jnp.sum(jnp.where(valids, losses, 0.0)) / denom
