@@ -33,13 +33,33 @@ class CheckpointManager:
     (pickle-npz fallback). `keep` bounds retained step checkpoints; tagged
     checkpoints (save_tag/restore_tag) are never pruned."""
 
-    def __init__(self, directory: str, keep: int = 5, use_orbax: Optional[bool] = None):
+    def __init__(
+        self,
+        directory: str,
+        keep: int = 5,
+        use_orbax: Optional[bool] = None,
+        async_save: bool = False,
+    ):
+        """async_save=True writes step/tag checkpoints on orbax's background
+        thread so the training loop never blocks on IO (call wait() before
+        reading a just-saved checkpoint or exiting)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.keep = keep
         self.use_orbax = _ORBAX if use_orbax is None else use_orbax
+        self.async_save = async_save and self.use_orbax
         if self.use_orbax:
             self._ckptr = ocp.PyTreeCheckpointer()
+            self._async_ckptr = (
+                ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                if self.async_save
+                else None
+            )
+
+    def wait(self):
+        """Block until all in-flight async saves are durable."""
+        if self.async_save and self._async_ckptr is not None:
+            self._async_ckptr.wait_until_finished()
 
     # -- step checkpoints ------------------------------------------------------
     def _step_path(self, step: int) -> str:
@@ -97,7 +117,11 @@ class CheckpointManager:
             import shutil
 
             if os.path.exists(path):
+                self.wait()  # an in-flight save may own this path
                 shutil.rmtree(path)
+            if self.async_save:
+                self._async_ckptr.save(path, state)
+                return
             self._ckptr.save(path, state)
         else:
             import jax
@@ -111,6 +135,7 @@ class CheckpointManager:
 
     def _read(self, path: str, target: Any = None) -> Any:
         if self.use_orbax:
+            self.wait()  # never read a checkpoint that is still landing
             if target is not None:
                 return self._ckptr.restore(path, item=target)
             return self._ckptr.restore(path)

@@ -87,3 +87,25 @@ def test_checkpoint_tags(tmp_path):
     mgr.save_tag("model_last_working", {"w": jnp.ones(3)})
     out = mgr.restore_tag("model_last_working")
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+
+def test_async_checkpoint_save_restore(tmp_path):
+    """async_save=True: saves land on orbax's background thread; wait()
+    makes them durable; reads self-synchronize."""
+    import numpy as np
+
+    from diffpiso_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), async_save=True)
+    state = {"w": jnp.arange(6.0), "step": np.int64(3)}
+    mgr.save(3, state)
+    mgr.save_tag("last_working", state)
+    # restore without an explicit wait(): _read synchronizes itself
+    out = mgr.restore(3)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.arange(6.0))
+    out2 = mgr.restore_tag("last_working")
+    assert int(out2["step"]) == 3
+    # overwriting an async-saved tag must not race the in-flight write
+    mgr.save_tag("last_working", {"w": jnp.zeros(6), "step": np.int64(4)})
+    mgr.wait()
+    assert int(mgr.restore_tag("last_working")["step"]) == 4
