@@ -49,7 +49,8 @@ def divergence_free(
 
         velocity = apply_obstacle_velocities(velocity, obstacles, domain.box)
         accessible_mask = obstacle_accessible_mask(
-            obstacles, domain.resolution, domain.box, accessible_mask
+            obstacles, domain.resolution, domain.box, accessible_mask,
+            periodic=domain.periodic,
         )
     dx = domain.dx
     div = fv_divergence(velocity, dx) / (dx[0] * dx[1])  # point divergence
@@ -69,23 +70,46 @@ def divergence_free(
     # unobstructed box)
     ny, nx = domain.resolution
     if accessible_mask is None:
+        # assemble_pressure_laplacian reads neighbor masks through the pad
+        # ring, which must WRAP on periodic axes (else wrap links get
+        # dropped while the gradient wraps, leaving O(1) divergence in the
+        # wrap columns). Bounded axes keep the OPEN default: active ring 0,
+        # accessible ring 1 (Dirichlet ghost pressure).
         accessible_mask = jnp.ones((ny + 2, nx + 2), jnp.float32)
-        active = jnp.zeros((ny + 2, nx + 2), jnp.float32).at[1:-1, 1:-1].set(1)
+        active = jnp.ones((ny, nx), jnp.float32)
+        for d in range(2):
+            pads = [(0, 0), (0, 0)]
+            pads[d] = (1, 1)
+            active = jnp.pad(
+                active, pads, mode="wrap" if domain.periodic[d] else "constant"
+            )
     else:
         active = accessible_mask
-    if all(domain.periodic):
-        # unique faces on periodic axes
-        influence = StaggeredField(
-            (
-                jnp.ones((ny, nx), velocity.dtype),
-                jnp.ones((ny, nx), velocity.dtype),
-            ),
-            periodic=domain.periodic,
-        )
+    # per-axis face layout: unique faces on periodic axes, +1 duplicated
+    # face on bounded axes (handles mixed periodicity, e.g. channels)
+    comps = []
+    for d in range(2):
+        shape = [ny, nx]
+        if not domain.periodic[d]:
+            shape[d] += 1
+        comps.append(jnp.ones(tuple(shape), velocity.dtype))
+    influence = StaggeredField(tuple(comps), periodic=domain.periodic)
+    # the system is singular (all-Neumann) only when no open boundary exists
+    # — OPEN domains get Dirichlet-like ring rows that absorb net flux, and
+    # deflating/shifting THOSE corrupts the solve (constant residual). Use
+    # the reference's mask auto-detect (piso_cuda_pressure_solver.py:84-87)
+    # when the masks are concrete; traced masks fall back to the
+    # conservative singular treatment.
+    from diffpiso_tpu.ops.laplace import detect_rank_deficiency
+
+    if isinstance(active, jax.core.Tracer) or isinstance(
+        accessible_mask, jax.core.Tracer
+    ):
+        deficient = True
     else:
-        influence = centered_to_staggered(jnp.ones((ny, nx), velocity.dtype))
+        deficient = bool(detect_rank_deficiency(active, accessible_mask))
     lap = assemble_pressure_laplacian(
-        influence, active, accessible_mask, domain.periodic, rank_deficient=True
+        influence, active, accessible_mask, domain.periodic, rank_deficient=deficient
     )
 
     # hard boundary conditions: a face is open only if BOTH adjacent cells
@@ -107,7 +131,7 @@ def divergence_free(
         tol=tol,
         max_iter=max_iter,
         residual_reset=50,
-        deflate_mean=True,
+        deflate_mean=deficient,
     )
     q = res.x
     comps_fd = []
@@ -116,9 +140,14 @@ def divergence_free(
             # unique faces: grad at face i = (q_i - q_{i-1}) / dx, wrapped
             gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
         else:
+            # zero ghost values: the Laplacian's boundary rows treat the
+            # ring pressure as 0 (Dirichlet for OPEN boundaries), so the
+            # face gradient must use the same ghost convention or the
+            # projection leaves O(1) divergence in boundary rows. Closed
+            # faces are zeroed by face_acc regardless.
             pad = [(0, 0)] * 2
             pad[d] = (1, 1)
-            qp = jnp.pad(q, pad, mode="edge")
+            qp = jnp.pad(q, pad)
             lo = jax.lax.slice_in_dim(qp, 0, qp.shape[d] - 1, axis=d)
             hi = jax.lax.slice_in_dim(qp, 1, qp.shape[d], axis=d)
             gq = (hi - lo) / dx[d]

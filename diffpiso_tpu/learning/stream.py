@@ -205,8 +205,12 @@ class ElementwiseOperationStream(DerivedStream):
 
 class FrameSelect(DerivedStream):
     """Re-index the input stream's frames (stream.py:154-199). `selector` is
-    a frame index, a list of indices, or a function mapping the full frame
-    list to the selected sub-list."""
+    a FRAME NUMBER, a list of frame numbers, or a function mapping the full
+    frame-number list (as returned by `frames()`) to the selected sub-list.
+    Selected frame numbers are translated to positions of the underlying
+    stream in get(), so non-contiguous / non-zero-based frame numbering
+    works (the reference conflates numbers with positions and silently
+    breaks for such scenes)."""
 
     def __init__(self, selector, stream):
         super().__init__([stream])
@@ -232,8 +236,17 @@ class FrameSelect(DerivedStream):
         return self._selected(source)
 
     def get(self, source, indices):
+        base = list(self.stream.frames(source))
+        pos = {f: i for i, f in enumerate(base)}
         sel = self._selected(source)
-        return self.stream.get(source, [sel[i] for i in indices])
+        try:
+            positions = [pos[sel[i]] for i in indices]
+        except KeyError as e:
+            raise KeyError(
+                f"FrameSelect: selected frame {e.args[0]} is not among the "
+                f"underlying stream's frames (first few: {base[:5]})"
+            ) from None
+        return self.stream.get(source, positions)
 
 
 class MantaScalar(DerivedStream):
@@ -270,7 +283,7 @@ def consecutive_frames(stream, n: int) -> Tuple[FrameSelect, ...]:
     (state, target_1, ..., target_{n-1}) tuples for unrolled training."""
     stream = _as_stream(stream)
     return tuple(
-        FrameSelect(lambda frames, i=i: list(range(i, len(frames) - n + 1 + i)), stream)
+        FrameSelect(lambda frames, i=i: frames[i : len(frames) - n + 1 + i], stream)
         for i in range(n)
     )
 

@@ -484,7 +484,12 @@ def training_run(
                     state = _train_ckpt_state(
                         params, opt_state, epoch, it, lr, loss_history, val_history
                     )
-                    mgr.save(global_step, state)
+                    # it == 0 would collide with the previous epoch-end save
+                    # (global_step epoch*len == (prev_epoch+1)*len) and
+                    # silently overwrite it — the epoch-boundary state is
+                    # already durable, so only the rolling tag updates here
+                    if it > 0:
+                        mgr.save(global_step, state)
                     mgr.save_tag("last_working", state)
                     np.savez(
                         os.path.join(base_dir, "training_loss_progression.npz"),

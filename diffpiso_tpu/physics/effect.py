@@ -107,10 +107,11 @@ def Accelerator(
     acceleration: Sequence[float],
     resolution,
     box: Optional[Box] = None,
-    periodic: Tuple[bool, ...] = (False, False),
+    periodic: Optional[Tuple[bool, ...]] = None,
 ):
     """Continuous body force on the velocity inside a region
     (effect.py:63; Fan is its deprecated alias, :69)."""
+    periodic = periodic or (False,) * len(resolution)
     m = geometry_mask(geometry, resolution, box, antialias=True)
     return FieldEffect(
         _staggered_from_centered(m, tuple(acceleration), periodic), mode=GROW
@@ -125,9 +126,10 @@ def ConstantVelocity(
     velocity: Sequence[float],
     resolution,
     box: Optional[Box] = None,
-    periodic: Tuple[bool, ...] = (False, False),
+    periodic: Optional[Tuple[bool, ...]] = None,
 ):
     """Clamp the velocity to a constant inside the region (effect.py:64)."""
+    periodic = periodic or (False,) * len(resolution)
     m = geometry_mask(geometry, resolution, box, antialias=True)
     mask_st = _staggered_from_centered(m, (1.0,) * len(resolution), periodic)
     value_st = StaggeredField(

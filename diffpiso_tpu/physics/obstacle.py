@@ -72,10 +72,15 @@ def obstacle_accessible_mask(
     resolution: Sequence[int],
     box: Box | None = None,
     base_mask: jax.Array | None = None,
+    periodic: Sequence[bool] | None = None,
 ) -> jax.Array:
     """(res+2)-padded accessible/active mask with obstacle cells carved out
     (fluid.py:230-236: active = 1 - obstacle mask). `base_mask` defaults to
-    all-accessible with a closed ring."""
+    all-accessible with a closed ring. On periodic axes the pad ring is
+    re-wrapped AFTER carving — the Laplacian assembly reads neighbor masks
+    through the padding, so a stale all-ones ring would keep wrap links into
+    solid cells that the face-accessibility filter closes, making the
+    pressure system inconsistent (CG diverges)."""
     res = tuple(int(r) for r in resolution)
     if base_mask is None:
         base_mask = jnp.ones(tuple(r + 2 for r in res), jnp.float32)
@@ -85,7 +90,21 @@ def obstacle_accessible_mask(
         union(tuple(o.geometry for o in obstacles)), res, box, antialias=False
     )
     interior = tuple(slice(1, -1) for _ in res)
-    return base_mask.at[interior].set(base_mask[interior] * (1.0 - solid))
+    out = base_mask.at[interior].set(base_mask[interior] * (1.0 - solid))
+    if periodic is not None:
+        for ax, per in enumerate(periodic):
+            if not per:
+                continue
+            n = res[ax]
+            lo = [slice(None)] * out.ndim
+            hi = [slice(None)] * out.ndim
+            src_hi = [slice(None)] * out.ndim
+            src_lo = [slice(None)] * out.ndim
+            lo[ax], src_hi[ax] = 0, n  # ring row 0 <- last interior row
+            hi[ax], src_lo[ax] = n + 1, 1  # ring row n+1 <- first interior row
+            out = out.at[tuple(lo)].set(out[tuple(src_hi)])
+            out = out.at[tuple(hi)].set(out[tuple(src_lo)])
+    return out
 
 
 def apply_obstacle_velocities(
@@ -116,10 +135,10 @@ def apply_obstacle_velocities(
                 )
             mesh = jnp.meshgrid(*coords, indexing="ij")
             pts = jnp.stack(mesh, axis=-1)
-            m = obs.geometry.lies_inside(pts).astype(comp.dtype)
-            # smooth one-cell ramp via signed distance
+            # smooth one-cell ramp via signed distance (the antialiased mask
+            # of fluid.py:242)
             sd = obs.geometry.approximate_signed_distance(pts)
-            m = jnp.clip(0.5 - sd / min(dx), 0.0, 1.0)
+            m = jnp.clip(0.5 - sd / min(dx), 0.0, 1.0).astype(comp.dtype)
             target = jnp.asarray(obs.velocity[d], comp.dtype)
             if obs.angular_velocity:
                 # rigid rotation omega z-hat x r, CCW in (x, y):

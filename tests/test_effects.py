@@ -85,3 +85,13 @@ def test_effects_in_flow_step():
     d = np.asarray(state.density)
     assert d.max() > 1.0  # inflow filled smoke
     assert np.all(np.isfinite(np.asarray(state.velocity.components[0])))
+
+
+def test_accelerator_3d_defaults():
+    """Review regression: rank-generic periodic default (previously a 2-tuple
+    hardcode crashed 3-D construction)."""
+    fan = Accelerator(
+        Sphere(center=(4.0, 4.0, 4.0), radius=2.0), (0.0, 0.0, 1.0), (8, 8, 8)
+    )
+    assert len(fan.field.components) == 3
+    assert float(fan.field.components[2][4, 4, 4]) > 0.5

@@ -98,3 +98,49 @@ def test_flow_step_with_obstacle_stable():
         )
     for c in state.velocity.components:
         assert bool(jnp.all(jnp.isfinite(c)))
+
+
+def test_obstacle_at_periodic_wrap_edge():
+    """Review regression: an obstacle touching the periodic wrap boundary
+    must re-wrap the mask pad ring, else the Laplacian keeps wrap links into
+    solid cells and CG diverges (max|div| ~ 1e22 before the fix)."""
+    n = 32
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n)), jnp.ones((n, n))), periodic=(True, True)
+    )
+    obs = Obstacle(Sphere(center=(16.0, 0.0), radius=5.0))  # straddles x wrap
+    out, q = divergence_free(vel, domain, tol=1e-7, obstacles=[obs])
+    div = np.asarray(fv_divergence(out, domain.dx))
+    mask = np.asarray(
+        obstacle_accessible_mask([obs], (n, n), domain.box, periodic=(True, True))
+    )[1:-1, 1:-1]
+    from scipy.ndimage import binary_erosion
+
+    fluid_core = binary_erosion(mask > 0.5, iterations=2)
+    assert np.isfinite(div).all()
+    assert np.abs(div[fluid_core]).max() < 1e-4
+
+
+def test_divergence_free_mixed_periodicity():
+    """Review regression: channel layout (bounded y, periodic x) must build
+    per-axis face layouts — previously crashed with a shape mismatch."""
+    from diffpiso_tpu.fields import OPEN
+
+    n = 16
+    domain = Domain(
+        (n, n), Box.from_size((float(n), float(n))), boundaries=(OPEN, PERIODIC)
+    )
+    assert domain.periodic == (False, True)
+    rng = np.random.RandomState(0)
+    vel = StaggeredField(
+        (
+            jnp.asarray(rng.randn(n + 1, n), jnp.float32),
+            jnp.asarray(rng.randn(n, n), jnp.float32),
+        ),
+        periodic=(False, True),
+    )
+    out, q = divergence_free(vel, domain, tol=1e-7)
+    div = np.asarray(fv_divergence(out, domain.dx))
+    # interior divergence at solver tolerance
+    assert np.abs(div[1:-1, :]).max() < 1e-4

@@ -105,3 +105,22 @@ def test_manta_scalar_crop(tmp_path):
     assert a.shape == (4, 6)
     np.testing.assert_allclose(a, 2.0)
     assert cropped.size(src) == 6
+
+
+def test_frame_select_non_contiguous_frames(tmp_path):
+    """Review regression: frame numbers that are strided / non-zero-based
+    must select by FRAME NUMBER, not list position (the reference conflates
+    the two and silently reads wrong frames)."""
+    scene = Scene.create(str(tmp_path), "sim")
+    for f in (100, 110, 120, 130):
+        scene.write({"velocity": np.full((2, 2), f, np.float32)}, frame=f)
+    src = SceneSource(scene)
+    vel = SourceStream("velocity")
+    sel = FrameSelect(lambda frames: frames[-2:], vel)  # frames 120, 130
+    np.testing.assert_allclose(sel.get(src, [0])[0], 120.0)
+    np.testing.assert_allclose(sel.get(src, [1])[0], 130.0)
+    one = FrameSelect(110, vel)  # a frame NUMBER
+    np.testing.assert_allclose(one.get(src, [0])[0], 110.0)
+    s0, s1 = consecutive_frames("velocity", 2)
+    np.testing.assert_allclose(s0.get(src, [1])[0], 110.0)
+    np.testing.assert_allclose(s1.get(src, [1])[0], 120.0)
