@@ -30,15 +30,23 @@ def divergence_free(
     tol=1e-5,
     max_iter: int = 2000,
     obstacles=(),
+    rank_deficient: Optional[bool] = None,
 ):
     """Project a staggered velocity onto its divergence-free part
     (fluid.py:203-250). Periodic boxes use the exact spectral solve; bounded
     domains run CG on the masked unit-coefficient Laplacian.
 
     obstacles — sequence of physics.obstacle.Obstacle: their cells leave the
-    active mask and moving obstacles imprint their rigid-body velocity
-    before the solve (fluid.py:230-244). Obstacles force the bounded CG
-    path (the spectral inverse assumes an unobstructed periodic box).
+    active mask; hard boundary conditions are applied to the input velocity
+    FIRST and the rigid-body velocities of moving obstacles are imprinted
+    AFTER (fluid.py:239-244) so the imprinted surface/normal velocities
+    survive into the divergence source. Obstacles force the bounded CG path
+    (the spectral inverse assumes an unobstructed periodic box).
+
+    rank_deficient — pass an explicit singularity flag when the masks are
+    traced values (jit/vmap arguments): the auto-detect
+    (piso_cuda_pressure_solver.py:84-87) needs concrete masks, and the
+    conservative all-Neumann fallback corrupts OPEN-domain solves.
 
     Returns (velocity_div_free, pressure-like potential)."""
     if obstacles:
@@ -47,7 +55,6 @@ def divergence_free(
             obstacle_accessible_mask,
         )
 
-        velocity = apply_obstacle_velocities(velocity, obstacles, domain.box)
         accessible_mask = obstacle_accessible_mask(
             obstacles, domain.resolution, domain.box, accessible_mask,
             periodic=domain.periodic,
@@ -102,10 +109,17 @@ def divergence_free(
     # conservative singular treatment.
     from diffpiso_tpu.ops.laplace import detect_rank_deficiency
 
-    if isinstance(active, jax.core.Tracer) or isinstance(
+    if rank_deficient is not None:
+        deficient = bool(rank_deficient)
+    elif isinstance(active, jax.core.Tracer) or isinstance(
         accessible_mask, jax.core.Tracer
     ):
-        deficient = True
+        raise ValueError(
+            "divergence_free: masks are traced values, so singularity cannot "
+            "be auto-detected at trace time — pass rank_deficient explicitly "
+            "(True for all-Neumann/closed-periodic domains, False when an "
+            "open boundary absorbs net flux)."
+        )
     else:
         deficient = bool(detect_rank_deficiency(active, accessible_mask))
     lap = assemble_pressure_laplacian(
@@ -115,14 +129,24 @@ def divergence_free(
     # hard boundary conditions: a face is open only if BOTH adjacent cells
     # are accessible (PoissonDomain.with_hard_boundary_conditions,
     # solver_api.py:114-122) — zeroing velocity through solid faces is what
-    # puts the obstacle's blockage into the divergence source. The pressure
-    # correction passes through the same filter, so solid faces stay solid.
+    # puts a stationary obstacle's blockage into the divergence source.
     face_acc = _face_accessibility(accessible_mask, domain.periodic, (ny, nx))
     velocity = StaggeredField(
         tuple(v * f for v, f in zip(velocity.components, face_acc)),
         periodic=velocity.periodic,
     )
+    # moving obstacles imprint their rigid-body velocity AFTER the face
+    # filter (fluid.py:239-244): the imprinted surface velocities are the
+    # divergence forcing that actually pushes the fluid — filtering after
+    # the imprint would wipe them and the obstacle would barely move flow.
+    if obstacles:
+        velocity = apply_obstacle_velocities(velocity, obstacles, domain.box)
     div = fv_divergence(velocity, dx) / (dx[0] * dx[1])
+    # zero the rhs on inactive (solid) cells: their Laplacian rows are empty,
+    # so any imprint-ramp divergence left inside the solid would make the
+    # system inconsistent and CG diverges (q ~ 1e6 at surface-adjacent solid
+    # cells before this mask)
+    div = div * active[1:-1, 1:-1]
     from diffpiso_tpu.ops.laplace import apply_laplacian
 
     res = cg(
@@ -192,11 +216,14 @@ def incompressible_flow_step(
     obstacles=(),
     density_effects=(),
     velocity_effects=(),
+    rank_deficient=None,
 ) -> FlowState:
     """One operator-splitting step: advect density & velocity, apply
-    effects/buoyancy/forces, project (IncompressibleFlow.step,
-    fluid.py:92-118: density_effects apply to the advected density,
-    velocity_effects to the velocity before projection)."""
+    effects, then buoyancy/forces, project (IncompressibleFlow.step,
+    fluid.py:92-118: density_effects apply to the advected density;
+    velocity_effects apply BEFORE buoyancy is added, fluid.py:104-109, so a
+    FIX-mode effect region reads `value + buoyancy` rather than clamping
+    the buoyancy away)."""
     from diffpiso_tpu.physics.effect import effect_applied
 
     vel = state.velocity
@@ -206,6 +233,8 @@ def incompressible_flow_step(
         for eff in density_effects:
             density = effect_applied(eff, density, dt)
     vel = advect_semi_lagrangian(vel, vel, dt, domain.dx)
+    for eff in velocity_effects:
+        vel = effect_applied(eff, vel, dt)
     # buoyancy_factor may be a traced value (live EditableValue controls feed
     # it through jit) — never branch on its value, only on None
     if density is not None and buoyancy_factor is not None:
@@ -215,10 +244,9 @@ def incompressible_flow_step(
         )
     if forces is not None:
         vel = vel + forces * dt
-    for eff in velocity_effects:
-        vel = effect_applied(eff, vel, dt)
     vel, _ = divergence_free(
-        vel, domain, accessible_mask, tol=tol, obstacles=obstacles
+        vel, domain, accessible_mask, tol=tol, obstacles=obstacles,
+        rank_deficient=rank_deficient,
     )
     return FlowState(velocity=vel, density=density)
 

@@ -54,7 +54,9 @@ def assembly_eligible(resolution, rank, dtype) -> bool:
     if jnp.dtype(dtype).itemsize > 4:
         return False
     ny, nx = resolution
-    return _pick_tile(ny) is not None and nx % 128 == 0
+    # ~16 resident planes (11 in + 5 out) double-buffered across the grid
+    itemsize = jnp.dtype(dtype).itemsize
+    return _pick_tile(ny, nx, itemsize, planes=16) is not None and nx % 128 == 0
 
 
 def _mk_kernel(periodic, tile, res):
@@ -112,7 +114,7 @@ def fused_laplace_assembly(comp_y, comp_x, mask_planes, periodic, res, dtype):
     0/1 planes. Returns (center, lo_y, hi_y, lo_x, hi_x, sum_abs_diag)."""
     ny, nx = res
     py, px = periodic
-    tile = _pick_tile(ny)
+    tile = _pick_tile(ny, nx, jnp.dtype(dtype).itemsize, planes=16)
     n_tiles = ny // tile
     tpb = tile // 8
     nb8y = comp_y.shape[0] // 8  # sliver indexing over comp_y's own rows

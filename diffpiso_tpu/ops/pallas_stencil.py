@@ -7,10 +7,13 @@ of x; this kernel keeps x and the five coefficient planes in VMEM and does
 one fused multiply-accumulate pass, with the circular shifts done in-core
 (pltpu.roll), so HBM traffic is exactly 6 reads + 1 write of the plane.
 
-Grids up to VMEM capacity run as a single block (a 512^2 f32 system is 7
-planes x 1 MiB); larger grids fall back to the XLA roll path (a row-tiled
-halo variant is the natural extension once >1k^2 single-chip grids matter —
-multi-chip sharding kicks in well before that).
+Two dispatch modes: small planes run as a single monolithic block (all 7
+planes resident in VMEM); larger row-tileable planes use the row-tiled halo
+variant below (128-row tiles with 8-row modular wrap slivers), whose grid
+pipeline double-buffers the HBM<->VMEM DMA and wins at 512^2 and above.
+Planes too wide for even an 8-row double-buffered tile (~7*2*8*nx*4 B over
+the VMEM budget) fall back to the XLA roll path rather than failing Mosaic
+compilation.
 """
 
 from __future__ import annotations
@@ -101,8 +104,8 @@ def pallas_eligible(shape, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if itemsize > 4:  # float64 path stays on XLA
         return False
-    if _pick_tile(shape[0]) is not None:
-        return True  # row-tiled path: VMEM holds ~8 tiles, not the plane
+    if _pick_tile(shape[0], shape[1], itemsize, planes=8) is not None:
+        return True  # row-tiled path: VMEM holds ~8 double-buffered tiles
     return 7 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
 
 
@@ -151,12 +154,19 @@ def _tiled_kernel_T(
     z_ref[:] = z
 
 
-def _pick_tile(ny: int):
+def _pick_tile(ny: int, nx: int | None = None, itemsize: int = 4, planes: int = 7):
     # 128 rows measured fastest at 512^2..1024^2 (microbench in the r2 tiled
-    #-kernel commit); larger tiles pipeline less, smaller ones launch more
+    #-kernel commit); larger tiles pipeline less, smaller ones launch more.
+    # When nx is given, the tile must also fit the grid pipeline's VMEM
+    # working set — ~`planes` double-buffered (tile, nx) blocks — or wide
+    # planes (nx >= ~4096 at tile 128, f32) fail Mosaic compilation instead
+    # of falling back; shrink the tile until it fits.
     for t in (128, 256, 64, 32, 16, 8):
-        if ny % t == 0 and ny // t >= 2:
-            return t
+        if ny % t != 0 or ny // t < 2:
+            continue
+        if nx is not None and planes * 2 * t * nx * itemsize > _VMEM_BUDGET_BYTES:
+            continue
+        return t
     return None
 
 
@@ -190,7 +200,7 @@ def _pallas_matvec_tiled(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool, til
 def _pallas_matvec(center, lo_y, hi_y, lo_x, hi_x, x, transpose: bool):
     ny, nx = x.shape
     itemsize = jnp.dtype(x.dtype).itemsize
-    tile = _pick_tile(ny)
+    tile = _pick_tile(ny, nx, itemsize, planes=8)
     # tiled wherever a tiling exists and the plane is big enough for the
     # pipeline to matter; tiny planes stay monolithic (one launch, no
     # pipeline bubbles to hide)
@@ -305,7 +315,7 @@ def fused_stencil_residual(center, lo, hi, b, x, negate: bool = False,
     max|r| in one launch. Callers gate on pallas_eligible()."""
     ny, nx = x.shape
     itemsize = jnp.dtype(x.dtype).itemsize
-    tile = _pick_tile(ny)
+    tile = _pick_tile(ny, nx, itemsize, planes=8)
     if tile is not None and ny * nx * itemsize >= 256 * 1024:
         n_tiles = ny // tile
         nb8 = ny // 8

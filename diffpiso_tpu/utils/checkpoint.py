@@ -116,8 +116,13 @@ class CheckpointManager:
         if self.use_orbax:
             import shutil
 
+            if self.async_save:
+                # wait unconditionally: an in-flight save targeting this same
+                # path may not have committed yet (tmp dir not renamed), so an
+                # existence check alone would let two saves race — save #1's
+                # background commit then collides with save #2's.
+                self.wait()
             if os.path.exists(path):
-                self.wait()  # an in-flight save may own this path
                 shutil.rmtree(path)
             if self.async_save:
                 self._async_ckptr.save(path, state)

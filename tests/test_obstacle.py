@@ -122,6 +122,70 @@ def test_obstacle_at_periodic_wrap_edge():
     assert np.abs(div[fluid_core]).max() < 1e-4
 
 
+def test_moving_obstacle_forces_flow():
+    """Advisor regression (r2 high): the rigid-body imprint must survive the
+    hard-BC face filter — imprint AFTER filtering (fluid.py:239-244), else a
+    translating obstacle produces almost no divergence forcing. A disc
+    translating in +x through quiescent fluid must push fluid out ahead of
+    it (u > 0 just downstream) and pull fluid in behind (u > 0 just
+    upstream too — the wake follows), with O(U_obs) magnitudes."""
+    n = 48
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n)), jnp.zeros((n, n))), periodic=(True, True)
+    )
+    u_obs = 1.0
+    obs = Obstacle(Sphere(center=(24.0, 20.0), radius=5.0), velocity=(0.0, u_obs))
+    out, q = divergence_free(vel, domain, tol=1e-8, obstacles=[obs])
+    u = np.asarray(out.components[1])
+    # ahead of the disc (x ~ 27..29, y = 24): fluid pushed forward
+    assert u[24, 27] > 0.2 * u_obs, u[24, 25:32]
+    # behind the disc (x ~ 12..14): fluid drawn forward into the vacated space
+    assert u[24, 13] > 0.2 * u_obs, u[24, 10:16]
+    # far field barely disturbed (potential flow decays like 1/r^2)
+    assert abs(u[2, 44]) < 0.1 * u_obs
+    # the projection is still divergence-free away from the disc
+    div = np.asarray(fv_divergence(out, domain.dx))
+    mask = np.asarray(
+        obstacle_accessible_mask([obs], (n, n), domain.box, periodic=(True, True))
+    )[1:-1, 1:-1]
+    from scipy.ndimage import binary_erosion
+
+    fluid_core = binary_erosion(mask > 0.5, iterations=2)
+    assert np.abs(div[fluid_core]).max() < 1e-4
+
+
+def test_divergence_free_rank_deficient_flag_traced_masks():
+    """Advisor regression (r2 low): traced masks used to silently force the
+    singular treatment; now divergence_free takes an explicit flag."""
+    import jax
+    import pytest
+
+    n = 16
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    rng = np.random.RandomState(3)
+    vel = StaggeredField(
+        (
+            jnp.asarray(rng.randn(n, n), jnp.float32),
+            jnp.asarray(rng.randn(n, n), jnp.float32),
+        ),
+        periodic=(True, True),
+    )
+    mask = jnp.ones((n + 2, n + 2), jnp.float32)
+
+    def project(v, m, rd=None):
+        out, _ = divergence_free(v, domain, m, tol=1e-7, rank_deficient=rd)
+        return out
+
+    # traced mask without the flag: loud trace-time error, not silent corruption
+    with pytest.raises(ValueError, match="rank_deficient"):
+        jax.jit(project)(vel, mask)
+    # with the flag: runs and projects
+    out = jax.jit(lambda v, m: project(v, m, rd=True))(vel, mask)
+    div = np.asarray(fv_divergence(out, domain.dx))
+    assert np.abs(div).max() < 1e-4
+
+
 def test_divergence_free_mixed_periodicity():
     """Review regression: channel layout (bounded y, periodic x) must build
     per-axis face layouts — previously crashed with a shape mismatch."""

@@ -104,6 +104,15 @@ def test_eligibility_gating():
     # not the plane); odd row counts can't tile and must fit one VMEM block
     assert pallas_stencil._pick_tile(4096) == 128
     assert pallas_stencil._pick_tile(513) is None
+    # advisor r2 (medium): wide planes must shrink the tile until the ~8
+    # double-buffered (tile, nx) blocks fit VMEM, or go ineligible — a
+    # 128-row tile at nx=4096 f32 is ~29 MiB of pipeline working set and
+    # would fail Mosaic compilation instead of falling back
+    assert pallas_stencil._pick_tile(4096, 4096, 4, planes=8) == 32
+    assert pallas_stencil._pick_tile(4096, 65536, 4, planes=8) is None
+    if jax.default_backend() == "tpu":
+        assert pallas_stencil.pallas_eligible((4096, 4096), jnp.float32)
+        assert not pallas_stencil.pallas_eligible((4096, 65536), jnp.float32)
 
 
 def test_no_pallas_context_gates_all_dispatch(monkeypatch):
