@@ -1,5 +1,7 @@
 from diffpiso_tpu.ops.pallas_stencil import no_pallas
+from diffpiso_tpu.parallel.halo import make_sharded_cg, make_sharded_laplacian_apply
 from diffpiso_tpu.parallel.sharding import (
+    PaddedSpatialLayout,
     make_mesh,
     shard_field,
     shard_piso_args,
@@ -10,6 +12,9 @@ from diffpiso_tpu.parallel.sharding import (
 __all__ = [
     "no_pallas",
     "make_mesh",
+    "make_sharded_cg",
+    "make_sharded_laplacian_apply",
+    "PaddedSpatialLayout",
     "shard_field",
     "shard_piso_args",
     "spatial_spec",
