@@ -1,4 +1,9 @@
-from diffpiso_tpu.core.piso import PisoOutput, SimulationParameters, piso_step
+from diffpiso_tpu.core.piso import (
+    PisoOutput,
+    SimulationParameters,
+    piso_step,
+    zero_adjoint_channels,
+)
 from diffpiso_tpu.core.masks import (
     lid_driven_cavity_masks,
     lid_driven_cavity_masks_3d,
@@ -14,6 +19,7 @@ __all__ = [
     "PisoOutput",
     "SimulationParameters",
     "piso_step",
+    "zero_adjoint_channels",
     "lid_driven_cavity_masks",
     "lid_driven_cavity_masks_3d",
     "mixing_layer_masks",

@@ -88,6 +88,12 @@ class PisoOutput(NamedTuple):
     adv_residual: jax.Array
     p_iterations: jax.Array  # iterations of the two pressure solves (stacked)
     intermediates: Any  # dict when full_output else None
+    # adjoint warm-start channels (solvers/base.py solve_*_ws): present iff
+    # `adjoint_channels` was passed in; wire into the NEXT step's
+    # adjoint_channels through the rollout scan carry. Primal values are
+    # zeros; under reverse-mode AD the chain delivers each backward step's
+    # adjoint solutions to the preceding backward step as warm starts.
+    adjoint_channels: Any = None
 
 
 def piso_step(
@@ -104,9 +110,17 @@ def piso_step(
     advection_tol=1e-6,
     pressure_tol=1e-6,
     full_output: bool = False,
+    adjoint_channels=None,
 ) -> PisoOutput:
     """Advance one PISO step. All args trace under jit; dt/tolerances may be
-    runtime values (the reference feeds them via placeholders)."""
+    runtime values (the reference feeds them via placeholders).
+
+    adjoint_channels — optional (momentum_channel, p1_channel, p2_channel)
+    from the PREVIOUS step's output.adjoint_channels (or zeros-shaped
+    initials, see `zero_adjoint_channels`): enables warm-started adjoint
+    solves in unrolled-gradient rollouts (VERDICT r2 item 8). Forward
+    results are identical; only the backward pass changes (each adjoint
+    solve starts from the succeeding step's adjoint solution)."""
     dx = domain.dx
     dxprod = _math.prod(dx)
     beta = dxprod / dt
@@ -149,9 +163,17 @@ def piso_step(
         ),
         periodic=velocity.periodic,
     )
-    velocity_star, warn = solve_advection_system(
-        sim.linear_solver, stencil, rhs, velocity, advection_tol
-    )
+    if adjoint_channels is not None:
+        from diffpiso_tpu.solvers.base import solve_advection_system_ws
+
+        am_ch, a1_ch, a2_ch = adjoint_channels
+        velocity_star, warn, am_out = solve_advection_system_ws(
+            sim.linear_solver, stencil, rhs, velocity, advection_tol, am_ch
+        )
+    else:
+        velocity_star, warn = solve_advection_system(
+            sim.linear_solver, stencil, rhs, velocity, advection_tol
+        )
 
     # -- corrector 1 --------------------------------------------------------------
     # dx_factor: FV integration of d2p/dx2 over the cell divided by dx for the
@@ -183,9 +205,18 @@ def piso_step(
     active_int = sim.active_mask[tuple(slice(1, -1) for _ in range(len(dx)))]
 
     v1_div = fv_divergence(velocity_star, dx) * active_int
-    p_inc1, iters1, pw1 = solve_pressure_system(
-        sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess, pressure_tol
-    )
+    if adjoint_channels is not None:
+        from diffpiso_tpu.solvers.base import solve_pressure_system_ws
+
+        p_inc1, iters1, pw1, a1_out = solve_pressure_system_ws(
+            sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess,
+            pressure_tol, a1_ch,
+        )
+    else:
+        p_inc1, iters1, pw1 = solve_pressure_system(
+            sim.pressure_solver, laplacian, v1_div, pressure_inc1_guess,
+            pressure_tol,
+        )
 
     grad_p1 = fv_gradient(p_inc1, dx, domain.pressure_pad_modes(), sim.accessible_mask)
     velocity_s2 = velocity_star - StaggeredField(
@@ -203,9 +234,18 @@ def piso_step(
         periodic=velocity.periodic,
     )
     h_div = fv_divergence(h_over, dx) * active_int
-    p_inc2, iters2, pw2 = solve_pressure_system(
-        sim.pressure_solver, laplacian, h_div, pressure_inc2_guess, pressure_tol
-    )
+    if adjoint_channels is not None:
+        from diffpiso_tpu.solvers.base import solve_pressure_system_ws
+
+        p_inc2, iters2, pw2, a2_out = solve_pressure_system_ws(
+            sim.pressure_solver, laplacian, h_div, pressure_inc2_guess,
+            pressure_tol, a2_ch,
+        )
+    else:
+        p_inc2, iters2, pw2 = solve_pressure_system(
+            sim.pressure_solver, laplacian, h_div, pressure_inc2_guess,
+            pressure_tol,
+        )
 
     grad_p2 = fv_gradient(p_inc2, dx, domain.pressure_pad_modes(), sim.accessible_mask)
     velocity_s3 = velocity_s2 + StaggeredField(
@@ -222,13 +262,36 @@ def piso_step(
 
     intermediates = None
     if full_output:
+        # parity with the reference's 17 full_output returns
+        # (piso_tf.py:77-79), matrix-free analogs noted per key. The first
+        # four (velocity_s3, pressure, pressure_inc1/2) and warn are the
+        # regular PisoOutput fields; the rest land here.
         intermediates = dict(
+            # matrix_values/column_indices/row_pointers -> the stencil
+            # coefficient planes (the CSR triplet collapses to per-face
+            # coefficient tensors in the matrix-free design)
             stencil=stencil,
-            laplacian=laplacian,
+            # Aflat -> the diagonal array A (piso_tf.py:29-33)
+            diag_A=stencil.diag_A,
+            # implicit_rhs (piso_tf.py:36-40)
             rhs=rhs,
+            implicit_rhs=rhs,
+            # sol -> the raw predictor solution; identical to velocity_star
+            # here (no flatten/re-stagger round trip exists)
+            sol=velocity_star,
             velocity_star=velocity_star,
             velocity_s2=velocity_s2,
+            # velocity_s3_data -> the output velocity's raw components
+            velocity_s3_data=velocity_s3.components,
+            v1div=v1_div,
             v1_div=v1_div,
+            # Lap1/Lap2 -> assembled once and reused by both correctors (a
+            # deliberate improvement; the reference rebuilds it per solve)
+            Lap1=laplacian,
+            Lap2=laplacian,
+            laplacian=laplacian,
+            # extras beyond the reference's list (debugging the corrector-2
+            # chain): H and its scaled divergence
             h=h,
             h_div=h_div,
         )
@@ -245,4 +308,16 @@ def piso_step(
         adv_residual=jnp.zeros(()),
         p_iterations=jnp.stack([iters1, iters2]),
         intermediates=intermediates,
+        adjoint_channels=(
+            (am_out, a1_out, a2_out) if adjoint_channels is not None else None
+        ),
     )
+
+
+def zero_adjoint_channels(velocity: StaggeredField, pressure: jax.Array):
+    """Initial (momentum, p1, p2) adjoint warm-start channels for a rollout
+    scan carry: zeros shaped like the solver rhs's. See piso_step's
+    `adjoint_channels` and solvers/base.py solve_pressure_system_ws."""
+    zvel = jax.tree_util.tree_map(jnp.zeros_like, velocity)
+    zp = jnp.zeros_like(pressure)
+    return (zvel, zp, zp)

@@ -1,9 +1,20 @@
 """Simulation I/O in the reference's npz conventions.
 
 Scene directories hold `<fieldname>_<frame:06d>.npz` files (PhiFlow's
-fluidformat, phi/data/fluidformat.py; the entry scripts write
-velocity_%06d.npz / pressure_%06d.npz), so data produced by either framework
-is interchangeable."""
+fluidformat, phi/data/fluidformat.py:59-74; the entry scripts write
+velocity_%06d.npz / pressure_%06d.npz), so data produced by either
+framework is interchangeable. The storage conventions are replicated
+exactly (fluidformat.py:21-37):
+
+  * np.savez_compressed, one unnamed array per file; readers take the LAST
+    entry of the npz (fluidformat.py:23).
+  * a leading batch dim of size 1 is squeezed on write and re-added on
+    read (fluidformat.py:24-26,32-33).
+  * channel components are stored in XYZ order; this framework's axis
+    order is (y, x) ["not x_first"], so channel-carrying arrays reverse
+    their last axis on both write and read (fluidformat.py:27-28,35-36).
+  * Scene paths are <dir>/<category>/sim_%06d (fluidformat.py:141).
+"""
 
 from __future__ import annotations
 
@@ -14,38 +25,70 @@ from typing import Dict, Sequence
 import numpy as np
 
 
+def write_zipped_array(filename: str, array: np.ndarray):
+    """Reference-exact npz write (fluidformat.py:31-37): squeeze a leading
+    1-batch, store components XYZ (reverse our y-x channel order when the
+    last dim is a >1 channel axis), savez_compressed."""
+    array = np.asarray(array)
+    if array.ndim > 1 and array.shape[0] == 1:
+        array = array[0, ...]
+    if array.ndim > 1 and array.shape[-1] != 1 and array.shape[-1] <= array.ndim:
+        # heuristic matches the reference: the trailing axis is a component
+        # axis (size <= rank); stored order is always XYZ
+        array = array[..., ::-1]
+    np.savez_compressed(filename, array)
+
+
+def read_zipped_array(filename: str) -> np.ndarray:
+    """Reference-exact npz read (fluidformat.py:21-28): last npz entry,
+    batch dim restored, components flipped back to our y-x order."""
+    with np.load(filename) as f:
+        array = f[f.files[-1]]  # last entry is the data array
+    if array.shape[0] != 1 or array.ndim == 1:
+        array = np.expand_dims(array, axis=0)
+    if array.ndim > 1 and array.shape[-1] != 1 and array.shape[-1] <= array.ndim:
+        array = array[..., ::-1]
+    return array
+
+
+def _filename(directory: str, name: str, frame: int) -> str:
+    # fluidformat.py:72-74: "%s_%06i.npz"
+    return os.path.join(directory, "%s_%06i.npz" % (name, frame))
+
+
 def write_sim_frame(directory: str, arrays: Dict[str, np.ndarray], frame: int):
     os.makedirs(directory, exist_ok=True)
     for name, arr in arrays.items():
-        np.savez(
-            os.path.join(directory, f"{name}_{str(frame).zfill(6)}.npz"),
-            np.asarray(arr),
-        )
+        write_zipped_array(_filename(directory, name, frame), np.asarray(arr))
 
 
 def read_sim_frame(directory: str, fieldnames: Sequence[str], frame: int):
     out = []
     for name in fieldnames:
-        path = os.path.join(directory, f"{name}_{str(frame).zfill(6)}.npz")
-        with np.load(path) as f:
-            out.append(f[f.files[0]])
+        arr = read_zipped_array(_filename(directory, name, frame))
+        # plain planes round-trip without the batch dim for in-framework use
+        out.append(arr[0] if arr.shape[0] == 1 else arr)
     return out
 
 
 class Scene:
     """A simulation output directory with frame-indexed npz fields and a
-    JSON description (the lightweight analog of PhiFlow's Scene)."""
+    JSON description (phi/data/fluidformat.py:130-260 Scene)."""
 
     def __init__(self, directory: str):
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
 
     @staticmethod
-    def create(parent: str, name: str = "sim") -> "Scene":
+    def create(parent: str, name: str = "sim", category: str | None = None) -> "Scene":
+        """Next free <parent>[/<category>]/<name>_%06d directory. With a
+        category this is byte-identical to the reference's Scene.path
+        layout <dir>/<category>/sim_%06d (fluidformat.py:141)."""
+        base = os.path.join(parent, category) if category else parent
         i = 0
-        while os.path.exists(os.path.join(parent, f"{name}_{str(i).zfill(6)}")):
+        while os.path.exists(os.path.join(base, "%s_%06d" % (name, i))):
             i += 1
-        return Scene(os.path.join(parent, f"{name}_{str(i).zfill(6)}"))
+        return Scene(os.path.join(base, "%s_%06d" % (name, i)))
 
     def write(self, arrays: Dict[str, np.ndarray], frame: int):
         write_sim_frame(self.directory, arrays, frame)
@@ -60,6 +103,12 @@ class Scene:
                 out.append(int(f[len(fieldname) + 1 : -4]))
         return out
 
+    def subpath(self, name: str, create: bool = False) -> str:
+        path = os.path.join(self.directory, name)
+        if create:
+            os.makedirs(path, exist_ok=True)
+        return path
+
     def put_description(self, desc: dict):
         with open(os.path.join(self.directory, "description.json"), "w") as f:
             json.dump(desc, f, indent=2, default=str)
@@ -67,6 +116,9 @@ class Scene:
     def get_description(self) -> dict:
         with open(os.path.join(self.directory, "description.json")) as f:
             return json.load(f)
+
+    def exists_config(self) -> bool:
+        return os.path.isfile(os.path.join(self.directory, "description.json"))
 
 
 def save_source(script_path: str, run_dir: str):
