@@ -322,15 +322,21 @@ def workload_turbulence(args):
         args.n, args.tol, p_tol=args.p_tol
     )
     vel, p = initial_state(seed=0)
-    steps_per_call = 5 if args.quick else 25
-    reps = 2 if args.quick else 4
+    # long scan chunks: the tunneled runtime charges ~25-30 ms PER JIT CALL
+    # regardless of chunk length (r3 trace: device executes the scan with
+    # zero idle at ~0.76 ms/step at 512^2); short chunks measure dispatch,
+    # not the solver. Real rollouts run thousands of steps per launch (the
+    # reference's scripts run 400k), so amortizing over 200 is conservative.
+    steps_per_call = 5 if args.quick else 200
+    reps = 2 if args.quick else 3
     fwd_sps, fwd_iters, (vel_d, p_d) = bench_forward(
-        step, vel, p, steps_per_call, reps, spinup_calls=1 if args.quick else 4
+        step, vel, p, steps_per_call, reps, spinup_calls=1
     )
     out = {
         "workload": f"decaying turbulence {args.n}^2 (periodic, random solenoidal IC)",
         "fwd_steps_per_sec": round(fwd_sps, 3),
         "fwd_pressure_iters_per_step": [round(float(x), 2) for x in fwd_iters],
+        "regime": _regime_label(fwd_iters),
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
@@ -340,28 +346,47 @@ def workload_turbulence(args):
     return out
 
 
+def _regime_label(iters):
+    """Honest workload labeling (VERDICT r2 item 5): mean corrector
+    iteration counts < 1 mean warm starts let some steps early-exit."""
+    if all(float(x) >= 1.0 for x in iters):
+        return "every-step-work (all correctors iterate every step)"
+    return (
+        "warm-start regime (mean iters < 1: converged warm-started "
+        "correctors early-exit on some steps)"
+    )
+
+
 def workload_turb3d(args):
     n = 32 if args.quick else min(args.n, 128)
     domain, sim, step, initial_state = build_turbulence_3d(n, args.tol, p_tol=args.p_tol)
     vel, p = initial_state(seed=0)
-    steps_per_call = 5 if args.quick else 25
-    reps = 2 if args.quick else 4
-    fwd_sps, fwd_iters, _ = bench_forward(
+    steps_per_call = 5 if args.quick else 50
+    reps = 2 if args.quick else 3
+    fwd_sps, fwd_iters, (vel_d, p_d) = bench_forward(
         step, vel, p, steps_per_call, reps, spinup_calls=1 if args.quick else 2
     )
-    return {
+    out = {
         "workload": f"3-D decaying turbulence {n}^3 (periodic, random IC projected by spin-up)",
         "fwd_steps_per_sec": round(fwd_sps, 3),
         "fwd_pressure_iters_per_step": [round(float(x), 2) for x in fwd_iters],
+        "regime": _regime_label(fwd_iters),
     }
+    if not args.fwd_only:
+        # grad at scale (VERDICT r2 item 5: the adjoint path must be shown
+        # to scale); unroll shortened to bound the stored-residual memory
+        unroll = 5 if args.quick else 10
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1)
+        out[f"grad{unroll}_steps_per_sec"] = round(grad_sps, 3)
+    return out
 
 
 def workload_cavity(args):
     domain, sim, step = build(args.n, args.tol)
     vel = domain.staggered_grid(0.0)
     p = domain.centered_grid(0.0)
-    steps_per_call = 5 if args.quick else 25
-    reps = 2 if args.quick else 4
+    steps_per_call = 5 if args.quick else 200
+    reps = 2 if args.quick else 3
     # develop the flow: ~2000 steps (round-1 review: bench a developed flow)
     fwd_sps, fwd_iters, (vel_d, p_d) = bench_forward(
         step, vel, p, steps_per_call, reps,
@@ -371,6 +396,7 @@ def workload_cavity(args):
         "workload": f"lid-driven cavity {args.n}^2 (developed, {args.spinup}-step spin-up)",
         "fwd_steps_per_sec": round(fwd_sps, 3),
         "fwd_pressure_iters_per_step": [round(float(x), 2) for x in fwd_iters],
+        "regime": _regime_label(fwd_iters),
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
@@ -395,7 +421,7 @@ def workload_dns(args, hrres=(128, 512)):
         max_iterations=(200, 2000),
     )
     vel, p = setup.initial_state()
-    steps_per_call = 5 if args.quick else 25
+    steps_per_call = 5 if args.quick else 100
 
     @jax.jit
     def run(vel, p, t0):
@@ -442,6 +468,7 @@ def workload_dns(args, hrres=(128, 512)):
         "workload": f"spatial mixing layer DNS {hrres[0]}x{hrres[1]}",
         "fwd_steps_per_sec": round(sps, 3),
         "fwd_pressure_iters_per_step": [round(float(x), 2) for x in mean_iters],
+        "regime": _regime_label(mean_iters),
     }
 
 
@@ -661,12 +688,22 @@ def main():
         )
     else:  # all
         detail = {}
+        if os.path.exists("BENCH_DETAIL.json"):
+            with open("BENCH_DETAIL.json") as f:
+                detail = json.load(f)  # keep roofline etc.
         detail["turb"] = workload_turbulence(args)
         detail["turb3d"] = workload_turb3d(args)
         detail["cavity"] = workload_cavity(args)
         detail["dns_128x512"] = workload_dns(args, (32, 128) if args.quick else (128, 512))
         if not args.quick:
             detail["dns_512x2048"] = workload_dns(args, (512, 2048))
+            # grad at the 1024^2 scale (VERDICT r2 item 5): unroll 10 bounds
+            # the stored-residual memory; per-step adjoint cost is the metric
+            import copy
+
+            a1024 = copy.copy(args)
+            a1024.n = 1024
+            detail["turb_1024"] = workload_turbulence(a1024)
         detail["training"] = workload_training(args)
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=1)

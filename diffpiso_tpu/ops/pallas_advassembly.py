@@ -1,0 +1,247 @@
+"""Fused Pallas TPU kernel for the advection-diffusion stencil assembly.
+
+The r3 roofline (roofline.py, BENCH_DETAIL.json) measured the jnp assembly
+(ops/stencil.py assemble_advection_stencil — the CentralDifferenceMatrixCsr
+redesign, CUDAsrc/central_difference_csr_op.cu.cc:148-453) at 0.57 ms of
+the 1.28 ms 512^2 step — 45%, the single largest phase. The cause is not
+FLOPs: every `_win` slice of the 1-padded velocity planes is an unaligned
+(8,128)-tile relayout that XLA emits as its own kernel + HBM round trip.
+
+This kernel computes, for the UNIFORM-mask periodic case (the decaying-
+turbulence headline: all cells active, no Dirichlet faces, no no-slip
+walls, scalar viscosity), all 12 stencil planes (center, lo_y, hi_y, lo_x,
+hi_x, diag_A for both components) in ONE row-tiled launch reading the two
+velocity planes once:
+
+  flux_lo[c][d] = 0.5*(w_d + w_d shifted +1 along c) * area_d
+  flux_hi[c][d] = flux_lo[c][d] shifted -1 along d
+  lo_d = 0.5*flux_lo + visc_d        hi_d = -0.5*flux_hi + visc_d
+  diag = sum_d 0.5*(flux_lo - flux_hi) - 2*visc_d
+  center = diag - beta               diag_A = diag
+  (uniform-mask specialization of cu.cc:256-294: tbb == 1 everywhere)
+
+y-shifts come from 8-row modular halo slivers (the pallas_stencil tiled
+pattern); x-shifts run in-core via pltpu.roll. Equality with the jnp
+assembly is asserted in tests/test_pallas_advassembly.py (interpret mode).
+
+Gradient semantics: the reference defines the assembly's gradient as ZERO
+(piso_tf.py:116-128 wraps the CUDA op in a custom gradient returning None;
+Picard linearization of the adjoint). piso_step accordingly calls assembly
+on stop_gradient'ed velocity, so no cotangent ever reaches this kernel on
+the solver path; the custom_vjp here returns zero velocity cotangents,
+matching the reference, because pltpu.roll has no AD rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+from diffpiso_tpu.ops.pallas_stencil import _VMEM_BUDGET_BYTES, _pick_tile
+
+_INTERPRET = False
+
+
+def _rollx(x, shift):
+    # pltpu.roll needs a non-negative shift; jnp.roll semantics otherwise
+    return pltpu.roll(x, shift % x.shape[1], 1)
+
+
+def _uniform_masks(dirichlet_mask, active_mask, no_slip_mask):
+    """True iff the masks are concrete and trivially uniform (no Dirichlet
+    faces, all cells active, no no-slip walls). NB the checks run on NUMPY
+    views of the concrete arrays: jnp reductions inside a jit trace return
+    tracers even for closed-over constants, and bool(tracer) would throw
+    (this silently disabled the fast path in the first r3 A/B)."""
+    try:
+        for c in dirichlet_mask.components:
+            if c is None or isinstance(c, jax.core.Tracer):
+                return False
+            if np.any(np.asarray(c)):
+                return False
+        if isinstance(active_mask, jax.core.Tracer):
+            return False
+        if not np.all(np.asarray(active_mask) == 1):
+            return False
+        if no_slip_mask is not None:
+            if isinstance(no_slip_mask, jax.core.Tracer):
+                return False
+            if np.any(np.asarray(no_slip_mask)):
+                return False
+    except Exception:
+        return False
+    return True
+
+
+def advassembly_eligible(velocity, dirichlet_mask, active_mask, no_slip_mask,
+                         viscosity, periodic) -> bool:
+    import os
+
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return False
+    if velocity.rank != 2 or periodic != (True, True):
+        return False
+    shapes = {c.shape for c in velocity.components}
+    if len(shapes) != 1:
+        return False
+    (ny, nx), = shapes
+    if jnp.dtype(velocity.dtype).itemsize > 4:
+        return False
+    if isinstance(viscosity, (jax.Array, np.ndarray)) and getattr(
+        viscosity, "ndim", 0
+    ) > 0:
+        return False  # per-face viscosity fields (LES) keep the jnp path
+    if not isinstance(viscosity, (int, float)) and isinstance(
+        viscosity, jax.core.Tracer
+    ):
+        pass  # traced scalar viscosity is fine (goes to SMEM)
+    # ~20 resident planes double-buffered across the grid pipeline
+    if _pick_tile(ny, nx, 4, planes=20) is None or nx % 128 != 0:
+        return False
+    return _uniform_masks(dirichlet_mask, active_mask, no_slip_mask)
+
+
+def _mk_kernel(tile, rank_shapes):
+    def kernel(w0_ref, w1_ref, w0u_ref, w0d_ref, w1u_ref, w1d_ref, s_ref,
+               c0_ref, lo0y_ref, hi0y_ref, lo0x_ref, hi0x_ref, a0_ref,
+               c1_ref, lo1y_ref, hi1y_ref, lo1x_ref, hi1x_ref, a1_ref):
+        beta = s_ref[0]
+        area = (s_ref[1], s_ref[2])
+        visc = (s_ref[3], s_ref[4])
+
+        w = (w0_ref[:], w1_ref[:])
+        up = (w0u_ref[7:8, :], w1u_ref[7:8, :])   # row index -1 of the tile
+        dn = (w0d_ref[0:1, :], w1d_ref[0:1, :])   # row index `tile`
+
+        # every intermediate stays tile-row-aligned (concat of tile-1 rows
+        # + 1 sliver row), the _tiled_kernel pattern — a (tile+2)-row
+        # extended plane would be sublane-misaligned and slow on Mosaic
+        def roll_ym(x, x_up):  # element i <- x[i-1]
+            return jnp.concatenate([x_up, x[:-1]], 0)
+
+        outs = (
+            (c0_ref, lo0y_ref, hi0y_ref, lo0x_ref, hi0x_ref, a0_ref),
+            (c1_ref, lo1y_ref, hi1y_ref, lo1x_ref, hi1x_ref, a1_ref),
+        )
+        for c in range(2):
+            diag = None
+            los, his = [], []
+            for d in range(2):
+                wd = w[d]
+                if c == 0:
+                    sh = roll_ym(wd, up[d])
+                    sh_last = w[d][-1:]          # S_c^+(w_d) at row `tile`
+                else:
+                    sh = _rollx(wd, 1)
+                    sh_last = _rollx(dn[d], 1)
+                flux_lo = 0.5 * (wd + sh) * area[d]
+                if d == 0:
+                    # flux_hi[i] = flux_lo[i+1]; row `tile` built from slivers
+                    last = 0.5 * (dn[d] + sh_last) * area[d]
+                    flux_hi = jnp.concatenate([flux_lo[1:], last], 0)
+                else:
+                    flux_hi = _rollx(flux_lo, -1)
+                los.append(0.5 * flux_lo + visc[d])
+                his.append(-0.5 * flux_hi + visc[d])
+                contrib = 0.5 * (flux_lo - flux_hi) - 2.0 * visc[d]
+                diag = contrib if diag is None else diag + contrib
+            cr, loy, hiy, lox, hix, ar = outs[c]
+            cr[:] = diag - beta
+            loy[:] = los[0]
+            hiy[:] = his[0]
+            lox[:] = los[1]
+            hix[:] = his[1]
+            ar[:] = diag
+
+    return kernel
+
+
+def _fused_assembly_impl(w0, w1, scalars):
+    ny, nx = w0.shape
+    tile = _pick_tile(ny, nx, 4, planes=20)
+    n_tiles = ny // tile
+    nb8 = ny // 8
+    tpb = tile // 8
+    tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+    up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+    dn_spec = pl.BlockSpec((8, nx), lambda i: (((i + 1) * tpb) % nb8, 0))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), w0.dtype)] * 12
+    return pl.pallas_call(
+        _mk_kernel(tile, (ny, nx)),
+        grid=(n_tiles,),
+        in_specs=[tile_spec, tile_spec, up_spec, dn_spec, up_spec, dn_spec,
+                  smem_spec],
+        out_specs=[tile_spec] * 12,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(w0, w1, w0, w0, w1, w1, scalars)
+
+
+@jax.custom_vjp
+def _fused_assembly(w0, w1, scalars):
+    return _fused_assembly_impl(w0, w1, scalars)
+
+
+def _fused_assembly_fwd(w0, w1, scalars):
+    return _fused_assembly_impl(w0, w1, scalars), (w0, w1, scalars)
+
+
+def _fused_assembly_bwd(res, cts):
+    # reference semantics: assembly contributes ZERO gradient
+    # (piso_tf.py:116-128); piso_step stop_gradients the velocity anyway
+    w0, w1, scalars = res
+    return jnp.zeros_like(w0), jnp.zeros_like(w1), jnp.zeros_like(scalars)
+
+
+_fused_assembly.defvjp(_fused_assembly_fwd, _fused_assembly_bwd)
+
+
+def fused_advection_assembly(velocity, dx, viscosity, beta):
+    """One-launch uniform-mask periodic assembly. Returns the
+    AdvectionStencil pieces as (centers, los, his, diag_As) tuples matching
+    assemble_advection_stencil's output layout. Gate on
+    advassembly_eligible()."""
+    import math as _math
+
+    dxt = tuple(float(v) for v in dx)
+    dxprod = _math.prod(dxt)
+    dtype = velocity.dtype
+    area = tuple(dxprod / dxt[d] for d in range(2))
+    scalars = jnp.stack(
+        [
+            jnp.asarray(beta, dtype),
+            jnp.asarray(area[0], dtype),
+            jnp.asarray(area[1], dtype),
+            jnp.asarray(viscosity, dtype) * (area[0] / dxt[0]),
+            jnp.asarray(viscosity, dtype) * (area[1] / dxt[1]),
+        ]
+    )
+    (c0, lo0y, hi0y, lo0x, hi0x, a0,
+     c1, lo1y, hi1y, lo1x, hi1x, a1) = _fused_assembly(
+        velocity.components[0], velocity.components[1], scalars
+    )
+    centers = (c0, c1)
+    los = ((lo0y, lo0x), (lo1y, lo1x))
+    his = ((hi0y, hi0x), (hi1y, hi1x))
+    diag_As = (a0, a1)
+    return centers, los, his, diag_As

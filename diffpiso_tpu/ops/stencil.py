@@ -114,6 +114,22 @@ def assemble_advection_stencil(
         f"(got field {velocity.periodic}, requested {periodic}); periodic "
         "axes store unique faces"
     )
+
+    # uniform-mask periodic fast path: one fused Pallas launch for all 12
+    # stencil planes (ops/pallas_advassembly.py) — the r3 roofline measured
+    # the jnp path's unaligned window slices at 45% of the 512^2 step
+    from diffpiso_tpu.ops.pallas_advassembly import (
+        advassembly_eligible,
+        fused_advection_assembly,
+    )
+
+    if advassembly_eligible(
+        velocity, dirichlet_mask, active_mask, no_slip_mask, viscosity, periodic
+    ):
+        centers, los, his, diag_As = fused_advection_assembly(
+            velocity, dx, viscosity, beta
+        )
+        return AdvectionStencil(center=centers, lo=los, hi=his, diag_A=diag_As)
     dxprod = _math.prod(dx)
     area = tuple(dxprod / dx[d] for d in range(rank))
     dtype = velocity.dtype

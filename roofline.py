@@ -403,24 +403,40 @@ def main():
     print(f"[roofline] calibrated in-loop per-kernel cost: "
           f"{per_launch*1e6:.2f} us (chains: {calib})", file=sys.stderr)
 
-    # ---- size sweep: t(n) = a + b n^2 (scan protocol) ----
-    sweep = {}
+    # ---- size sweep on DEVICE time: two chunk lengths per size separate
+    # the ~25-30 ms per-JIT-CALL tunnel overhead (r3 trace: the device
+    # executes the scan with ZERO idle; everything above device time is
+    # per-call) from the true per-step device time:
+    #   wall(c) = overhead + c * device  =>  device = (wall(c2)-wall(c1))/(c2-c1)
+    sweep, overheads = {}, {}
+    c1, c2 = 100, 400
     for ns in (128, 256, 512, 1024):
         domain_s, sim_s, step_s, init_s = bench.build_turbulence(
             ns, 1e-6, p_tol=1e-8
         )
         v_s, p_s = init_s(seed=0)
-        run_s = bench._make_runner(step_s, 50)
-        for _ in range(2):
-            v_s, p_s, it_s, _ = run_s(v_s, p_s)
+        run_spin = bench._make_runner(step_s, c1)
+        v_s, p_s, it_s, _ = run_spin(v_s, p_s)
         jax.block_until_ready(p_s)
-        t0 = time.perf_counter()
-        v_s, p_s, it_s, _ = run_s(v_s, p_s)
-        jax.block_until_ready(p_s)
-        sweep[ns] = (time.perf_counter() - t0) / 50
-        print(f"[roofline] sweep n={ns}: {sweep[ns]*1e3:.4f} ms/step "
+        walls = {}
+        for c in (c1, c2):
+            run_s = bench._make_runner(step_s, c)
+            _, pp, it_s, _ = run_s(v_s, p_s)
+            jax.block_until_ready(pp)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, pp, it_s, _ = run_s(v_s, p_s)
+                jax.block_until_ready(pp)
+                best = min(best, time.perf_counter() - t0)
+            walls[c] = best
+        device = (walls[c2] - walls[c1]) / (c2 - c1)
+        sweep[ns] = device
+        overheads[ns] = walls[c1] - c1 * device
+        print(f"[roofline] sweep n={ns}: device {device*1e3:.4f} ms/step, "
+              f"per-call overhead {overheads[ns]*1e3:.1f} ms "
               f"(iters {np.asarray(it_s).mean(0)})", file=sys.stderr)
-    # least-squares fit a + b*n^2 over the sweep
+    # least-squares fit a + b*n^2 over the DEVICE times
     xs = np.array([ns * ns for ns in sweep], float)
     ys = np.array([sweep[ns] for ns in sweep], float)
     A = np.stack([np.ones_like(xs), xs], 1)
@@ -478,31 +494,28 @@ def main():
 
     fwd = {
         "grid": f"{n}^2 turb (developed, tol 1e-6/1e-8)",
-        "scan_protocol_ms_per_step": round(step_time * 1e3, 4),
+        "device_ms_per_step": round(sweep.get(n, step_time) * 1e3, 4),
+        "per_jit_call_overhead_ms": round(overheads.get(n, 0.0) * 1e3, 2),
         "single_dispatched_call_ms": round(single_call * 1e3, 4),
-        "per_jit_call_dispatch_overhead_ms": round(
-            (single_call - step_time) * 1e3, 4
-        ),
         "launches_fixed": round(fixed, 1),
         "launches_in_loops": round(loop_total, 1),
         "launches_total": round(launches, 1),
-        "fit_intercept_launchbound_ms": round(a_fit * 1e3, 4),
-        "launchbound_fraction_of_step": round(a_fit / step_time, 3),
+        "device_intercept_ms": round(a_fit * 1e3, 4),
         "implied_fixed_us_per_kernel": round(implied_fixed_per_kernel * 1e6, 2),
-        "grid_dependent_ms": round(grid_dependent_ms, 4),
         "hbm_floor_ms_at_819GBs": round(bytes_floor / BW * 1e3, 4),
         "vmem_resident_loop_marginal_ns_per_kernel": round(per_launch * 1e9, 1),
-        "size_sweep_ms_per_step": {
+        "device_sweep_ms_per_step": {
             str(k): round(v * 1e3, 4) for k, v in sweep.items()
         },
         "fit_bandwidth_ms_at_512sq": round(b_fit * 512 * 512 * 1e3, 4),
         "pressure_iters": [round(float(x), 3) for x in p_iters],
         "momentum_iters": round(mom_iters, 2),
         "headroom_note": (
-            "measured step = launch-bound intercept + grid-dependent part; "
-            "the intercept is the target of kernel-count reduction (fusing "
-            "the fixed-part corrector/assembly chains), the grid part is "
-            "bounded below by the HBM floor"
+            "wall time = device time + ~25-30 ms per jit call (tunnel): "
+            "amortize with long scan chunks. Device time splits into a "
+            "size-independent intercept (per-kernel fixed cost x ~558 "
+            "kernels) + bandwidth/compute bounded below by the HBM floor; "
+            "kernel-count reduction attacks the intercept"
         ),
         "loops": rows,
     }
@@ -582,8 +595,8 @@ def main():
         json.dump(detail, f, indent=1)
     print(json.dumps({
         "metric": "roofline_launches_per_fwd_step", "value": round(launches, 1),
-        "unit": "launches", "step_time_ms": fwd["scan_protocol_ms_per_step"],
-        "launchbound_fraction": fwd["launchbound_fraction_of_step"],
+        "unit": "launches", "device_ms_per_step": fwd["device_ms_per_step"],
+        "per_jit_call_overhead_ms": fwd["per_jit_call_overhead_ms"],
     }))
 
 

@@ -1,0 +1,144 @@
+"""Fused advection-assembly kernel (ops/pallas_advassembly.py) must equal
+the jnp assembly (ops/stencil.py, itself oracle-tested against the scalar
+CUDA-semantics loop in tests/test_stencil.py) on uniform-mask periodic
+configurations — interpret mode, jnp.roll monkeypatch, the standard pallas
+equality pattern (CLAUDE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffpiso_tpu import StaggeredField
+from diffpiso_tpu.ops import pallas_advassembly, stencil as stencil_mod
+from diffpiso_tpu.fields.material import CIRCULAR
+
+
+def _uniform_setup(ny, nx, seed=0):
+    rng = np.random.RandomState(seed)
+    vel = StaggeredField(
+        (
+            jnp.asarray(rng.randn(ny, nx), jnp.float32),
+            jnp.asarray(rng.randn(ny, nx), jnp.float32),
+        ),
+        periodic=(True, True),
+    )
+    dm = StaggeredField(
+        (jnp.zeros((ny, nx), bool), jnp.zeros((ny, nx), bool)),
+        periodic=(True, True),
+    )
+    active = jnp.ones((ny + 2, nx + 2), jnp.float32)
+    return vel, dm, active
+
+
+@pytest.mark.parametrize("shape", [(32, 128), (64, 256)])
+def test_fused_assembly_matches_jnp(shape, monkeypatch):
+    try:
+        from jax.experimental import pallas  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    import diffpiso_tpu.ops.pallas_stencil as ps
+
+    ny, nx = shape
+    vel, dm, active = _uniform_setup(ny, nx)
+    dx = (0.7, 1.3)
+    nu = 1e-3
+    beta = 2.5
+
+    ref = stencil_mod.assemble_advection_stencil.__wrapped__ if hasattr(
+        stencil_mod.assemble_advection_stencil, "__wrapped__"
+    ) else None
+    # jnp reference: call with the pallas path gated off
+    with ps.no_pallas():
+        want = stencil_mod.assemble_advection_stencil(
+            vel, dx, ((CIRCULAR, CIRCULAR), (CIRCULAR, CIRCULAR)), nu, beta,
+            dm, active, active, None, (True, True),
+        )
+
+    # interpret-mode fused kernel (patch the in-core roll to jnp.roll so it
+    # runs on CPU)
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(
+        pallas_advassembly, "pltpu",
+        type("T", (), {"roll": staticmethod(lambda a, s, ax: jnp.roll(a, s, ax)),
+                       "SMEM": pltpu.SMEM}),
+    )
+    centers, los, his, diag_As = pallas_advassembly.fused_advection_assembly(
+        vel, dx, nu, beta
+    )
+    for c in range(2):
+        np.testing.assert_allclose(
+            np.asarray(centers[c]), np.asarray(want.center[c]), rtol=1e-6,
+            atol=1e-6, err_msg=f"center[{c}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(diag_As[c]), np.asarray(want.diag_A[c]), rtol=1e-6,
+            atol=1e-6, err_msg=f"diag_A[{c}]",
+        )
+        for d in range(2):
+            np.testing.assert_allclose(
+                np.asarray(los[c][d]), np.asarray(want.lo[c][d]), rtol=1e-6,
+                atol=1e-6, err_msg=f"lo[{c}][{d}]",
+            )
+            np.testing.assert_allclose(
+                np.asarray(his[c][d]), np.asarray(want.hi[c][d]), rtol=1e-6,
+                atol=1e-6, err_msg=f"hi[{c}][{d}]",
+            )
+
+
+def test_eligibility_gating():
+    ny, nx = 64, 256
+    vel, dm, active = _uniform_setup(ny, nx)
+    elig = pallas_advassembly.advassembly_eligible
+    args = (vel, dm, active, None, 1e-3, (True, True))
+    if jax.default_backend() != "tpu":
+        assert not elig(*args)
+        return
+    assert elig(*args)
+    # any non-uniform mask disables the fast path
+    dm_bad = StaggeredField(
+        (jnp.zeros((ny, nx), bool).at[0, 0].set(True), dm.components[1]),
+        periodic=(True, True),
+    )
+    assert not elig(vel, dm_bad, active, None, 1e-3, (True, True))
+    act_bad = active.at[5, 5].set(0.0)
+    assert not elig(vel, dm, act_bad, None, 1e-3, (True, True))
+    ns = jnp.zeros((ny + 2, nx + 2), bool).at[1, 1].set(True)
+    assert not elig(vel, dm, active, ns, 1e-3, (True, True))
+    # bounded domains / per-face viscosity keep the jnp path
+    assert not elig(vel, dm, active, None, 1e-3, (False, True))
+    visc_field = StaggeredField(
+        (jnp.ones((ny, nx)), jnp.ones((ny, nx))), periodic=(True, True)
+    )
+    assert not elig(vel, dm, active, None, visc_field, (True, True))
+
+
+def test_zero_gradient_semantics(monkeypatch):
+    """The fused assembly's VJP returns zero velocity cotangents — the
+    reference's assembly gradient (piso_tf.py:116-128)."""
+    try:
+        from jax.experimental import pallas  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(
+        pallas_advassembly, "pltpu",
+        type("T", (), {"roll": staticmethod(lambda a, s, ax: jnp.roll(a, s, ax)),
+                       "SMEM": pltpu.SMEM}),
+    )
+    ny, nx = 16, 128
+    vel, dm, active = _uniform_setup(ny, nx)
+
+    def f(v0):
+        velx = StaggeredField((v0, vel.components[1]), periodic=(True, True))
+        centers, *_ = pallas_advassembly.fused_advection_assembly(
+            velx, (1.0, 1.0), 1e-3, 2.0
+        )
+        return jnp.sum(centers[0] ** 2)
+
+    g = jax.grad(f)(vel.components[0])
+    assert float(jnp.max(jnp.abs(g))) == 0.0
