@@ -434,6 +434,13 @@ solve_pressure_system.defvjp(_pressure_fwd, _pressure_bwd)
 
 
 # -- adjoint warm-start channel (VERDICT r2 item 8) ---------------------------------
+# MEASURED RESULT (r3, 512^2 turb grad30 on the TPU, within-process A/B):
+# 0.996x — no win at the flagship config, because the dct-preconditioned
+# adjoint solves already converge in ~1 iteration from cold starts (the
+# spectral inverse IS the warm start). The channels are kept: they are
+# exact (gradient-equality tested), cost only zeros in the primal, and pay
+# off whenever the adjoint solver is NOT spectrally preconditioned or runs
+# at tolerances where cold Krylov counts are high.
 # The backward scan of an unrolled rollout solves one pressure adjoint per
 # corrector per step from a COLD start (the forward's p_inc warm starts,
 # linear_solver.py:149, have no backward analog in the reference).
