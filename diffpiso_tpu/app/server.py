@@ -15,8 +15,10 @@ how such dashboards are actually viewed in practice.
 
 Endpoints:
   GET  /                    the dashboard page
+  GET  /volume?field=<name> WebGL 3-D volume view (app/volume.py raycaster)
   GET  /api/status          app status + control/field/action specs
   GET  /api/field/<name>    current field rendered as PNG
+  GET  /api/volume/<name>   3-D field as a uint8 brick (X-Volume-Meta hdr)
   GET  /api/scalars/<name>  full scalar history as JSON
   POST /api/control         {"name": ..., "value": ...}
   POST /api/action          {"name": "play"|"pause"|"step"|<custom>}
@@ -56,7 +58,8 @@ small{color:#8b949e}
  <small id="stat"></small>
 </div>
 <div class="row">
- <div class="card"><select id="field" onchange="draw()"></select><br>
+ <div class="card"><select id="field" onchange="draw()"></select>
+  <a id="vlink" style="color:#58a6ff;margin-left:.6em" target="_blank">3-D view</a><br>
   <img id="img" width="512"/></div>
  <div class="card"><select id="scalar" onchange="plot()"></select><br>
   <canvas id="chart" width="460" height="240"></canvas></div>
@@ -101,7 +104,8 @@ async function refresh(){
     d.appendChild(inp);cd.appendChild(d);}
   draw();plot();}
 function draw(){const f=document.getElementById('field').value;
-  if(f)document.getElementById('img').src='/api/field/'+f+'?t='+Date.now();}
+  if(f){document.getElementById('img').src='/api/field/'+f+'?t='+Date.now();
+    document.getElementById('vlink').href='/volume?field='+f;}}
 async function plot(){const s=document.getElementById('scalar').value;
   if(!s)return;const vals=await(await fetch('/api/scalars/'+s)).json();
   const c=document.getElementById('chart'),x=c.getContext('2d');
@@ -208,6 +212,14 @@ class AppServer:
             arr = np.asarray(self.app.fields[name]())
         return _render_png(arr, axis=axis, index=index)
 
+    def field_volume(self, name: str):
+        """(payload_bytes, meta) for the WebGL volume view (app/volume.py)."""
+        from diffpiso_tpu.app.volume import volume_payload
+
+        with self._lock:
+            arr = np.asarray(self.app.fields[name]())
+        return volume_payload(arr)
+
     # -- loop + server ------------------------------------------------------------
     def _worker(self):
         while not self._stop:
@@ -240,6 +252,18 @@ class AppServer:
                     path = unquote(self.path.split("?")[0])
                     if path == "/":
                         self._send(200, _PAGE.encode(), "text/html")
+                    elif path == "/volume":
+                        from diffpiso_tpu.app.volume import VOLUME_PAGE
+
+                        self._send(200, VOLUME_PAGE.encode(), "text/html")
+                    elif path.startswith("/api/volume/"):
+                        data, meta = server.field_volume(path.split("/", 3)[3])
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/octet-stream")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.send_header("X-Volume-Meta", json.dumps(meta))
+                        self.end_headers()
+                        self.wfile.write(data)
                     elif path == "/api/status":
                         self._send(200, json.dumps(server.status()).encode())
                     elif path.startswith("/api/field/"):

