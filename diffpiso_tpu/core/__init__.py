@@ -5,6 +5,7 @@ from diffpiso_tpu.core.piso import (
     zero_adjoint_channels,
 )
 from diffpiso_tpu.core.masks import (
+    channel_masks,
     lid_driven_cavity_masks,
     lid_driven_cavity_masks_3d,
     mixing_layer_masks,
@@ -20,6 +21,7 @@ __all__ = [
     "SimulationParameters",
     "piso_step",
     "zero_adjoint_channels",
+    "channel_masks",
     "lid_driven_cavity_masks",
     "lid_driven_cavity_masks_3d",
     "mixing_layer_masks",

@@ -66,6 +66,48 @@ def lid_driven_cavity_masks(N: int, lid_velocity: float = 1.0, dtype=np.float32)
     )
 
 
+def channel_masks(ny: int, nx: int, dtype=np.float32):
+    """Masks for plane channel (pipe) flow: no-slip walls at the y ends,
+    periodic x (the PhiFlow/demos/pipe.py layout on PISO masks).
+
+    Returns (dirichlet_mask, dirichlet_values, active, accessible, no_slip)
+    for a StaggeredField with periodic=(False, True): v carries ny+1 faces
+    with Dirichlet v=0 at both walls; u carries the nx unique periodic
+    faces with the no-slip wall treatment via the 2-nu diagonal penalty
+    (central_difference_csr_op.cu.cc:265-288). The x pad ring of the
+    centered masks wraps."""
+    dm_v = np.zeros((ny + 1, nx), bool)
+    dm_v[0, :] = True
+    dm_v[-1, :] = True
+    dm_u = np.zeros((ny, nx), bool)
+    dirichlet_mask = StaggeredField(
+        (jnp.asarray(dm_v), jnp.asarray(dm_u)), periodic=(False, True)
+    )
+    dirichlet_values = StaggeredField(
+        (jnp.zeros((ny + 1, nx), dtype), jnp.zeros((ny, nx), dtype)),
+        periodic=(False, True),
+    )
+
+    active = np.zeros((ny + 2, nx + 2), dtype)
+    active[1:-1, 1:-1] = 1
+    active[:, 0] = active[:, -2]  # wrap the x pad ring
+    active[:, -1] = active[:, 1]
+
+    accessible = active.copy()
+
+    no_slip = np.zeros((ny + 2, nx + 2), bool)
+    no_slip[0, :] = True
+    no_slip[-1, :] = True
+
+    return (
+        dirichlet_mask,
+        dirichlet_values,
+        jnp.asarray(active),
+        jnp.asarray(accessible),
+        jnp.asarray(no_slip),
+    )
+
+
 def second_order_lid_values(
     dirichlet_values: StaggeredField,
     velocity: StaggeredField,
