@@ -121,8 +121,11 @@ def build(n, tol, max_p_iter=600):
         pressure_solver=PressureSolver(
             max_iterations=max_p_iter,
             deflate_mean=True,
-            preconditioner="dct",
-            adjoint_preconditioner="dct",
+            # dct_mm: the matmul eigenbasis beats the FFT-based "dct" on
+            # the MXU (r3 A/B at 512^2 developed: 2191 vs 1600 steps/s at
+            # identical iteration counts)
+            preconditioner="dct_mm",
+            adjoint_preconditioner="dct_mm",
         ),
     )
     dt = 0.2 / n  # CFL-ish for lid speed 1

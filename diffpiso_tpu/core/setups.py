@@ -77,11 +77,13 @@ def decaying_turbulence_setup(
             residual_reset=50,
             deflate_mean=True,
             dtype=solver_dtype,
-            # periodic box: the FFT spectral inverse is near-exact (mean
-            # stencil weights); measured at 256^2: iterations 61/26 -> 1/1,
-            # 478 -> 615 steps/s
-            preconditioner="fft",
-            adjoint_preconditioner="fft",
+            # periodic box: the spectral inverse is near-exact (mean
+            # stencil weights). The matmul eigenbasis variant beats the FFT
+            # custom-call on the MXU at full-f32 precision — measured r3 at
+            # 512^2: fwd 1835 vs 1110 steps/s, grad30 553 vs 429, identical
+            # iteration counts — and it also shards/batches (GSPMD/vmap).
+            preconditioner="fft_mm",
+            adjoint_preconditioner="fft_mm",
         ),
     )
     return domain, sim
@@ -213,12 +215,13 @@ def spatial_mixing_layer_setup(
             residual_reset=1000 if solver_dtype == "float64" else 50,
             dtype=solver_dtype,
             # channel spectral preconditioner (Neumann walls/inflow +
-            # Dirichlet outflow basis, solvers/fourier.py
-            # ChannelSpectralSolver): measured on the 128x512 DNS it cuts
-            # corrector-1 from 992 CG iterations to 2.25 and lifts
-            # throughput 114 -> 572 steps/s
-            preconditioner="channel",
-            adjoint_preconditioner="channel",
+            # Dirichlet outflow basis, solvers/fourier.py): measured on the
+            # 128x512 DNS it cuts corrector-1 from 992 CG iterations to
+            # 2.25 and lifts throughput 114 -> 572 steps/s. The matmul
+            # eigenbasis variant replaces the DCT custom-calls with MXU
+            # contractions (faster at these sizes, r3; and shards/batches).
+            preconditioner="channel_mm",
+            adjoint_preconditioner="channel_mm",
         ),
     )
     return MixingLayerSetup(

@@ -130,20 +130,24 @@ def _spectral_constants(kinds, shape, dtype):
 def _local_spectral_precond(r, Vyc, Vyr, Vxc, Vxr, ey, ex, w0, w1, ay, ax):
     """P^{-1} r on a (nyloc, nxloc) shard block. Vyc/Vxc are basis blocks
     column-sharded over the mesh axis (forward transform), Vyr/Vxr
-    row-sharded (inverse); ey/ex are the local eigenvalue slivers."""
-    h = Vyc @ r
+    row-sharded (inverse); ey/ex are the local eigenvalue slivers.
+    Precision.HIGHEST: TPU default bf16 matmul passes put the
+    preconditioner's residual floor near 1e-3 (see MatmulSpectralSolver)."""
+    prec = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jax.lax.dot(a, b, precision=prec)
+    h = mm(Vyc, r)
     if ay is not None:
         h = jax.lax.psum_scatter(h, ay, scatter_dimension=0, tiled=True)
-    h = h @ Vxc.T
+    h = mm(h, Vxc.T)
     if ax is not None:
         h = jax.lax.psum_scatter(h, ax, scatter_dimension=1, tiled=True)
     sym = w0 * ey[:, None] + w1 * ex[None, :]
     singular = jnp.abs(sym) < 1e-12
     h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, sym))
-    g = Vyr.T @ h
+    g = mm(Vyr.T, h)
     if ay is not None:
         g = jax.lax.psum_scatter(g, ay, scatter_dimension=0, tiled=True)
-    g = g @ Vxr
+    g = mm(g, Vxr)
     if ax is not None:
         g = jax.lax.psum_scatter(g, ax, scatter_dimension=1, tiled=True)
     return g

@@ -275,16 +275,22 @@ class MatmulSpectralSolver:
         )
 
     def solve(self, weights, rhs, guess=None, tol=None):
+        # Precision.HIGHEST: TPU matmuls default to bf16 passes, which is
+        # fatal here — the preconditioner residual floor lands near 1e-3
+        # (measured r3: cavity dct_mm at tol 1e-6 needed 6.7 iterations and
+        # warned on 12% of steps; full-f32 passes restore parity with the
+        # FFT solvers at a few extra MXU passes)
+        prec = jax.lax.Precision.HIGHEST
         mats = self._mats(rhs.dtype)
         h = rhs
         for d, V in enumerate(mats):
-            h = jnp.tensordot(V, h, axes=([1], [d]))
+            h = jnp.tensordot(V, h, axes=([1], [d]), precision=prec)
             h = jnp.moveaxis(h, 0, d)
         symbol = self._symbol(weights, rhs.dtype)
         singular = jnp.abs(symbol) < 1e-12
         h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, symbol))
         for d, V in enumerate(mats):
-            h = jnp.tensordot(V.T, h, axes=([1], [d]))
+            h = jnp.tensordot(V.T, h, axes=([1], [d]), precision=prec)
             h = jnp.moveaxis(h, 0, d)
         return h.astype(rhs.dtype)
 
