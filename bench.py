@@ -708,6 +708,12 @@ def main():
             a1024.n = 1024
             detail["turb_1024"] = workload_turbulence(a1024)
         detail["training"] = workload_training(args)
+        if not args.quick:
+            import copy
+
+            a8 = copy.copy(args)
+            a8.batch = 8
+            detail["training_batch8"] = workload_training(a8)
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=1)
         print(json.dumps(headline_json(detail["turb"])))

@@ -308,6 +308,37 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
     return train_step
 
 
+def make_sharded_train_step(loss_fn, optimizer, mesh, example_batch,
+                            spatial_axes=("space",), leading_axes=("data",)):
+    """Multi-chip training step: data-parallel batch x spatial grid
+    decomposition on the PaddedSpatialLayout (parallel/sharding.py) — the
+    library-level form of the dryrun's sharded step (__graft_entry__.py).
+
+    example_batch — (vel0, p0, targets, perts) with the TRUE (unpadded)
+    shapes (arrays or ShapeDtypeStructs). Place inputs with the returned
+    layout: `padded = layout.put(layout.pad(batch))`; the step unpads
+    inside the jit, runs the batched per-sample-masked update (same
+    semantics as make_batched_train_step), and GSPMD inserts the halo
+    collective-permutes / gradient psums. Trace runs under no_pallas()
+    (GSPMD cannot partition pallas_call).
+
+    Returns (train_step, layout); train_step(params, opt_state,
+    padded_batch) -> (params, opt_state, loss, parts, warns)."""
+    from diffpiso_tpu.parallel.sharding import PaddedSpatialLayout
+
+    layout = PaddedSpatialLayout(
+        mesh, spatial_axes=spatial_axes, leading_axes=leading_axes
+    )
+    inner = make_batched_train_step(loss_fn, optimizer)
+
+    @jax.jit
+    def train_step(params, opt_state, padded_batch):
+        vel0, p0, targets, perts = layout.unpad(padded_batch, example_batch)
+        return inner(params, opt_state, vel0, p0, targets, perts)
+
+    return train_step, layout
+
+
 def stack_samples(setup, cfg, samples):
     """Stack per-sample device tuples from _sample_to_device into batched
     arrays for make_batched_train_step."""

@@ -227,3 +227,61 @@ def test_batched_train_step_matches_and_masks(tiny_setup, tiny_dataset):
     l0 = float(sstep(params, opt_state, *_sample_to_device(setup, cfg, samples[0]))[2])
     l1 = float(sstep(params, opt_state, *_sample_to_device(setup, cfg, samples[1]))[2])
     np.testing.assert_allclose(float(loss_b), 0.5 * (l0 + l1), rtol=1e-3)
+
+
+def test_sharded_train_step_matches_batched(tiny_setup, tiny_dataset):
+    """make_sharded_train_step (data x spatial mesh on the padded layout)
+    must reproduce the plain batched step's loss and updated params to
+    sharded-reduction tolerance on the 8-device CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from diffpiso_tpu.learning.training import (
+        make_batched_train_step,
+        make_sharded_train_step,
+        stack_samples,
+    )
+    from diffpiso_tpu.parallel import make_mesh, no_pallas
+
+    setup = tiny_setup
+    cfg = TrainingConfig(
+        step_count=2, loss_influence_range=2, padding="SAME",
+        loss_factors=(50.0, 0.0, 0.0, 0.0), advection_tol=1e-6,
+        pressure_tol=1e-6,
+    )
+    dataset = SequenceDataset(
+        [tiny_dataset],
+        characteristics=[[(i * 0.4, 0.082, 0.018) for i in range(8)]],
+        start_frame=[0], frame_count=[8], step_count=2, dt_ratio=1,
+    )
+    from diffpiso_tpu.learning import make_loss_fn, make_rollout_fn
+
+    rollout = make_rollout_fn(setup, cfg)
+    loss_fn = make_loss_fn(setup, cfg, rollout)
+    params = init_fullyconv(jax.random.PRNGKey(0))
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(params)
+    batch = stack_samples(
+        setup, cfg, [dataset.sample(0), dataset.sample(2)]
+    )
+
+    bstep = make_batched_train_step(loss_fn, opt)
+    p_ref, _, loss_ref, _, warns_ref = bstep(params, opt_state, *batch)
+    assert not bool(jnp.any(warns_ref))
+
+    mesh = make_mesh((2, 4), ("data", "space"))
+    sstep, layout = make_sharded_train_step(loss_fn, opt, mesh, tuple(batch))
+    padded = layout.put(layout.pad(tuple(batch)))
+    # spatially sharded for real: trailing dims split 4-way
+    for a in jax.tree_util.tree_leaves(padded):
+        if a.ndim >= 2 and a.shape[-1] >= 4:
+            assert a.addressable_shards[0].data.shape[-1] == a.shape[-1] // 4
+    with no_pallas():
+        p_sh, _, loss_sh, _, warns_sh = sstep(params, opt_state, padded)
+    assert not bool(jnp.any(warns_sh))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_sh), jax.tree_util.tree_leaves(p_ref)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5 * scale)
