@@ -109,9 +109,10 @@ def _make_adv_residual_fn(stencil, transpose: bool):
     if os.environ.get("DIFFPISO_FUSED_ADV_RESID", "never") != "always":
         return None
     if not all(
-        pallas_eligible(c.shape, c.dtype) for c in stencil.center
+        c.ndim == 2 and pallas_eligible(c.shape, c.dtype)
+        for c in stencil.center
     ):
-        return None
+        return None  # the fused residual kernel is 2-D-only
 
     def residual_fn(b, x):
         comps, norms = [], []

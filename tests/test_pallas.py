@@ -252,3 +252,77 @@ def _tiled_residual_direct(c, ly, hy, lx, hx, b, x, negate, transpose):
         interpret=True,
     )(c, ly, hy, lx, hx, b, x, x, x, hy, ly)
     return r, n[0, 0]
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_3d_matvec_matches_rolls(transpose, monkeypatch):
+    """The z-plane-gridded 7-point kernel must reproduce the jnp roll
+    formulation exactly, including the z wrap across the plane grid."""
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_stencil, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_stencil, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(5)
+    shape = (6, 16, 128)
+    c, lz, hz, ly, hy, lx, hx, x = (
+        jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(8)
+    )
+    out = pallas_stencil._pallas_matvec_3d(c, lz, hz, ly, hy, lx, hx, x, transpose)
+    if not transpose:
+        want = (
+            c * x
+            + lz * jnp.roll(x, 1, 0) + hz * jnp.roll(x, -1, 0)
+            + ly * jnp.roll(x, 1, 1) + hy * jnp.roll(x, -1, 1)
+            + lx * jnp.roll(x, 1, 2) + hx * jnp.roll(x, -1, 2)
+        )
+    else:
+        want = (
+            c * x
+            + jnp.roll(lz * x, -1, 0) + jnp.roll(hz * x, 1, 0)
+            + jnp.roll(ly * x, -1, 1) + jnp.roll(hy * x, 1, 1)
+            + jnp.roll(lx * x, -1, 2) + jnp.roll(hx * x, 1, 2)
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_3d_matvec_custom_vjp_matches_autodiff(monkeypatch):
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_stencil, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_stencil, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(6)
+    shape = (4, 8, 128)
+    args = tuple(jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(8))
+    g = jnp.asarray(rng.randn(*shape), jnp.float32)
+
+    def f_fused(*a):
+        return jnp.sum(g * pallas_stencil._fused_matvec3d(*a))
+
+    def f_plain(c, lz, hz, ly, hy, lx, hx, x):
+        z = (c * x
+             + lz * jnp.roll(x, 1, 0) + hz * jnp.roll(x, -1, 0)
+             + ly * jnp.roll(x, 1, 1) + hy * jnp.roll(x, -1, 1)
+             + lx * jnp.roll(x, 1, 2) + hx * jnp.roll(x, -1, 2))
+        return jnp.sum(g * z)
+
+    g_fused = jax.grad(f_fused, argnums=tuple(range(8)))(*args)
+    g_plain = jax.grad(f_plain, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_fused, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_3d_eligibility():
+    assert not pallas_stencil.pallas_eligible((128, 128, 128), jnp.float64)
+    if jax.default_backend() == "tpu":
+        assert pallas_stencil.pallas_eligible((128, 128, 128), jnp.float32)
+        assert pallas_stencil.pallas_eligible((256, 256, 256), jnp.float32)
+        # plane too large for the per-program VMEM working set
+        assert not pallas_stencil.pallas_eligible((8, 2048, 2048), jnp.float32)
+        # unaligned in-plane dims stay on XLA
+        assert not pallas_stencil.pallas_eligible((64, 60, 128), jnp.float32)
