@@ -535,3 +535,60 @@ def test_sharded_pcg_keeps_preconditioner_iteration_parity():
         _, iters_plain, _ = plain(lap, b)
         assert int(iters) < int(iters_plain) // 3, (
             int(iters), int(iters_plain))
+
+
+def test_sharded_3d_step_matches_single_device():
+    """3-D spatial decomposition: a (2,2,2) z-y-x mesh over the 128^3-class
+    periodic step (here 16^3) must match single-device execution — the
+    rank-generic halo/collective story (SURVEY par.5: the reference's 3-D
+    is native CUDA; ours must shard natively too)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from diffpiso_tpu.parallel import no_pallas
+
+    n = 16
+    domain, sim = decaying_turbulence_setup(
+        (n, n, n), viscosity=0.01, max_iterations=(50, 300)
+    )
+    rng = np.random.RandomState(2)
+    vel = StaggeredField(
+        tuple(jnp.asarray(0.3 * rng.randn(n, n, n), jnp.float32)
+              for _ in range(3)),
+        periodic=(True, True, True),
+    )
+    p = domain.centered_grid(0.0)
+
+    @jax.jit
+    def rollout(vel, p):
+        def body(carry, _):
+            vel, p, g1, g2 = carry
+            out = piso_step(
+                vel, p, 0.4 / n, domain, sim,
+                pressure_inc1_guess=g1, pressure_inc2_guess=g2,
+                advection_tol=1e-6, pressure_tol=1e-7,
+            )
+            return (out.velocity, out.pressure, out.pressure_inc1,
+                    out.pressure_inc2), out.warn
+
+        (vel, p, _, _), warns = jax.lax.scan(
+            body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)), None,
+            length=5,
+        )
+        return vel, p, warns
+
+    vel_ref, p_ref, warns = rollout(vel, p)
+    assert not bool(jnp.any(warns))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2), ("z", "y", "x"))
+    sh = NamedSharding(mesh, P("z", "y", "x"))
+    vel_s = StaggeredField(
+        tuple(jax.device_put(c, sh) for c in vel.components),
+        periodic=vel.periodic,
+    )
+    p_s = jax.device_put(p, sh)
+    with no_pallas():
+        vel_out, p_out, warns_s = rollout(vel_s, p_s)
+    assert not bool(jnp.any(warns_s))
+    for a, b in zip(vel_out.components, vel_ref.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5)
