@@ -257,6 +257,21 @@ class MatmulSpectralSolver:
 
     kinds: Tuple[str, ...]
     shape: Tuple[int, ...]
+    # MXU pass count for the contractions. "high" (3 bf16 passes, ~f32
+    # quality) measured r3 on the v5e: iteration counts identical to
+    # "highest" (6 passes) at the production tolerances (1e-6/1e-8) while
+    # the headline runs ~13% faster (turb fwd 2084 vs 1836 steps/s, grad30
+    # 691 vs 608, cavity 2389 vs 2225; zero warns). "default" (1 pass) is
+    # NOT enough — the preconditioner residual floor lands near 1e-3 and
+    # solves stall (cavity warned on 12% of steps).
+    precision: str = "high"
+
+    def _precision(self):
+        return {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.precision]
 
     def _mats(self, dtype):
         return [
@@ -275,12 +290,7 @@ class MatmulSpectralSolver:
         )
 
     def solve(self, weights, rhs, guess=None, tol=None):
-        # Precision.HIGHEST: TPU matmuls default to bf16 passes, which is
-        # fatal here — the preconditioner residual floor lands near 1e-3
-        # (measured r3: cavity dct_mm at tol 1e-6 needed 6.7 iterations and
-        # warned on 12% of steps; full-f32 passes restore parity with the
-        # FFT solvers at a few extra MXU passes)
-        prec = jax.lax.Precision.HIGHEST
+        prec = self._precision()
         mats = self._mats(rhs.dtype)
         h = rhs
         for d, V in enumerate(mats):
