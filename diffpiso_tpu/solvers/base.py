@@ -149,6 +149,10 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
         max_iter=cfg.max_iterations,
         diag=_adv_operator_diag(stencil, rhs.periodic) if cfg.precondition else None,
         residual_fn=_make_adv_residual_fn(stencil, transpose),
+        # fused 3-launch-per-component BiCGSTAB phases where eligible
+        stencil=stencil,
+        negate=True,
+        transpose=transpose,
     )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
     return x, result

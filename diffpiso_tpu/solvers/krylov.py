@@ -144,6 +144,95 @@ def _bicgstab_once(apply_A, precond, b, x0, tol, max_iter, residual_fn=None):
     return jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
 
 
+def _bicgstab_once_fused(stencil, inv_diag, b, x0, tol, max_iter, resid,
+                         negate, transpose):
+    """The BiCGSTAB loop with the 3-launch-per-component fused phase
+    kernels (solvers/pallas_krylov.py fused_bicg_phase_*): identical
+    recurrence and guards to _bicgstab_once; rhat.r for the NEXT iteration
+    is emitted by the x-phase so each iteration costs exactly 3 launches
+    per velocity component plus scalar glue."""
+    from diffpiso_tpu.solvers.pallas_krylov import (
+        fused_bicg_phase_p,
+        fused_bicg_phase_s,
+        fused_bicg_phase_x,
+    )
+
+    dtype = jax.tree_util.tree_leaves(b)[0].dtype
+    eps = jnp.asarray(1e-30, dtype)
+    sgn = -1.0 if negate else 1.0
+    ncomp = len(stencil.center)
+    st_cs = [
+        (stencil.center[i], stencil.lo[i], stencil.hi[i]) for i in range(ncomp)
+    ]
+    invd = tuple(inv_diag.components)
+
+    r0, rnorm0 = resid(x0)
+    rhat = tuple(r0.components)
+    rho0 = sum(jnp.sum(rh * rh) for rh in rhat)
+
+    def guard(v):
+        return jnp.where(jnp.abs(v) < eps, 1.0, v)
+
+    def cond(state):
+        return (~state[-1]) & (state[-2] < max_iter)
+
+    def body(state):
+        x_c, r_c, p_c, v_c, rho, rho_new, alpha, omega, k, done = state
+        breakdown = jnp.abs(rho_new) < eps
+        beta = (rho_new / jnp.where(breakdown, 1.0, rho)) * (alpha / guard(omega))
+        outs = [
+            fused_bicg_phase_p(st_cs[c], invd[c], r_c[c], p_c[c], v_c[c],
+                               rhat[c], beta, omega, sgn, transpose)
+            for c in range(ncomp)
+        ]
+        pn_c = tuple(o[0] for o in outs)
+        vn_c = tuple(o[1] for o in outs)
+        denom = sum(o[2] for o in outs)
+        alpha_n = rho_new / guard(denom)
+        outs = [
+            fused_bicg_phase_s(st_cs[c], invd[c], r_c[c], vn_c[c], alpha_n,
+                               sgn, transpose)
+            for c in range(ncomp)
+        ]
+        s_c = tuple(o[0] for o in outs)
+        t_c = tuple(o[1] for o in outs)
+        tt = sum(o[2] for o in outs)
+        ts = sum(o[3] for o in outs)
+        omega_n = ts / guard(tt)
+        outs = [
+            fused_bicg_phase_x(invd[c], pn_c[c], s_c[c], t_c[c], x_c[c],
+                               rhat[c], alpha_n, omega_n)
+            for c in range(ncomp)
+        ]
+        xn_c = tuple(o[0] for o in outs)
+        rn_c = tuple(o[1] for o in outs)
+        rnorm = outs[0][2]
+        for o in outs[1:]:
+            rnorm = jnp.maximum(rnorm, o[2])
+        rho_next = sum(o[3] for o in outs)
+        done = (rnorm < tol) | breakdown | ~jnp.isfinite(rnorm)
+        return (xn_c, rn_c, pn_c, vn_c, rho_new, rho_next, alpha_n, omega_n,
+                k + 1, done)
+
+    one = jnp.ones((), dtype)
+    zeros_c = tuple(jnp.zeros_like(c) for c in rhat)
+
+    def run_solve(_):
+        init = (
+            tuple(x0.components), rhat, zeros_c, zeros_c, one, rho0, one, one,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        )
+        x_c, *_rest, k, _done = jax.lax.while_loop(cond, body, init)
+        xf = type(b)(tuple(x_c), periodic=b.periodic)
+        _r_true, rt_norm = resid(xf)
+        return xf, rt_norm, k
+
+    def skip_solve(_):
+        return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+    return jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
+
+
 def bicgstab(
     apply_A: Callable,
     b,
@@ -153,6 +242,9 @@ def bicgstab(
     max_iter: int = 1000,
     diag=None,
     residual_fn=None,
+    stencil=None,
+    negate: bool = False,
+    transpose: bool = False,
 ) -> SolveResult:
     """Jacobi-preconditioned BiCGSTAB on a pytree system.
 
@@ -161,6 +253,11 @@ def bicgstab(
     residual is non-finite or >100*tol (the reference's recovery policy,
     multi_bicgstab_ilu_linear_solve_op.cu.cc:392-408); warn is set when even
     the restart fails.
+
+    stencil/negate/transpose — the advection stencil behind apply_A: when
+    given (with diag) and every component fits the fused-kernel budget, the
+    loop runs the 3-launch-per-component fused phases
+    (pallas_krylov.fused_bicg_phase_*; ~10 kernels/component otherwise).
     """
     if x0 is None:
         x0 = _zeros_like(b)
@@ -172,16 +269,38 @@ def bicgstab(
         )
         precond = lambda v: jax.tree_util.tree_map(jnp.multiply, inv_diag, v)
     else:
+        inv_diag = None
         precond = lambda v: v
 
-    x, rnorm, k = _bicgstab_once(apply_A, precond, b, x0, tol, max_iter, residual_fn)
+    fused = False
+    if stencil is not None and inv_diag is not None and hasattr(b, "components"):
+        from diffpiso_tpu.solvers.pallas_krylov import eligible
+
+        fused = all(
+            c.ndim == 2 and eligible(c.shape, c.dtype) for c in stencil.center
+        )
+
+    def resid(x):
+        if residual_fn is not None:
+            return residual_fn(b, x)
+        r = _sub(b, apply_A(x))
+        return r, _tree_max_abs(r)
+
+    def once(x_init):
+        if fused:
+            return _bicgstab_once_fused(
+                stencil, inv_diag, b, x_init, tol, max_iter, resid,
+                negate, transpose,
+            )
+        return _bicgstab_once(apply_A, precond, b, x_init, tol, max_iter,
+                              residual_fn)
+
+    x, rnorm, k = once(x0)
 
     bad = (~jnp.isfinite(rnorm)) | (rnorm > 100.0 * tol)
 
     def restart(_):
-        xr, rr, kr = _bicgstab_once(
-            apply_A, precond, b, _zeros_like(b), tol, max_iter, residual_fn
-        )
+        xr, rr, kr = once(_zeros_like(b))
         return xr, rr, k + kr  # report TOTAL work, both attempts
 
     def keep(_):

@@ -182,6 +182,139 @@ def fused_cg_iteration(stencil, x, r, p, deflate: bool):
     return xo, ro, po, n[0]
 
 
+# -- fused BiCGSTAB phases (the momentum solve) -------------------------------------
+# The advection solve is ~30% of the r3 device step (trace: ~118 us of 410
+# at 512^2): 2 Jacobi-BiCGSTAB iterations x 2 components x ~10 kernels.
+# These three phase kernels collapse one iteration to 3 launches per
+# component; the cross-component scalar reductions (rho, rhat.v, t.t, t.s)
+# close between phases as cheap scalar glue. No shift term (the advection
+# stencil has no rank-one deflation) and the operator sign (-M) and
+# transpose (adjoint solves) fold into the kernel. No AD rules needed —
+# the solve sits inside solve_advection_system's custom_vjp.
+
+
+def _adv_matvec(c, ly, hy, lx, hx, p, transpose, sgn):
+    if not transpose:
+        q = c * p
+        q = q + ly * _roll(p, 1, 0)
+        q = q + hy * _roll(p, -1, 0)
+        q = q + lx * _roll(p, 1, 1)
+        q = q + hx * _roll(p, -1, 1)
+    else:
+        q = c * p
+        q = q + _roll(ly * p, -1, 0)
+        q = q + _roll(hy * p, 1, 0)
+        q = q + _roll(lx * p, -1, 1)
+        q = q + _roll(hx * p, 1, 1)
+    return sgn * q
+
+
+def _bicg_p_kernel(transpose, c, ly, hy, lx, hx, invd, r, p, v, rhat, s_ref,
+                   out_p, out_v, out_d):
+    # p' = r + beta (p - omega v); v' = sgn S (invd p'); out_d = rhat.v'
+    beta = s_ref[0]
+    omega = s_ref[1]
+    sgn = s_ref[2]
+    pn = r[:] + beta * (p[:] - omega * v[:])
+    vn = _adv_matvec(c[:], ly[:], hy[:], lx[:], hx[:], invd[:] * pn,
+                     transpose, sgn)
+    out_p[:] = pn
+    out_v[:] = vn
+    out_d[0] = jnp.sum(rhat[:] * vn)
+
+
+def _bicg_s_kernel(transpose, c, ly, hy, lx, hx, invd, r, v, s_ref,
+                   out_s, out_t, out_tt, out_ts):
+    # s = r - alpha v; t = sgn S (invd s); partials t.t, t.s
+    alpha = s_ref[0]
+    sgn = s_ref[1]
+    sv = r[:] - alpha * v[:]
+    tv = _adv_matvec(c[:], ly[:], hy[:], lx[:], hx[:], invd[:] * sv,
+                     transpose, sgn)
+    out_s[:] = sv
+    out_t[:] = tv
+    out_tt[0] = jnp.sum(tv * tv)
+    out_ts[0] = jnp.sum(tv * sv)
+
+
+def _bicg_x_kernel(invd, p, s, t, x, rhat, s_ref,
+                   out_x, out_r, out_n, out_rho):
+    # x' = x + alpha invd p + omega invd s; r' = s - omega t;
+    # partials: max|r'| and rhat.r' (the NEXT iteration's rho)
+    alpha = s_ref[0]
+    omega = s_ref[1]
+    iv = invd[:]
+    xn = x[:] + alpha * iv * p[:] + omega * iv * s[:]
+    rn = s[:] - omega * t[:]
+    out_x[:] = xn
+    out_r[:] = rn
+    out_n[0] = jnp.max(jnp.abs(rn))
+    out_rho[0] = jnp.sum(rhat[:] * rn)
+
+
+def _scal(x, *vals):
+    return jnp.stack([jnp.asarray(v, x.dtype) for v in vals])
+
+
+def fused_bicg_phase_p(st_c, invd, r, p, v, rhat, beta, omega, sgn,
+                       transpose):
+    """(p', v', partial rhat.v') for one component. st_c = (c, lo, hi)."""
+    c, lo, hi = st_c
+    s = jax.ShapeDtypeStruct(r.shape, r.dtype)
+    pn, vn, d = pl.pallas_call(
+        functools.partial(_bicg_p_kernel, transpose),
+        out_shape=(s, s, jax.ShapeDtypeStruct((1,), r.dtype)),
+        in_specs=_vmem_specs(10) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(c, lo[0], hi[0], lo[1], hi[1], invd, r, p, v, rhat,
+      _scal(r, beta, omega, sgn))
+    return pn, vn, d[0]
+
+
+def fused_bicg_phase_s(st_c, invd, r, v, alpha, sgn, transpose):
+    """(s, t, partial t.t, partial t.s) for one component."""
+    c, lo, hi = st_c
+    s = jax.ShapeDtypeStruct(r.shape, r.dtype)
+    one = jax.ShapeDtypeStruct((1,), r.dtype)
+    sv, tv, tt, ts = pl.pallas_call(
+        functools.partial(_bicg_s_kernel, transpose),
+        out_shape=(s, s, one, one),
+        in_specs=_vmem_specs(8) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(c, lo[0], hi[0], lo[1], hi[1], invd, r, v, _scal(r, alpha, sgn))
+    return sv, tv, tt[0], ts[0]
+
+
+def fused_bicg_phase_x(invd, p, s, t, x, rhat, alpha, omega):
+    """(x', r', partial max|r'|, partial rhat.r') for one component."""
+    sh = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    one = jax.ShapeDtypeStruct((1,), x.dtype)
+    xn, rn, n, rho = pl.pallas_call(
+        _bicg_x_kernel,
+        out_shape=(sh, sh, one, one),
+        in_specs=_vmem_specs(6) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(invd, p, s, t, x, rhat, _scal(x, alpha, omega))
+    return xn, rn, n[0], rho[0]
+
+
 # -- PCG halves around the (unfusable) spectral preconditioner ----------------------
 
 

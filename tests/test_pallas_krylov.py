@@ -89,3 +89,80 @@ def test_fused_pcg_through_pressure_solver(monkeypatch):
     # warm start with the previous solution converges (near-)immediately
     _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_fused, 1e-6)
     assert not bool(w2) and int(it2) <= 2
+
+
+def test_fused_bicgstab_matches_generic(monkeypatch):
+    """The 3-launch-per-component fused BiCGSTAB phases must solve the same
+    joint 2-component advection system to the same answer as the generic
+    pytree loop (interpret mode; jnp.roll stands in for pltpu.roll)."""
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    from diffpiso_tpu import StaggeredField
+    from diffpiso_tpu.ops.stencil import (
+        AdvectionStencil,
+        apply_stencil,
+    )
+    from diffpiso_tpu.solvers import krylov
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(11)
+    n = 24
+
+    def planes(scale):
+        return jnp.asarray(scale * rng.randn(n, n), jnp.float32)
+
+    # diagonally dominant joint system (the momentum-solve structure)
+    comps = []
+    for _ in range(2):
+        center = jnp.asarray(-8.0 + 0.5 * rng.randn(n, n), jnp.float32)
+        lo = (planes(0.4), planes(0.4))
+        hi = (planes(0.4), planes(0.4))
+        comps.append((center, lo, hi))
+    st = AdvectionStencil(
+        center=(comps[0][0], comps[1][0]),
+        lo=(comps[0][1], comps[1][1]),
+        hi=(comps[0][2], comps[1][2]),
+        diag_A=(comps[0][0], comps[1][0]),
+    )
+    b = StaggeredField(
+        (planes(1.0), planes(1.0)), periodic=(True, True)
+    )
+    diag = StaggeredField(
+        tuple(-c for c in st.center), periodic=(True, True)
+    )  # diag of -M
+
+    apply_A = lambda v: apply_stencil(st, v, negate=True)
+
+    ref = krylov.bicgstab(apply_A, b, tol=1e-6, max_iter=300, diag=diag)
+    assert not bool(ref.warn)
+
+    # force the fused path on CPU
+    monkeypatch.setattr(pallas_krylov, "eligible", lambda shape, dtype: True)
+    out = krylov.bicgstab(
+        apply_A, b, tol=1e-6, max_iter=300, diag=diag,
+        stencil=st, negate=True, transpose=False,
+    )
+    assert not bool(out.warn)
+    for a, r in zip(out.x.components, ref.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+    # same algorithm -> comparable iteration counts
+    assert abs(int(out.iterations) - int(ref.iterations)) <= 2
+
+    # transpose variant solves the transposed system
+    from diffpiso_tpu.ops.stencil import apply_stencil_transpose
+
+    apply_T = lambda v: apply_stencil_transpose(st, v, negate=True)
+    refT = krylov.bicgstab(apply_T, b, tol=1e-6, max_iter=300, diag=diag)
+    outT = krylov.bicgstab(
+        apply_T, b, tol=1e-6, max_iter=300, diag=diag,
+        stencil=st, negate=True, transpose=True,
+    )
+    assert not bool(outT.warn)
+    for a, r in zip(outT.x.components, refT.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
