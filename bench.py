@@ -278,7 +278,12 @@ def bench_forward(step, vel, p, steps_per_call, reps, spinup_calls=1):
 def bench_grad(step, vel0, p0, unroll, reps):
     """Time one jax.grad of an `unroll`-step rollout loss w.r.t. a forcing
     field, starting FROM THE GIVEN (developed) state; returns (unrolled
-    steps/s per grad eval, mean solver iters inside the rollout)."""
+    steps/s per grad eval, mean solver iters inside the rollout).
+
+    reps must keep total timed wall >= ~0.5 s: one grad call is ~60-90 ms
+    at 512^2 and the tunnel adds ~26 ms dispatch per call, so reps=2 was
+    ~0.2 s and gave +-6% run-to-run scatter (measured r3, /tmp A/B with
+    interleaved modes); reps=8 brings scatter under ~2%."""
     import jax
     import jax.numpy as jnp
 
@@ -331,7 +336,7 @@ def workload_turbulence(args):
     # not the solver. Real rollouts run thousands of steps per launch (the
     # reference's scripts run 400k), so amortizing over 200 is conservative.
     steps_per_call = 5 if args.quick else 200
-    reps = 2 if args.quick else 3
+    reps = 2 if args.quick else 8  # >=0.5 s timed window (see bench_grad note)
     fwd_sps, fwd_iters, (vel_d, p_d) = bench_forward(
         step, vel, p, steps_per_call, reps, spinup_calls=1
     )
@@ -343,7 +348,7 @@ def workload_turbulence(args):
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 2)
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 8)
         out["grad30_steps_per_sec"] = round(grad_sps, 3)
         out["grad_pressure_iters_per_step"] = [round(float(x), 2) for x in grad_iters]
     return out
@@ -379,7 +384,7 @@ def workload_turb3d(args):
         # grad at scale (VERDICT r2 item 5: the adjoint path must be shown
         # to scale); unroll shortened to bound the stored-residual memory
         unroll = 5 if args.quick else 10
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1)
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 4)
         out[f"grad{unroll}_steps_per_sec"] = round(grad_sps, 3)
     return out
 
@@ -389,7 +394,7 @@ def workload_cavity(args):
     vel = domain.staggered_grid(0.0)
     p = domain.centered_grid(0.0)
     steps_per_call = 5 if args.quick else 200
-    reps = 2 if args.quick else 3
+    reps = 2 if args.quick else 8  # >=0.5 s timed window (see bench_grad note)
     # develop the flow: ~2000 steps (round-1 review: bench a developed flow)
     fwd_sps, fwd_iters, (vel_d, p_d) = bench_forward(
         step, vel, p, steps_per_call, reps,
@@ -403,7 +408,7 @@ def workload_cavity(args):
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 2)
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 8)
         out["grad30_steps_per_sec"] = round(grad_sps, 3)
         out["grad_pressure_iters_per_step"] = [round(float(x), 2) for x in grad_iters]
     return out

@@ -22,6 +22,7 @@ from diffpiso_tpu.fields.geometry import (
     union_mask,
 )
 from diffpiso_tpu.fields.noise import noise, noise_staggered, random_solenoidal
+from diffpiso_tpu.fields.angular_velocity import AngularVelocity, gaussian_falloff
 from diffpiso_tpu.fields import struct
 
 __all__ = [
@@ -48,4 +49,6 @@ __all__ = [
     "noise",
     "noise_staggered",
     "random_solenoidal",
+    "AngularVelocity",
+    "gaussian_falloff",
 ]

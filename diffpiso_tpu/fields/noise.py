@@ -90,9 +90,15 @@ def noise_staggered(
     smoothness: float = 1.0,
 ) -> StaggeredField:
     """Independent noise per staggered velocity component (Noise.at for
-    StaggeredGrids)."""
+    StaggeredGrids). Component d gets the MAC face shape: resolution + e_d
+    on non-periodic axes (boundary faces stored), plain resolution on
+    periodic ones (unique faces only, fields/grid.py:51-55)."""
     keys = jax.random.split(key, len(resolution))
-    comps = tuple(
-        noise(k, resolution, size, None, scale, smoothness) for k in keys
-    )
-    return StaggeredField(comps, periodic=tuple(periodic))
+    comps = []
+    for d, k in enumerate(keys):
+        shape = tuple(
+            n + (1 if (ax == d and not periodic[ax]) else 0)
+            for ax, n in enumerate(resolution)
+        )
+        comps.append(noise(k, shape, size, None, scale, smoothness))
+    return StaggeredField(tuple(comps), periodic=tuple(periodic))

@@ -31,6 +31,7 @@ Design decisions (idiomatic TPU, not a port):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -272,8 +273,17 @@ def bicgstab(
         inv_diag = None
         precond = lambda v: v
 
+    # DIFFPISO_FUSED_BICG: auto (default) | never | fwd-only (skip the
+    # transposed adjoint solves — A/B hook for the backward path)
+    mode = os.environ.get("DIFFPISO_FUSED_BICG", "auto")
     fused = False
-    if stencil is not None and inv_diag is not None and hasattr(b, "components"):
+    if (
+        mode != "never"
+        and not (mode == "fwd-only" and transpose)
+        and stencil is not None
+        and inv_diag is not None
+        and hasattr(b, "components")
+    ):
         from diffpiso_tpu.solvers.pallas_krylov import eligible
 
         fused = all(
