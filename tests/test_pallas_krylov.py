@@ -109,6 +109,8 @@ def test_fused_bicgstab_matches_generic(monkeypatch):
     monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
     monkeypatch.setattr(pallas_krylov, "_roll",
                         lambda a, s, ax: jnp.roll(a, s, ax))
+    # isolate the BiCGSTAB phase kernels from the Jacobi accelerator
+    monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "never")
     rng = np.random.RandomState(11)
     n = 24
 
@@ -166,3 +168,91 @@ def test_fused_bicgstab_matches_generic(monkeypatch):
     for a, r in zip(outT.x.components, refT.x.components):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
                                    atol=1e-5)
+
+
+def _adv_system(n, center_mag, seed=11):
+    from diffpiso_tpu.ops.stencil import AdvectionStencil
+
+    rng = np.random.RandomState(seed)
+
+    def planes(scale):
+        return jnp.asarray(scale * rng.randn(n, n), jnp.float32)
+
+    comps = []
+    for _ in range(2):
+        center = jnp.asarray(
+            -center_mag + 0.3 * rng.randn(n, n), jnp.float32
+        )
+        comps.append((center, (planes(0.4), planes(0.4)),
+                      (planes(0.4), planes(0.4))))
+    st = AdvectionStencil(
+        center=(comps[0][0], comps[1][0]),
+        lo=(comps[0][1], comps[1][1]),
+        hi=(comps[0][2], comps[1][2]),
+        diag_A=(comps[0][0], comps[1][0]),
+    )
+    b = StaggeredField((planes(1.0), planes(1.0)), periodic=(True, True))
+    diag = StaggeredField(tuple(-c for c in st.center), periodic=(True, True))
+    return st, b, diag
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_jacobi_accelerator_matches_generic(transpose, monkeypatch):
+    """The fused Jacobi-sweep accelerator must reach the same solution as
+    the generic BiCGSTAB on a diagonally dominant system — and must
+    short-circuit the Krylov loop entirely (iterations == 0)."""
+    from diffpiso_tpu.ops.stencil import apply_stencil, apply_stencil_transpose
+    from diffpiso_tpu.solvers import krylov
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
+    st, b, diag = _adv_system(24, center_mag=10.0)
+    ap = apply_stencil_transpose if transpose else apply_stencil
+    apply_A = lambda v: ap(st, v, negate=True)
+
+    ref = krylov.bicgstab(apply_A, b, tol=1e-6, max_iter=300, diag=diag)
+    assert not bool(ref.warn)
+
+    monkeypatch.setattr(pallas_krylov, "eligible", lambda shape, dtype: True)
+    out = krylov.bicgstab(
+        apply_A, b, tol=1e-6, max_iter=300, diag=diag,
+        stencil=st, negate=True, transpose=transpose,
+    )
+    assert not bool(out.warn)
+    assert int(out.iterations) == 0  # Jacobi converged; Krylov never ran
+    assert float(out.residual_norm) < 1e-6
+    for a, r in zip(out.x.components, ref.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_jacobi_accelerator_falls_back_when_not_dominant(monkeypatch):
+    """On a NON-dominant system the sweeps miss tol and BiCGSTAB must take
+    over from wherever they stopped — same answer, no warn."""
+    from diffpiso_tpu.ops.stencil import apply_stencil
+    from diffpiso_tpu.solvers import krylov
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
+    # |center| ~ 1.6 vs off-diagonal mass ~ 4*0.4: Jacobi diverges/stalls
+    st, b, diag = _adv_system(16, center_mag=1.6, seed=3)
+    apply_A = lambda v: apply_stencil(st, v, negate=True)
+
+    ref = krylov.bicgstab(apply_A, b, tol=1e-6, max_iter=400, diag=diag)
+    assert not bool(ref.warn)
+
+    monkeypatch.setattr(pallas_krylov, "eligible", lambda shape, dtype: True)
+    out = krylov.bicgstab(
+        apply_A, b, tol=1e-6, max_iter=400, diag=diag,
+        stencil=st, negate=True, transpose=False,
+    )
+    assert not bool(out.warn)
+    assert int(out.iterations) > 0  # the Krylov loop actually ran
+    assert float(out.residual_norm) < 1e-4
+    for a, r in zip(out.x.components, ref.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3,
+                                   atol=5e-4)
