@@ -235,6 +235,61 @@ def make_train_step(loss_fn, optimizer):
     return train_step
 
 
+def make_chunked_train_step(loss_fn, optimizer, chunk: int):
+    """`chunk` SEQUENTIAL training iterations inside ONE jit call (lax.scan
+    over stacked samples, carrying params + optimizer state).
+
+    Why: every dispatched jit call costs ~25-30 ms through the tunneled
+    runtime regardless of device work (CLAUDE.md cost model), so the
+    per-call reference protocol (combined_training_integrated.py:188 — one
+    session.run per iteration) is dispatch-bound: the 64x256 training
+    iteration is ~3-4 ms of device work inside a ~26 ms wall. Scanning the
+    optimizer loop amortizes the dispatch exactly like the simulation
+    benches amortize over 200-step scan chunks. This is the sequential-SGD
+    twin of make_batched_train_step (which averages ONE update over a
+    batch); semantics match `chunk` consecutive make_train_step calls:
+    per-iteration warn/non-finite gating skips that iteration's update
+    in-graph. The host-level restore-after-2-warns policy (training_run)
+    applies at chunk boundaries from the returned per-iteration warn array.
+
+    train_chunk(params, opt_state, vel0s, p0s, targets, perts) — every
+    sample input stacked on a leading `chunk` axis — returns
+    (params, opt_state, losses[chunk], parts[4, chunk-ish pytree],
+    warns[chunk])."""
+
+    @jax.jit
+    def train_chunk(params, opt_state, vel0s, p0s, targets, perts):
+        def body(carry, inp):
+            params, opt_state = carry
+            v0, p0, t, pe = inp
+            (loss, (warn, parts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, v0, p0, t, pe)
+            finite = jnp.all(
+                jnp.stack(
+                    [jnp.all(jnp.isfinite(g))
+                     for g in jax.tree_util.tree_leaves(grads)]
+                )
+            )
+            ok = jnp.logical_and(~warn, finite)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params_out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params
+            )
+            opt_out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+            )
+            return (params_out, opt_out), (loss, parts, warn)
+
+        (params, opt_state), (losses, parts, warns) = jax.lax.scan(
+            body, (params, opt_state), (vel0s, p0s, targets, perts)
+        )
+        return params, opt_state, losses, parts, warns
+
+    return train_chunk
+
+
 def make_batched_train_step(loss_fn, optimizer, mesh=None):
     """Data-parallel training step over a leading batch axis — the designed
     -in fix for the reference's batch_size=1 limitation (SURVEY.md par.2.5:

@@ -365,6 +365,91 @@ def fused_jacobi_sweeps(st_c, invd, b, x, k, sgn, transpose):
     return xn, n[0]
 
 
+def eligible_3d(shape, dtype) -> bool:
+    """3-D Jacobi-sweep eligibility: z-plane-gridded launch holding ~13
+    (ny, nx) plane blocks per program (ops/pallas_stencil.py:271-322 is the
+    matvec analog). Platform gates mirror eligible()."""
+    mode = os.environ.get("DIFFPISO_FUSED_KRYLOV", "auto")
+    if mode == "never" or not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0 or os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shape) != 3:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    return 13 * shape[1] * shape[2] * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, invd, b, x,
+                     xup, xdn, s_ref, out_x, out_n):
+    # one sweep: r = b - sgn S x (7-point, z coupling via the up/dn plane
+    # reads); x' = x + invd r; out_n = per-plane max|r| (the PRE-update
+    # residual — a conservative exit bound: the returned x' is one full
+    # sweep better than the norm reports)
+    sgn = s_ref[0]
+    xc = x[0]
+    if not transpose:
+        q = c[0] * xc + lz[0] * xup[0] + hz[0] * xdn[0]
+        q = q + ly[0] * _roll(xc, 1, 0) + hy[0] * _roll(xc, -1, 0)
+        q = q + lx[0] * _roll(xc, 1, 1) + hx[0] * _roll(xc, -1, 1)
+    else:
+        # transpose z coupling: lz(z+1) x(z+1) + hz(z-1) x(z-1)
+        # (ops/pallas_stencil.py:289-297); lz/hz arrive via dn/up maps
+        q = c[0] * xc + lz[0] * xdn[0] + hz[0] * xup[0]
+        q = q + _roll(ly[0] * xc, -1, 0) + _roll(hy[0] * xc, 1, 0)
+        q = q + _roll(lx[0] * xc, -1, 1) + _roll(hx[0] * xc, 1, 1)
+    r = b[0] - sgn * q
+    out_x[0] = xc + invd[0] * r
+    # (1,1) SMEM max-accumulator over the sequential z grid (Mosaic
+    # rejects rank-1 (1,)-blocks over an (nz,) array; the row-tiled 2-D
+    # residual kernel's idiom, ops/pallas_stencil.py:396-404)
+    part = jnp.max(jnp.abs(r))
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_n[0, 0] = part
+
+    @pl.when(i != 0)
+    def _():
+        out_n[0, 0] = jnp.maximum(out_n[0, 0], part)
+
+
+def fused_jacobi_sweep_3d(st_c, invd, b, x, sgn, transpose):
+    """ONE Jacobi sweep for one 3-D component as a z-gridded launch;
+    returns (x', max|b - A x| BEFORE the sweep). Unlike the 2-D kernel,
+    sweeps can't chain in-launch (each plane needs its neighbors' previous
+    sweep), so the convergence loop calls this per sweep."""
+    c, lo, hi = st_c
+    nz = x.shape[0]
+    plane = pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0))
+    up = pl.BlockSpec((1,) + x.shape[1:], lambda i: ((i - 1) % nz, 0, 0))
+    dn = pl.BlockSpec((1,) + x.shape[1:], lambda i: ((i + 1) % nz, 0, 0))
+    lz_spec = plane if not transpose else dn
+    hz_spec = plane if not transpose else up
+    xn, n = pl.pallas_call(
+        functools.partial(_jacobi3d_kernel, transpose),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, 1), x.dtype),
+        ),
+        grid=(nz,),
+        in_specs=[plane, lz_spec, hz_spec] + [plane] * 6 + [plane, up, dn]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(plane, pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                       memory_space=pltpu.SMEM)),
+        interpret=_INTERPRET,
+    )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], invd, b, x, x, x,
+      _scal(x, sgn))
+    return xn, n[0, 0]
+
+
 # -- PCG halves around the (unfusable) spectral preconditioner ----------------------
 
 

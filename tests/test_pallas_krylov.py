@@ -256,3 +256,60 @@ def test_jacobi_accelerator_falls_back_when_not_dominant(monkeypatch):
     for a, r in zip(out.x.components, ref.x.components):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3,
                                    atol=5e-4)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_jacobi_accelerator_3d(transpose, monkeypatch):
+    """3-D: the z-plane-gridded single-sweep launches must solve the
+    dominant 7-point system to the generic loop's answer and short-circuit
+    the (unfused in 3-D) Krylov loop."""
+    from diffpiso_tpu.ops.stencil import AdvectionStencil, apply_stencil, apply_stencil_transpose
+    from diffpiso_tpu.solvers import krylov
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")
+    rng = np.random.RandomState(7)
+    shape = (6, 12, 16)
+
+    def planes(scale):
+        return jnp.asarray(scale * rng.randn(*shape), jnp.float32)
+
+    comps = []
+    for _ in range(3):
+        center = jnp.asarray(-12.0 + 0.3 * rng.randn(*shape), jnp.float32)
+        comps.append((
+            center,
+            (planes(0.4), planes(0.4), planes(0.4)),
+            (planes(0.4), planes(0.4), planes(0.4)),
+        ))
+    st = AdvectionStencil(
+        center=tuple(c[0] for c in comps),
+        lo=tuple(c[1] for c in comps),
+        hi=tuple(c[2] for c in comps),
+        diag_A=tuple(c[0] for c in comps),
+    )
+    b = StaggeredField(
+        tuple(planes(1.0) for _ in range(3)), periodic=(True, True, True)
+    )
+    diag = StaggeredField(
+        tuple(-c for c in st.center), periodic=(True, True, True)
+    )
+    ap = apply_stencil_transpose if transpose else apply_stencil
+    apply_A = lambda v: ap(st, v, negate=True)
+
+    ref = krylov.bicgstab(apply_A, b, tol=1e-6, max_iter=300, diag=diag)
+    assert not bool(ref.warn)
+
+    monkeypatch.setattr(pallas_krylov, "eligible_3d",
+                        lambda shape, dtype: True)
+    out = krylov.bicgstab(
+        apply_A, b, tol=1e-6, max_iter=300, diag=diag,
+        stencil=st, negate=True, transpose=transpose,
+    )
+    assert not bool(out.warn)
+    assert int(out.iterations) == 0  # sweeps converged, Krylov never ran
+    for a, r in zip(out.x.components, ref.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
