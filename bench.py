@@ -557,7 +557,7 @@ def workload_training(args):
         f"warn={bool(jnp.any(warn))}",
         file=sys.stderr,
     )
-    return {
+    out = {
         "workload": (
             f"closure training iteration {res[0]}x{res[1]}, 10-step unroll, "
             f"4 losses, Adam, batch {batch}"
@@ -566,6 +566,38 @@ def workload_training(args):
         "samples_per_sec": round(samples_s, 3),
         "unrolled_steps_per_sec": round(cfg.step_count * batch / per_iter, 3),
     }
+
+    if batch == 1 and not args.quick:
+        # chunked optimizer loop: cfg.scan_chunk's measurement — `chunk`
+        # sequential Adam iterations per jit call amortize the ~26 ms
+        # tunnel dispatch that dominates the ~3-4 ms device iteration
+        # (same sample repeated; the scan can't be hoisted because params
+        # change every trip)
+        from diffpiso_tpu.learning.training import make_chunked_train_step
+
+        chunk = 10
+        cstep = make_chunked_train_step(loss_fn, optimizer, chunk)
+        stack = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * chunk), t
+        )
+        cv, cp, ct, cpe = map(stack, (vel0, p0, targets, perts))
+        pc, oc, losses, _, warns = cstep(params, opt_state, cv, cp, ct, cpe)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        creps = 4
+        for _ in range(creps):
+            pc, oc, losses, _, warns = cstep(pc, oc, cv, cp, ct, cpe)
+        jax.block_until_ready(losses)
+        per_chunk_iter = (time.perf_counter() - t0) / (creps * chunk)
+        print(
+            f"[bench] training chunked (scan_chunk {chunk}): "
+            f"{1.0/per_chunk_iter:.2f} iterations/s, warn="
+            f"{bool(jnp.any(warns))}",
+            file=sys.stderr,
+        )
+        out["chunked_train_iterations_per_sec"] = round(1.0 / per_chunk_iter, 3)
+        out["chunked_scan_chunk"] = chunk
+    return out
 
 
 # -- main ------------------------------------------------------------------------

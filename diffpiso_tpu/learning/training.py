@@ -70,6 +70,13 @@ class TrainingConfig:
     # the MXU at 2x f32 rate with f32 master weights; the solver stays f32
     # (the physics tolerances need it). None = f32 throughout.
     network_dtype: Optional[str] = None
+    # >1: run this many sequential training iterations per jit call
+    # (make_chunked_train_step) — amortizes the ~26 ms/dispatch tunnel cost
+    # that otherwise dominates the ~3-4 ms training iteration. Host-side
+    # warn recovery / checkpoint / eval side effects then act on the
+    # post-chunk state (updates of warned iterations are still skipped
+    # in-graph per iteration, exactly as at scan_chunk=1).
+    scan_chunk: int = 1
 
 
 def _centered_gradient(p: jax.Array, dx) -> jax.Array:
@@ -512,6 +519,10 @@ def training_run(
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = optimizer.init(params)
     train_step = make_train_step(loss_fn, optimizer)
+    train_chunk = (
+        make_chunked_train_step(loss_fn, optimizer, cfg.scan_chunk)
+        if cfg.scan_chunk > 1 else None
+    )
     eval_loss = jax.jit(
         lambda p, v0, p0, t, pe: loss_fn(p, v0, p0, t, pe)[0]
     )
@@ -540,61 +551,93 @@ def training_run(
     consecutive_warns = 0
     prev_eval = None
 
+    def bookkeep(epoch, it, loss, warn):
+        """Per-iteration host bookkeeping: warn recovery, checkpoints,
+        intermediate evals. In chunked mode (cfg.scan_chunk>1) this runs
+        after the chunk for each iteration it contained, acting on the
+        post-chunk params (the in-graph per-iteration skip already guarded
+        the updates themselves)."""
+        nonlocal params, opt_state, consecutive_warns, last_working, prev_eval
+        global_step = epoch * len(train_dataset) + it
+        loss_history.append(float(loss))
+        if bool(warn):
+            consecutive_warns += 1
+            log_fn(f"[train] e{epoch} i{it} WARN (solver failure), update skipped")
+            if consecutive_warns >= 2:
+                # reference: restore last-working weights + Adam re-init
+                # (graph rebuild analog, :199-257)
+                params = jax.tree_util.tree_map(jnp.asarray, last_working)
+                opt_state = optimizer.init(params)
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                consecutive_warns = 0
+                log_fn(f"[train] e{epoch} i{it} restored last-working params")
+        else:
+            consecutive_warns = 0
+            if it % cfg.checkpoint_every == 0:
+                last_working = jax.tree_util.tree_map(np.asarray, params)
+                state = _train_ckpt_state(
+                    params, opt_state, epoch, it, lr, loss_history, val_history
+                )
+                # it == 0 would collide with the previous epoch-end save
+                # (global_step epoch*len == (prev_epoch+1)*len) and
+                # silently overwrite it — the epoch-boundary state is
+                # already durable, so only the rolling tag updates here
+                if it > 0:
+                    mgr.save(global_step, state)
+                mgr.save_tag("last_working", state)
+                np.savez(
+                    os.path.join(base_dir, "training_loss_progression.npz"),
+                    np.asarray(loss_history),
+                )
+        if cfg.eval_interval and it > 0 and it % cfg.eval_interval == 0 and val_dataset is not None:
+            v_sample = val_dataset.sample(0)
+            ev = float(eval_loss(params, *_sample_to_device(setup, cfg, v_sample)))
+            if prev_eval is not None and ev > cfg.rollback_threshold * prev_eval:
+                params = jax.tree_util.tree_map(jnp.asarray, last_working)
+                log_fn(f"[train] eval jumped {ev:.3g} > {cfg.rollback_threshold}x, rolled back")
+            else:
+                prev_eval = ev
+                mgr.save_tag(
+                    f"eval_e{epoch}_i{it}",
+                    _train_ckpt_state(
+                        params, opt_state, epoch, it, lr, loss_history, val_history
+                    ),
+                )
+
     for epoch in range(start_epoch, cfg.epochs):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         t_epoch = time.perf_counter()
+        pending = []  # (it, device_sample) awaiting a full scan chunk
         for it, sample in enumerate(train_dataset.iterate(shuffle=True, seed=epoch)):
             if epoch == start_epoch and it <= resume_it:
                 continue  # deterministic per-epoch order -> exact mid-epoch skip
-            global_step = epoch * len(train_dataset) + it
-            vel0, p0, targets, perts = _sample_to_device(setup, cfg, sample)
+            dev = _sample_to_device(setup, cfg, sample)
+            if train_chunk is not None:
+                pending.append((it, dev))
+                if len(pending) == cfg.scan_chunk:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *[q[1] for q in pending]
+                    )
+                    params, opt_state, losses, parts, warns = train_chunk(
+                        params, opt_state, *stacked
+                    )
+                    losses = np.asarray(losses)
+                    warns = np.asarray(warns)
+                    for j, (cit, _) in enumerate(pending):
+                        bookkeep(epoch, cit, losses[j], warns[j])
+                    pending = []
+                continue
+            vel0, p0, targets, perts = dev
             params, opt_state, loss, parts, warn = train_step(
                 params, opt_state, vel0, p0, targets, perts
             )
-            loss_history.append(float(loss))
-            if bool(warn):
-                consecutive_warns += 1
-                log_fn(f"[train] e{epoch} i{it} WARN (solver failure), update skipped")
-                if consecutive_warns >= 2:
-                    # reference: restore last-working weights + Adam re-init
-                    # (graph rebuild analog, :199-257)
-                    params = jax.tree_util.tree_map(jnp.asarray, last_working)
-                    opt_state = optimizer.init(params)
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-                    consecutive_warns = 0
-                    log_fn(f"[train] e{epoch} i{it} restored last-working params")
-            else:
-                consecutive_warns = 0
-                if it % cfg.checkpoint_every == 0:
-                    last_working = jax.tree_util.tree_map(np.asarray, params)
-                    state = _train_ckpt_state(
-                        params, opt_state, epoch, it, lr, loss_history, val_history
-                    )
-                    # it == 0 would collide with the previous epoch-end save
-                    # (global_step epoch*len == (prev_epoch+1)*len) and
-                    # silently overwrite it — the epoch-boundary state is
-                    # already durable, so only the rolling tag updates here
-                    if it > 0:
-                        mgr.save(global_step, state)
-                    mgr.save_tag("last_working", state)
-                    np.savez(
-                        os.path.join(base_dir, "training_loss_progression.npz"),
-                        np.asarray(loss_history),
-                    )
-            if cfg.eval_interval and it > 0 and it % cfg.eval_interval == 0 and val_dataset is not None:
-                v_sample = val_dataset.sample(0)
-                ev = float(eval_loss(params, *_sample_to_device(setup, cfg, v_sample)))
-                if prev_eval is not None and ev > cfg.rollback_threshold * prev_eval:
-                    params = jax.tree_util.tree_map(jnp.asarray, last_working)
-                    log_fn(f"[train] eval jumped {ev:.3g} > {cfg.rollback_threshold}x, rolled back")
-                else:
-                    prev_eval = ev
-                    mgr.save_tag(
-                        f"eval_e{epoch}_i{it}",
-                        _train_ckpt_state(
-                            params, opt_state, epoch, it, lr, loss_history, val_history
-                        ),
-                    )
+            bookkeep(epoch, it, loss, warn)
+        # tail samples that didn't fill a chunk run as single steps
+        for cit, (vel0, p0, targets, perts) in pending:
+            params, opt_state, loss, parts, warn = train_step(
+                params, opt_state, vel0, p0, targets, perts
+            )
+            bookkeep(epoch, cit, loss, warn)
 
         # validation sweep (:305-366)
         if val_dataset is not None:

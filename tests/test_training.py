@@ -285,3 +285,86 @@ def test_sharded_train_step_matches_batched(tiny_setup, tiny_dataset):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5 * scale)
+
+
+def test_chunked_train_step_matches_sequential(tiny_setup, tiny_dataset):
+    """make_chunked_train_step (N sequential updates per jit call via
+    lax.scan — the tunnel-dispatch amortization path, cfg.scan_chunk) must
+    reproduce N consecutive make_train_step calls: same per-iteration
+    losses and the same final params."""
+    from diffpiso_tpu.learning.training import (
+        _sample_to_device,
+        make_chunked_train_step,
+    )
+
+    setup = tiny_setup
+    cfg = TrainingConfig(
+        step_count=2, loss_influence_range=2, padding="SAME",
+        loss_factors=(50.0, 0.0, 0.0, 0.0), advection_tol=1e-5,
+        pressure_tol=1e-5,
+    )
+    dataset = SequenceDataset(
+        [tiny_dataset],
+        characteristics=[[(i * 0.4, 0.082, 0.018) for i in range(8)]],
+        start_frame=[0], frame_count=[8], step_count=2, dt_ratio=1,
+    )
+    rollout = make_rollout_fn(setup, cfg)
+    loss_fn = make_loss_fn(setup, cfg, rollout)
+    params = init_fullyconv(jax.random.PRNGKey(0))
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(params)
+
+    devs = [_sample_to_device(setup, cfg, dataset.sample(i)) for i in (0, 2, 3)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *devs)
+    cstep = make_chunked_train_step(loss_fn, opt, 3)
+    p_c, o_c, losses, parts, warns = cstep(params, opt_state, *stacked)
+    assert losses.shape == (3,) and warns.shape == (3,)
+    assert not bool(np.any(np.asarray(warns)))
+
+    sstep = make_train_step(loss_fn, opt)
+    p_s, o_s = params, opt_state
+    ref_losses = []
+    for d in devs:
+        p_s, o_s, loss, _, warn = sstep(p_s, o_s, *d)
+        ref_losses.append(float(loss))
+        assert not bool(warn)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_c),
+                    jax.tree_util.tree_leaves(p_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6 * scale)
+
+
+def test_training_run_scan_chunk_matches(tiny_setup, tiny_dataset, tmp_path):
+    """training_run with cfg.scan_chunk=2 (chunked epoch loop + single-step
+    tail) reaches the same loss history and final params as scan_chunk=1."""
+    setup = tiny_setup
+    base = dict(
+        step_count=3, loss_influence_range=3, learning_rate=1e-4, epochs=1,
+        advection_tol=1e-4, pressure_tol=1e-4, checkpoint_every=2,
+        padding="SAME", restore_shape=False,
+    )
+    ds = SequenceDataset(
+        [tiny_dataset],
+        characteristics=[[(i * setup.dt, 0.082, 0.018) for i in range(6)]],
+        start_frame=[0], frame_count=[6], step_count=3,
+    )
+    params0 = init_fullyconv(jax.random.PRNGKey(0))
+    p1, h1, _ = training_run(
+        str(tmp_path / "a"), setup, TrainingConfig(**base), params0, ds,
+        log_fn=lambda *a: None,
+    )
+    p2, h2, _ = training_run(
+        str(tmp_path / "b"), setup, TrainingConfig(**base, scan_chunk=2),
+        params0, ds, log_fn=lambda *a: None,
+    )
+    assert len(h1) == len(h2) == len(ds)  # len(ds)=3: chunk of 2 + tail 1
+    np.testing.assert_allclose(h2, h1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * scale)
