@@ -105,6 +105,16 @@ def fv_divergence(field: StaggeredField, dx: Sequence[float]) -> jax.Array:
     """
     dx = tuple(float(d) for d in dx)
     dxprod = _math.prod(dx)
+    if field.rank == 3 and all(field.periodic):
+        from diffpiso_tpu.ops import pallas_fv
+
+        c0 = field.components[0]
+        if (
+            all(c.shape == c0.shape for c in field.components)
+            and pallas_fv.eligible3(c0.shape, c0.dtype)
+        ):
+            fs = tuple(dxprod / d for d in dx)
+            return pallas_fv.div3(fs, tuple(field.components))
     total = None
     for d, comp in enumerate(field.components):
         if field.periodic[d]:
@@ -137,6 +147,17 @@ def fv_gradient(
     if isinstance(pad_modes, str):
         pad_modes = tuple((pad_modes, pad_modes) for _ in range(pressure.ndim))
     periodic = tuple(lo == CIRCULAR for lo, _ in pad_modes)
+    if pressure.ndim == 3 and all(periodic):
+        from diffpiso_tpu.ops import pallas_fv
+
+        if pallas_fv.eligible3(pressure.shape, pressure.dtype):
+            fs = tuple(dxprod / d for d in dx)
+            comps = list(pallas_fv.grad3(fs, pressure))
+            if accessible_mask is not None:
+                comps = _mask_gradient_faces(
+                    comps, accessible_mask, periodic, pressure.ndim
+                )
+            return StaggeredField(tuple(comps), periodic=periodic)
     comps = []
     for d in range(pressure.ndim):
         lo_mode, hi_mode = pad_modes[d]
@@ -154,23 +175,26 @@ def fv_gradient(
             grad = upper - lower
         comps.append(grad * (dxprod / dx[d]))
     if accessible_mask is not None:
-        masked = []
-        for d, grad in enumerate(comps):
-            # upper/lower windows of the padded mask along d, cropped [1:-1]
-            # on the other axes. Periodic axes have unique faces: the face at
-            # index i couples cells i-1 and i (mask pre-padded with wrap).
-            up = slice(1, -1) if periodic[d] else slice(1, None)
-            lo = slice(0, -2) if periodic[d] else slice(0, -1)
-            idx_up = tuple(
-                up if i == d else slice(1, -1) for i in range(pressure.ndim)
-            )
-            idx_lo = tuple(
-                lo if i == d else slice(1, -1) for i in range(pressure.ndim)
-            )
-            face_mask = jnp.minimum(accessible_mask[idx_up], accessible_mask[idx_lo])
-            masked.append(grad * face_mask.astype(grad.dtype))
-        comps = masked
+        comps = _mask_gradient_faces(comps, accessible_mask, periodic, pressure.ndim)
     return StaggeredField(tuple(comps), periodic=periodic)
+
+
+def _mask_gradient_faces(comps, accessible_mask, periodic, ndim):
+    """Zero gradient faces touching an inaccessible cell (the
+    zero_gradient_mask of piso_helpers.py:255-265). accessible_mask is the
+    padded centered mask (shape res+2)."""
+    masked = []
+    for d, grad in enumerate(comps):
+        # upper/lower windows of the padded mask along d, cropped [1:-1]
+        # on the other axes. Periodic axes have unique faces: the face at
+        # index i couples cells i-1 and i (mask pre-padded with wrap).
+        up = slice(1, -1) if periodic[d] else slice(1, None)
+        lo = slice(0, -2) if periodic[d] else slice(0, -1)
+        idx_up = tuple(up if i == d else slice(1, -1) for i in range(ndim))
+        idx_lo = tuple(lo if i == d else slice(1, -1) for i in range(ndim))
+        face_mask = jnp.minimum(accessible_mask[idx_up], accessible_mask[idx_lo])
+        masked.append(grad * face_mask.astype(grad.dtype))
+    return masked
 
 
 def centered_to_faces(data: jax.Array, axis: int, pad_mode: str = REPLICATE) -> jax.Array:

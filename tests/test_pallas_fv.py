@@ -1,0 +1,110 @@
+"""Interpret-mode equality tests for the fused 3-D periodic FV kernels
+(ops/pallas_fv.py) against the XLA roll formulation in ops/fv.py, forward
+and VJP (the custom VJPs cross-call the transpose kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffpiso_tpu.fields.grid import StaggeredField
+from diffpiso_tpu.ops import fv, pallas_fv
+
+
+def _force(monkeypatch):
+    monkeypatch.setattr(pallas_fv, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_fv, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setattr(pallas_fv, "eligible3", lambda *a, **k: True)
+
+
+def _disable(monkeypatch):
+    monkeypatch.setattr(pallas_fv, "eligible3", lambda *a, **k: False)
+
+
+_SHAPE = (6, 8, 10)
+_DX = (0.5, 0.25, 0.125)
+
+
+def _rand_field(key):
+    ks = jax.random.split(key, 3)
+    return StaggeredField(
+        tuple(jax.random.normal(k, _SHAPE, jnp.float32) for k in ks),
+        periodic=(True, True, True),
+    )
+
+
+def test_div3_matches_xla(monkeypatch):
+    field = _rand_field(jax.random.PRNGKey(0))
+    _disable(monkeypatch)
+    ref = fv.fv_divergence(field, _DX)
+    _force(monkeypatch)
+    out = fv.fv_divergence(field, _DX)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_grad3_matches_xla(monkeypatch):
+    p = jax.random.normal(jax.random.PRNGKey(1), _SHAPE, jnp.float32)
+    modes = tuple(("circular", "circular") for _ in range(3))
+    _disable(monkeypatch)
+    ref = fv.fv_gradient(p, _DX, modes)
+    _force(monkeypatch)
+    out = fv.fv_gradient(p, _DX, modes)
+    for o, r in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+
+
+def test_grad3_masked_matches_xla(monkeypatch):
+    p = jax.random.normal(jax.random.PRNGKey(2), _SHAPE, jnp.float32)
+    modes = tuple(("circular", "circular") for _ in range(3))
+    mask = (
+        jax.random.uniform(
+            jax.random.PRNGKey(3), tuple(s + 2 for s in _SHAPE)
+        )
+        > 0.3
+    ).astype(jnp.float32)
+    _disable(monkeypatch)
+    ref = fv.fv_gradient(p, _DX, modes, accessible_mask=mask)
+    _force(monkeypatch)
+    out = fv.fv_gradient(p, _DX, modes, accessible_mask=mask)
+    for o, r in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+
+
+def test_div3_vjp_matches_xla(monkeypatch):
+    field = _rand_field(jax.random.PRNGKey(4))
+    ct = jax.random.normal(jax.random.PRNGKey(5), _SHAPE, jnp.float32)
+
+    def loss(f):
+        return jnp.sum(fv.fv_divergence(f, _DX) * ct)
+
+    _disable(monkeypatch)
+    ref = jax.grad(loss)(field)
+    _force(monkeypatch)
+    out = jax.grad(loss)(field)
+    for o, r in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+
+
+def test_grad3_vjp_matches_xla(monkeypatch):
+    p = jax.random.normal(jax.random.PRNGKey(6), _SHAPE, jnp.float32)
+    modes = tuple(("circular", "circular") for _ in range(3))
+    cts = tuple(
+        jax.random.normal(jax.random.PRNGKey(7 + i), _SHAPE, jnp.float32)
+        for i in range(3)
+    )
+
+    def loss(pp):
+        g = fv.fv_gradient(pp, _DX, modes)
+        return sum(jnp.sum(c * t) for c, t in zip(g.components, cts))
+
+    _disable(monkeypatch)
+    ref = jax.grad(loss)(p)
+    _force(monkeypatch)
+    out = jax.grad(loss)(p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_eligible3_gates():
+    # rank, itemsize, and env gates (on CPU the backend gate rejects)
+    assert not pallas_fv.eligible3((64, 64), jnp.float32)
+    assert not pallas_fv.eligible3((64, 64, 64), jnp.float64)
