@@ -105,16 +105,18 @@ def fv_divergence(field: StaggeredField, dx: Sequence[float]) -> jax.Array:
     """
     dx = tuple(float(d) for d in dx)
     dxprod = _math.prod(dx)
-    if field.rank == 3 and all(field.periodic):
+    if field.rank in (2, 3) and all(field.periodic):
         from diffpiso_tpu.ops import pallas_fv
 
         c0 = field.components[0]
+        elig = pallas_fv.eligible3 if field.rank == 3 else pallas_fv.eligible2
         if (
             all(c.shape == c0.shape for c in field.components)
-            and pallas_fv.eligible3(c0.shape, c0.dtype)
+            and elig(c0.shape, c0.dtype)
         ):
             fs = tuple(dxprod / d for d in dx)
-            return pallas_fv.div3(fs, tuple(field.components))
+            op = pallas_fv.div3 if field.rank == 3 else pallas_fv.div2
+            return op(fs, tuple(field.components))
     total = None
     for d, comp in enumerate(field.components):
         if field.periodic[d]:
@@ -147,12 +149,14 @@ def fv_gradient(
     if isinstance(pad_modes, str):
         pad_modes = tuple((pad_modes, pad_modes) for _ in range(pressure.ndim))
     periodic = tuple(lo == CIRCULAR for lo, _ in pad_modes)
-    if pressure.ndim == 3 and all(periodic):
+    if pressure.ndim in (2, 3) and all(periodic):
         from diffpiso_tpu.ops import pallas_fv
 
-        if pallas_fv.eligible3(pressure.shape, pressure.dtype):
+        elig = pallas_fv.eligible3 if pressure.ndim == 3 else pallas_fv.eligible2
+        if elig(pressure.shape, pressure.dtype):
             fs = tuple(dxprod / d for d in dx)
-            comps = list(pallas_fv.grad3(fs, pressure))
+            op = pallas_fv.grad3 if pressure.ndim == 3 else pallas_fv.grad2
+            comps = list(op(fs, pressure))
             if accessible_mask is not None:
                 comps = _mask_gradient_faces(
                     comps, accessible_mask, periodic, pressure.ndim

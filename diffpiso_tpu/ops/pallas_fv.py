@@ -119,6 +119,93 @@ def _grad3_impl(fs, p):
     )(p, p)
 
 
+def eligible2(shape, dtype) -> bool:
+    """Rank-2 all-periodic eligibility: monolithic whole-plane launch
+    (u + v + out (+ double-buffering head-room) resident in VMEM)."""
+    if os.environ.get("DIFFPISO_FUSED_FV", "auto") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0 or os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    return 6 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _div2_kernel(f0, f1, v, u, out):
+    vc = v[:]
+    uc = u[:]
+    d = (_roll(vc, -1, 0) - vc) * f0
+    out[:] = d + (_roll(uc, -1, 1) - uc) * f1
+
+
+def _div2_impl(fs, comps):
+    v, u = comps
+    return pl.pallas_call(
+        functools.partial(_div2_kernel, *fs),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        interpret=_INTERPRET,
+    )(v, u)
+
+
+def _grad2_kernel(f0, f1, p, out0, out1):
+    pc = p[:]
+    out0[:] = (pc - _roll(pc, 1, 0)) * f0
+    out1[:] = (pc - _roll(pc, 1, 1)) * f1
+
+
+def _grad2_impl(fs, p):
+    shape = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    return pl.pallas_call(
+        functools.partial(_grad2_kernel, *fs),
+        out_shape=(shape, shape),
+        interpret=_INTERPRET,
+    )(p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def div2(fs, comps):
+    """Volume-integrated periodic divergence of a rank-2 staggered tuple."""
+    return _div2_impl(fs, comps)
+
+
+def _div2_fwd(fs, comps):
+    return _div2_impl(fs, comps), None
+
+
+def _div2_bwd(fs, _, ct):
+    return (tuple(-g for g in _grad2_impl(fs, ct)),)
+
+
+div2.defvjp(_div2_fwd, _div2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grad2(fs, p):
+    """Periodic staggered gradient components of a rank-2 centered field;
+    transpose pair of div2."""
+    return _grad2_impl(fs, p)
+
+
+def _grad2_fwd(fs, p):
+    return _grad2_impl(fs, p), None
+
+
+def _grad2_bwd(fs, _, ct):
+    return (-_div2_impl(fs, tuple(ct)),)
+
+
+grad2.defvjp(_grad2_fwd, _grad2_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def div3(fs, comps):
     """Volume-integrated periodic divergence of a rank-3 staggered tuple;

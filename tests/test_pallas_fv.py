@@ -15,10 +15,12 @@ def _force(monkeypatch):
     monkeypatch.setattr(pallas_fv, "_INTERPRET", True)
     monkeypatch.setattr(pallas_fv, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setattr(pallas_fv, "eligible3", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_fv, "eligible2", lambda *a, **k: True)
 
 
 def _disable(monkeypatch):
     monkeypatch.setattr(pallas_fv, "eligible3", lambda *a, **k: False)
+    monkeypatch.setattr(pallas_fv, "eligible2", lambda *a, **k: False)
 
 
 _SHAPE = (6, 8, 10)
@@ -102,6 +104,55 @@ def test_grad3_vjp_matches_xla(monkeypatch):
     _force(monkeypatch)
     out = jax.grad(loss)(p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+_SHAPE2 = (12, 16)
+_DX2 = (0.5, 0.25)
+
+
+def test_div2_fwd_and_vjp_match_xla(monkeypatch):
+    ks = jax.random.split(jax.random.PRNGKey(10), 3)
+    field = StaggeredField(
+        tuple(jax.random.normal(k, _SHAPE2, jnp.float32) for k in ks[:2]),
+        periodic=(True, True),
+    )
+    ct = jax.random.normal(ks[2], _SHAPE2, jnp.float32)
+
+    def loss(f):
+        return jnp.sum(fv.fv_divergence(f, _DX2) * ct)
+
+    _disable(monkeypatch)
+    ref = fv.fv_divergence(field, _DX2)
+    ref_g = jax.grad(loss)(field)
+    _force(monkeypatch)
+    out = fv.fv_divergence(field, _DX2)
+    out_g = jax.grad(loss)(field)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    for o, r in zip(out_g.components, ref_g.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+
+
+def test_grad2_fwd_and_vjp_match_xla(monkeypatch):
+    p = jax.random.normal(jax.random.PRNGKey(11), _SHAPE2, jnp.float32)
+    modes = tuple(("circular", "circular") for _ in range(2))
+    cts = tuple(
+        jax.random.normal(jax.random.PRNGKey(12 + i), _SHAPE2, jnp.float32)
+        for i in range(2)
+    )
+
+    def loss(pp):
+        g = fv.fv_gradient(pp, _DX2, modes)
+        return sum(jnp.sum(c * t) for c, t in zip(g.components, cts))
+
+    _disable(monkeypatch)
+    ref = fv.fv_gradient(p, _DX2, modes)
+    ref_g = jax.grad(loss)(p)
+    _force(monkeypatch)
+    out = fv.fv_gradient(p, _DX2, modes)
+    out_g = jax.grad(loss)(p)
+    for o, r in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-6)
 
 
 def test_eligible3_gates():
