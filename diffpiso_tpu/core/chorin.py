@@ -60,13 +60,17 @@ def divergence_free(
             periodic=domain.periodic,
         )
     dx = domain.dx
-    div = fv_divergence(velocity, dx) / (dx[0] * dx[1])  # point divergence
+    rank = len(domain.resolution)
+    dxprod = 1.0
+    for d_ in dx:
+        dxprod *= float(d_)
+    div = fv_divergence(velocity, dx) / dxprod  # point divergence
     if all(domain.periodic) and accessible_mask is None:
-        # discrete-symbol spectral solve: exactly inverts the 5-point
+        # discrete-symbol spectral solve: exactly inverts the (2*rank+1)-point
         # Laplacian the staggered divergence/gradient pair induces, so the
         # projection is divergence-free to machine precision
         solver = FourierPressureSolver()
-        q = solver.solve((1.0 / dx[0] ** 2, 1.0 / dx[1] ** 2), div)
+        q = solver.solve(tuple(1.0 / float(d_) ** 2 for d_ in dx), div)
         comps_fd = []
         for d, v in enumerate(velocity.components):
             gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
@@ -75,17 +79,17 @@ def divergence_free(
     # bounded/masked: CG on the unit-influence masked Laplacian (also the
     # periodic-with-obstacles case — the spectral inverse assumes an
     # unobstructed box)
-    ny, nx = domain.resolution
+    res = tuple(domain.resolution)
     if accessible_mask is None:
         # assemble_pressure_laplacian reads neighbor masks through the pad
         # ring, which must WRAP on periodic axes (else wrap links get
         # dropped while the gradient wraps, leaving O(1) divergence in the
         # wrap columns). Bounded axes keep the OPEN default: active ring 0,
         # accessible ring 1 (Dirichlet ghost pressure).
-        accessible_mask = jnp.ones((ny + 2, nx + 2), jnp.float32)
-        active = jnp.ones((ny, nx), jnp.float32)
-        for d in range(2):
-            pads = [(0, 0), (0, 0)]
+        accessible_mask = jnp.ones(tuple(r + 2 for r in res), jnp.float32)
+        active = jnp.ones(res, jnp.float32)
+        for d in range(rank):
+            pads = [(0, 0)] * rank
             pads[d] = (1, 1)
             active = jnp.pad(
                 active, pads, mode="wrap" if domain.periodic[d] else "constant"
@@ -95,8 +99,8 @@ def divergence_free(
     # per-axis face layout: unique faces on periodic axes, +1 duplicated
     # face on bounded axes (handles mixed periodicity, e.g. channels)
     comps = []
-    for d in range(2):
-        shape = [ny, nx]
+    for d in range(rank):
+        shape = list(res)
         if not domain.periodic[d]:
             shape[d] += 1
         comps.append(jnp.ones(tuple(shape), velocity.dtype))
@@ -130,7 +134,7 @@ def divergence_free(
     # are accessible (PoissonDomain.with_hard_boundary_conditions,
     # solver_api.py:114-122) — zeroing velocity through solid faces is what
     # puts a stationary obstacle's blockage into the divergence source.
-    face_acc = _face_accessibility(accessible_mask, domain.periodic, (ny, nx))
+    face_acc = _face_accessibility(accessible_mask, domain.periodic, res)
     velocity = StaggeredField(
         tuple(v * f for v, f in zip(velocity.components, face_acc)),
         periodic=velocity.periodic,
@@ -146,7 +150,7 @@ def divergence_free(
     # so any imprint-ramp divergence left inside the solid would make the
     # system inconsistent and CG diverges (q ~ 1e6 at surface-adjacent solid
     # cells before this mask)
-    div = div * active[1:-1, 1:-1]
+    div = div * active[tuple(slice(1, -1) for _ in range(rank))]
     from diffpiso_tpu.ops.laplace import apply_laplacian
 
     res = cg(
@@ -169,7 +173,7 @@ def divergence_free(
             # face gradient must use the same ghost convention or the
             # projection leaves O(1) divergence in boundary rows. Closed
             # faces are zeroed by face_acc regardless.
-            pad = [(0, 0)] * 2
+            pad = [(0, 0)] * rank
             pad[d] = (1, 1)
             qp = jnp.pad(q, pad)
             lo = jax.lax.slice_in_dim(qp, 0, qp.shape[d] - 1, axis=d)
@@ -183,14 +187,15 @@ def _face_accessibility(accessible_mask, periodic, res):
     """Per-component face-open masks: min of the two adjacent cells'
     accessibility (solver_api.py:114-122). accessible_mask is padded by one;
     periodic axes use unique faces (face i between cells i-1 and i, wrapped)."""
-    interior = accessible_mask[1:-1, 1:-1]
+    rank = len(res)
+    interior = accessible_mask[tuple(slice(1, -1) for _ in range(rank))]
     faces = []
-    for d in range(2):
+    for d in range(rank):
         if periodic[d]:
             faces.append(jnp.minimum(interior, jnp.roll(interior, 1, axis=d)))
         else:
             n = res[d]
-            sl_all = [slice(1, -1), slice(1, -1)]
+            sl_all = [slice(1, -1)] * rank
             lo_idx, hi_idx = list(sl_all), list(sl_all)
             lo_idx[d] = slice(0, n + 1)
             hi_idx[d] = slice(1, n + 2)
@@ -240,7 +245,8 @@ def incompressible_flow_step(
     if density is not None and buoyancy_factor is not None:
         buoy = centered_to_faces_like(density * buoyancy_factor * dt, vel)
         vel = StaggeredField(
-            (vel.components[0] + buoy, vel.components[1]), periodic=vel.periodic
+            (vel.components[0] + buoy,) + vel.components[1:],
+            periodic=vel.periodic,
         )
     if forces is not None:
         vel = vel + forces * dt

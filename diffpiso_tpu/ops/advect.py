@@ -18,6 +18,44 @@ import jax.numpy as jnp
 from diffpiso_tpu.fields.grid import StaggeredField
 
 
+def _prep_axis(coord, n, per):
+    if per:
+        coord = jnp.mod(coord, n)
+        lo = jnp.floor(coord)
+        w = coord - lo
+        lo = lo.astype(jnp.int32) % n
+        hi = (lo + 1) % n
+    else:
+        coord = jnp.clip(coord, 0.0, n - 1.0)
+        lo = jnp.floor(coord)
+        w = coord - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+    return lo, hi, w
+
+
+def sample_linear(data: jax.Array, coords, periodic) -> jax.Array:
+    """Sample an N-d field at fractional index coordinates (one array per
+    axis) with multilinear interpolation; non-periodic axes clamp
+    (replicate), periodic axes wrap. 2^rank gathers, all inside one fused
+    XLA computation (the CUDA Resample op's general_grid_sample_nd)."""
+    rank = data.ndim
+    axes = [_prep_axis(coords[d], data.shape[d], periodic[d]) for d in range(rank)]
+    out = None
+    for corner in range(1 << rank):
+        idx = []
+        weight = None
+        for d in range(rank):
+            lo, hi, w = axes[d]
+            take_hi = (corner >> d) & 1
+            idx.append(hi if take_hi else lo)
+            wd = w if take_hi else (1 - w)
+            weight = wd if weight is None else weight * wd
+        term = data[tuple(idx)] * weight
+        out = term if out is None else out + term
+    return out
+
+
 def sample_bilinear(
     data: jax.Array,
     ys: jax.Array,
@@ -25,77 +63,36 @@ def sample_bilinear(
     periodic=(False, False),
 ) -> jax.Array:
     """Sample a 2-D field at fractional index coordinates (ys, xs) with
-    bilinear interpolation; non-periodic axes clamp (replicate), periodic
-    axes wrap."""
-    ny, nx = data.shape
-
-    def prep(coord, n, per):
-        if per:
-            coord = jnp.mod(coord, n)
-            lo = jnp.floor(coord)
-            w = coord - lo
-            lo = lo.astype(jnp.int32) % n
-            hi = (lo + 1) % n
-        else:
-            coord = jnp.clip(coord, 0.0, n - 1.0)
-            lo = jnp.floor(coord)
-            w = coord - lo
-            lo = lo.astype(jnp.int32)
-            hi = jnp.minimum(lo + 1, n - 1)
-        return lo, hi, w
-
-    y0, y1, wy = prep(ys, ny, periodic[0])
-    x0, x1, wx = prep(xs, nx, periodic[1])
-    v00 = data[y0, x0]
-    v01 = data[y0, x1]
-    v10 = data[y1, x0]
-    v11 = data[y1, x1]
-    return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
-    )
+    bilinear interpolation (2-D wrapper of sample_linear)."""
+    return sample_linear(data, (ys, xs), periodic)
 
 
 def advect_semi_lagrangian(
     field: StaggeredField, velocity: StaggeredField, dt, dx: Sequence[float]
 ) -> StaggeredField:
     """Semi-Lagrangian advection of a staggered field by `velocity`
-    (advect.semi_lagrangian for StaggeredGrids). Each face value is sampled
-    at its backtraced departure point; the advecting velocity at a face is
-    its own component plus the 4-point average of the other component."""
-    dy, dxx = float(dx[0]), float(dx[1])
+    (advect.semi_lagrangian for StaggeredGrids, any rank). Each face value
+    is sampled at its backtraced departure point; the advecting velocity at
+    a component-c face is its own component plus the face-averaged other
+    components (moved to centers along their own axis, then to c-faces)."""
+    rank = field.rank
     out = []
     for c, comp in enumerate(field.components):
-        ny, nx = comp.shape
-        jj, ii = jnp.meshgrid(
-            jnp.arange(ny, dtype=comp.dtype), jnp.arange(nx, dtype=comp.dtype),
+        grids = jnp.meshgrid(
+            *[jnp.arange(n, dtype=comp.dtype) for n in comp.shape],
             indexing="ij",
         )
-        # physical coordinates of this component's sample points, in units of
-        # its own index grid; the other component is interpolated there.
-        #   comp c sample points: x_d = i_d * dx_d on axis c, (i_d + 0.5) dx_d
-        #   on other axes.
-        # advecting velocity at these points:
-        vel_self = velocity.components[c]
-        other = 1 - c
-        # resample the other component to comp c's points via 4-point average
-        ov = velocity.components[other]
-
-        def avg_other(ov):
-            # move other comp to comp-c face locations: average along axis
-            # `other` to centers, then along axis c to faces
-            a = _to_centers_axis(ov, other, velocity.periodic[other])
-            return _to_faces_axis(a, c, field.periodic[c])
-
-        ov_here = avg_other(ov)
-        v_y = vel_self if c == 0 else ov_here
-        v_x = vel_self if c == 1 else ov_here
-
-        ys = jj - dt * v_y / dy
-        xs = ii - dt * v_x / dxx
-        out.append(sample_bilinear(comp, ys, xs, field.periodic))
+        coords = []
+        for d in range(rank):
+            if d == c:
+                v_d = velocity.components[c]
+            else:
+                a = _to_centers_axis(
+                    velocity.components[d], d, velocity.periodic[d]
+                )
+                v_d = _to_faces_axis(a, c, field.periodic[c])
+            coords.append(grids[d] - dt * v_d / float(dx[d]))
+        out.append(sample_linear(comp, coords, field.periodic))
     return StaggeredField(tuple(out), periodic=field.periodic)
 
 
@@ -103,16 +100,16 @@ def advect_centered(
     data: jax.Array, velocity: StaggeredField, dt, dx: Sequence[float]
 ) -> jax.Array:
     """Semi-Lagrangian advection of a centered scalar by a staggered
-    velocity (advect.semi_lagrangian for CenteredGrids)."""
-    centered = velocity.at_centers()  # (ny, nx, 2) channels (v, u)
-    ny, nx = data.shape
-    jj, ii = jnp.meshgrid(
-        jnp.arange(ny, dtype=data.dtype), jnp.arange(nx, dtype=data.dtype),
-        indexing="ij",
+    velocity (advect.semi_lagrangian for CenteredGrids, any rank)."""
+    centered = velocity.at_centers()  # (..., rank), channel order (w, v, u)
+    grids = jnp.meshgrid(
+        *[jnp.arange(n, dtype=data.dtype) for n in data.shape], indexing="ij"
     )
-    ys = jj - dt * centered[..., 0] / float(dx[0])
-    xs = ii - dt * centered[..., 1] / float(dx[1])
-    return sample_bilinear(data, ys, xs, velocity.periodic)
+    coords = [
+        grids[d] - dt * centered[..., d] / float(dx[d])
+        for d in range(data.ndim)
+    ]
+    return sample_linear(data, coords, velocity.periodic)
 
 
 def _to_centers_axis(a, axis, periodic):

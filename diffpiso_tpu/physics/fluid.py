@@ -16,6 +16,7 @@ class IncompressibleFlow(Physics):
         buoyancy_factor: float = 0.0,
         accessible_mask=None,
         tol: float = 1e-5,
+        rank_deficient=None,
     ):
         super().__init__(
             [StateDependency("forces", "velocity_effect", blocking=True)]
@@ -24,6 +25,9 @@ class IncompressibleFlow(Physics):
         self.buoyancy_factor = buoyancy_factor
         self.accessible_mask = accessible_mask
         self.tol = tol
+        # traced-mask jits cannot auto-detect singularity (chorin.py);
+        # closed/periodic boxes with no open boundary must pass True
+        self.rank_deficient = rank_deficient
 
     def step(self, state: FlowState, dt=1.0, forces=(), **deps) -> FlowState:
         total_force = None
@@ -37,4 +41,5 @@ class IncompressibleFlow(Physics):
             forces=total_force,
             accessible_mask=self.accessible_mask,
             tol=self.tol,
+            rank_deficient=self.rank_deficient,
         )

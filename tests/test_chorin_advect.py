@@ -110,3 +110,61 @@ def test_divergence_free_projection_bounded():
     div = np.asarray(fv_divergence(projected, dom.dx))
     # interior divergence at solver tolerance
     assert np.abs(div[1:-1, 1:-1]).max() < 1e-3
+
+
+def test_divergence_free_projection_bounded_3d():
+    # N-d generalization of divergence_free (bounded CG branch)
+    dom = Domain((8, 8, 8))
+    rng = np.random.RandomState(5)
+    vel = StaggeredField(
+        (
+            jnp.asarray(rng.randn(9, 8, 8), jnp.float32),
+            jnp.asarray(rng.randn(8, 9, 8), jnp.float32),
+            jnp.asarray(rng.randn(8, 8, 9), jnp.float32),
+        )
+    )
+    projected, q = divergence_free(vel, dom, tol=1e-6)
+    div = np.asarray(fv_divergence(projected, dom.dx))
+    assert np.abs(div[1:-1, 1:-1, 1:-1]).max() < 1e-3
+
+
+def test_incompressible_flow_step_3d_periodic():
+    # N-d advection + spectral projection through the full Chorin step
+    from diffpiso_tpu.fields import PERIODIC
+
+    dom = Domain((12, 12, 12), boundaries=PERIODIC)
+    rng = np.random.RandomState(6)
+    vel = StaggeredField(
+        tuple(
+            jnp.asarray(0.3 * rng.randn(12, 12, 12), jnp.float32)
+            for _ in range(3)
+        ),
+        periodic=(True, True, True),
+    )
+    density = jnp.asarray(rng.rand(12, 12, 12), jnp.float32)
+    state = FlowState(velocity=vel, density=density)
+    state = jax.jit(
+        lambda s: incompressible_flow_step(s, dom, 0.1, buoyancy_factor=0.1)
+    )(state)
+    div = np.asarray(fv_divergence(state.velocity, dom.dx))
+    assert np.abs(div).max() < 1e-4
+    assert bool(jnp.all(jnp.isfinite(state.density)))
+
+
+def test_advect_centered_3d_uniform_translation():
+    # a blob advected by uniform velocity moves by v*dt (periodic wrap)
+    n = 16
+    rng = np.random.RandomState(7)
+    blob = np.zeros((n, n, n), np.float32)
+    blob[4:7, 5:8, 6:9] = rng.rand(3, 3, 3)
+    vel = StaggeredField(
+        (
+            jnp.full((n, n, n), 2.0, jnp.float32),
+            jnp.full((n, n, n), -1.0, jnp.float32),
+            jnp.full((n, n, n), 3.0, jnp.float32),
+        ),
+        periodic=(True, True, True),
+    )
+    out = advect_centered(jnp.asarray(blob), vel, 1.0, (1.0, 1.0, 1.0))
+    expected = np.roll(blob, (2, -1, 3), axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
