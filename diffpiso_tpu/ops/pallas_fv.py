@@ -121,7 +121,9 @@ def _grad3_impl(fs, p):
 
 def eligible2(shape, dtype) -> bool:
     """Rank-2 all-periodic eligibility: monolithic whole-plane launch
-    (u + v + out (+ double-buffering head-room) resident in VMEM)."""
+    (u + v + out (+ double-buffering head-room) resident in VMEM), or the
+    128-row-tiled launch for bigger planes (1024^2, 512x2048 DNS) when the
+    row count tiles evenly."""
     if os.environ.get("DIFFPISO_FUSED_FV", "auto") == "never":
         return False
     if not _PALLAS_AVAILABLE:
@@ -137,7 +139,12 @@ def eligible2(shape, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if itemsize > 4:
         return False
-    return 6 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
+    if 6 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES:
+        return True
+    return (
+        shape[0] % _TILE_ROWS == 0
+        and 8 * _TILE_ROWS * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
+    )
 
 
 def _div2_kernel(f0, f1, v, u, out):
@@ -147,13 +154,39 @@ def _div2_kernel(f0, f1, v, u, out):
     out[:] = d + (_roll(uc, -1, 1) - uc) * f1
 
 
+_TILE_ROWS = 128  # row-tiled fallback for planes too big to hold whole
+
+
+def _div2_tiled_kernel(f0, f1, v, vup, u, out):
+    # y-shift crosses the tile boundary: last row comes from the next
+    # tile's first row (wrapped — grid covers all tiles, so tile G-1 reads
+    # tile 0, which IS the periodic wrap)
+    vc = v[:]
+    vshift = jnp.concatenate([vc[1:], vup[:1]], axis=0)
+    uc = u[:]
+    out[:] = (vshift - vc) * f0 + (_roll(uc, -1, 1) - uc) * f1
+
+
 def _div2_impl(fs, comps):
     v, u = comps
+    itemsize = jnp.dtype(v.dtype).itemsize
+    if 6 * v.shape[0] * v.shape[1] * itemsize <= _VMEM_BUDGET_BYTES:
+        return pl.pallas_call(
+            functools.partial(_div2_kernel, *fs),
+            out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+            interpret=_INTERPRET,
+        )(v, u)
+    g = v.shape[0] // _TILE_ROWS
+    tile = pl.BlockSpec((_TILE_ROWS, v.shape[1]), lambda i: (i, 0))
+    up = pl.BlockSpec((_TILE_ROWS, v.shape[1]), lambda i: ((i + 1) % g, 0))
     return pl.pallas_call(
-        functools.partial(_div2_kernel, *fs),
+        functools.partial(_div2_tiled_kernel, *fs),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        grid=(g,),
+        in_specs=[tile, up, tile],
+        out_specs=tile,
         interpret=_INTERPRET,
-    )(v, u)
+    )(v, v, u)
 
 
 def _grad2_kernel(f0, f1, p, out0, out1):
@@ -162,13 +195,33 @@ def _grad2_kernel(f0, f1, p, out0, out1):
     out1[:] = (pc - _roll(pc, 1, 1)) * f1
 
 
+def _grad2_tiled_kernel(f0, f1, p, pdn, out0, out1):
+    pc = p[:]
+    pshift = jnp.concatenate([pdn[-1:], pc[:-1]], axis=0)
+    out0[:] = (pc - pshift) * f0
+    out1[:] = (pc - _roll(pc, 1, 1)) * f1
+
+
 def _grad2_impl(fs, p):
     shape = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    itemsize = jnp.dtype(p.dtype).itemsize
+    if 6 * p.shape[0] * p.shape[1] * itemsize <= _VMEM_BUDGET_BYTES:
+        return pl.pallas_call(
+            functools.partial(_grad2_kernel, *fs),
+            out_shape=(shape, shape),
+            interpret=_INTERPRET,
+        )(p)
+    g = p.shape[0] // _TILE_ROWS
+    tile = pl.BlockSpec((_TILE_ROWS, p.shape[1]), lambda i: (i, 0))
+    dn = pl.BlockSpec((_TILE_ROWS, p.shape[1]), lambda i: ((i - 1) % g, 0))
     return pl.pallas_call(
-        functools.partial(_grad2_kernel, *fs),
+        functools.partial(_grad2_tiled_kernel, *fs),
         out_shape=(shape, shape),
+        grid=(g,),
+        in_specs=[tile, dn],
+        out_specs=(tile, tile),
         interpret=_INTERPRET,
-    )(p)
+    )(p, p)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

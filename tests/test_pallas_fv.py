@@ -155,6 +155,37 @@ def test_grad2_fwd_and_vjp_match_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-6)
 
 
+def test_div2_grad2_tiled_match_xla(monkeypatch):
+    # force the row-tiled dispatch: tiny tile + tiny budget
+    monkeypatch.setattr(pallas_fv, "_TILE_ROWS", 4)
+    monkeypatch.setattr(pallas_fv, "_VMEM_BUDGET_BYTES", 1)
+    ks = jax.random.split(jax.random.PRNGKey(20), 4)
+    field = StaggeredField(
+        tuple(jax.random.normal(k, _SHAPE2, jnp.float32) for k in ks[:2]),
+        periodic=(True, True),
+    )
+    p = jax.random.normal(ks[2], _SHAPE2, jnp.float32)
+    ct = jax.random.normal(ks[3], _SHAPE2, jnp.float32)
+    modes = tuple(("circular", "circular") for _ in range(2))
+
+    def loss(f):
+        return jnp.sum(fv.fv_divergence(f, _DX2) * ct)
+
+    _disable(monkeypatch)
+    ref_d = fv.fv_divergence(field, _DX2)
+    ref_g = fv.fv_gradient(p, _DX2, modes)
+    ref_vjp = jax.grad(loss)(field)
+    _force(monkeypatch)
+    out_d = fv.fv_divergence(field, _DX2)
+    out_g = fv.fv_gradient(p, _DX2, modes)
+    out_vjp = jax.grad(loss)(field)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d), atol=1e-6)
+    for o, r in zip(out_g.components, ref_g.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+    for o, r in zip(out_vjp.components, ref_vjp.components):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6)
+
+
 def test_eligible3_gates():
     # rank, itemsize, and env gates (on CPU the backend gate rejects)
     assert not pallas_fv.eligible3((64, 64), jnp.float32)
