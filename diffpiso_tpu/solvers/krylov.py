@@ -349,7 +349,6 @@ def bicgstab(
             (stencil.center[i], stencil.lo[i], stencil.hi[i])
             for i in range(ncomp)
         ]
-        invd_c = tuple(inv_diag.components)
         b_c = tuple(b.components)
         sweeps_per_launch = int(os.environ.get("DIFFPISO_ADV_JACOBI_K", "4"))
         # 3-D sweeps can't chain inside one launch (cross-plane deps), so
@@ -365,15 +364,14 @@ def bicgstab(
             if jac3d:
                 outs = [
                     fused_jacobi_sweep_3d(
-                        st_cs[ci], invd_c[ci], b_c[ci], x_c[ci], sgn,
-                        transpose,
+                        st_cs[ci], b_c[ci], x_c[ci], sgn, transpose,
                     )
                     for ci in range(ncomp)
                 ]
             else:
                 outs = [
                     fused_jacobi_sweeps(
-                        st_cs[ci], invd_c[ci], b_c[ci], x_c[ci],
+                        st_cs[ci], b_c[ci], x_c[ci],
                         sweeps_per_launch, sgn, transpose,
                     )
                     for ci in range(ncomp)
@@ -395,7 +393,7 @@ def bicgstab(
             # are already at tol exit as cheaply as the Krylov skip path did,
             # instead of paying a full k-sweep launch (cavity-class flows)
             probe = [
-                fused_jacobi_sweeps(st_cs[ci], invd_c[ci], b_c[ci],
+                fused_jacobi_sweeps(st_cs[ci], b_c[ci],
                                     tuple(x0.components)[ci], 1, sgn,
                                     transpose)
                 for ci in range(ncomp)

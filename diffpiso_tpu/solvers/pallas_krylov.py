@@ -330,11 +330,14 @@ def fused_bicg_phase_x(invd, p, s, t, x, rhat, alpha, omega):
 # dominance), so failure semantics are untouched.
 
 
-def _jacobi_sweeps_kernel(transpose, k, c, ly, hy, lx, hx, invd, b, x,
+def _jacobi_sweeps_kernel(transpose, k, c, ly, hy, lx, hx, b, x,
                           s_ref, out_x, out_n):
     sgn = s_ref[0]
     cc, lyv, hyv, lxv, hxv = c[:], ly[:], hy[:], lx[:], hx[:]
-    iv = invd[:]
+    # Jacobi inverse diagonal derived in-kernel: diag(A) = sgn * c
+    # (solvers/base.py _adv_operator_diag) — saves one HBM input plane
+    d = sgn * cc
+    iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
     bv = b[:]
     xv = x[:]
     for _ in range(k):
@@ -345,9 +348,10 @@ def _jacobi_sweeps_kernel(transpose, k, c, ly, hy, lx, hx, invd, b, x,
     out_n[0] = jnp.max(jnp.abs(r))
 
 
-def fused_jacobi_sweeps(st_c, invd, b, x, k, sgn, transpose):
+def fused_jacobi_sweeps(st_c, b, x, k, sgn, transpose):
     """(x_k, max|b - A x_k|) after k VMEM-resident Jacobi sweeps for one
-    component. st_c = (c, lo, hi) stencil planes; A = sgn * S."""
+    component. st_c = (c, lo, hi) stencil planes; A = sgn * S; the Jacobi
+    inverse diagonal 1/(sgn*c) is computed in-kernel."""
     c, lo, hi = st_c
     xn, n = pl.pallas_call(
         functools.partial(_jacobi_sweeps_kernel, transpose, k),
@@ -355,13 +359,13 @@ def fused_jacobi_sweeps(st_c, invd, b, x, k, sgn, transpose):
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((1,), x.dtype),
         ),
-        in_specs=_vmem_specs(8) + _smem_specs(1),
+        in_specs=_vmem_specs(7) + _smem_specs(1),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
-    )(c, lo[0], hi[0], lo[1], hi[1], invd, b, x, _scal(x, sgn))
+    )(c, lo[0], hi[0], lo[1], hi[1], b, x, _scal(x, sgn))
     return xn, n[0]
 
 
@@ -386,12 +390,13 @@ def eligible_3d(shape, dtype) -> bool:
     return 13 * shape[1] * shape[2] * itemsize <= _VMEM_BUDGET_BYTES
 
 
-def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, invd, b, x,
+def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, b, x,
                      xup, xdn, s_ref, out_x, out_n):
     # one sweep: r = b - sgn S x (7-point, z coupling via the up/dn plane
-    # reads); x' = x + invd r; out_n = per-plane max|r| (the PRE-update
-    # residual — a conservative exit bound: the returned x' is one full
-    # sweep better than the norm reports)
+    # reads); x' = x + invd r with invd = 1/(sgn*c) derived in-kernel
+    # (diag(A) = sgn*c, saves one HBM plane per launch); out_n = per-plane
+    # max|r| (the PRE-update residual — a conservative exit bound: the
+    # returned x' is one full sweep better than the norm reports)
     sgn = s_ref[0]
     xc = x[0]
     if not transpose:
@@ -405,7 +410,9 @@ def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, invd, b, x,
         q = q + _roll(ly[0] * xc, -1, 0) + _roll(hy[0] * xc, 1, 0)
         q = q + _roll(lx[0] * xc, -1, 1) + _roll(hx[0] * xc, 1, 1)
     r = b[0] - sgn * q
-    out_x[0] = xc + invd[0] * r
+    d = sgn * c[0]
+    iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
+    out_x[0] = xc + iv * r
     # (1,1) SMEM max-accumulator over the sequential z grid (Mosaic
     # rejects rank-1 (1,)-blocks over an (nz,) array; the row-tiled 2-D
     # residual kernel's idiom, ops/pallas_stencil.py:396-404)
@@ -421,11 +428,12 @@ def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, invd, b, x,
         out_n[0, 0] = jnp.maximum(out_n[0, 0], part)
 
 
-def fused_jacobi_sweep_3d(st_c, invd, b, x, sgn, transpose):
+def fused_jacobi_sweep_3d(st_c, b, x, sgn, transpose):
     """ONE Jacobi sweep for one 3-D component as a z-gridded launch;
     returns (x', max|b - A x| BEFORE the sweep). Unlike the 2-D kernel,
     sweeps can't chain in-launch (each plane needs its neighbors' previous
-    sweep), so the convergence loop calls this per sweep."""
+    sweep), so the convergence loop calls this per sweep. The Jacobi
+    inverse diagonal is derived in-kernel from the center plane."""
     c, lo, hi = st_c
     nz = x.shape[0]
     plane = pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0))
@@ -440,12 +448,12 @@ def fused_jacobi_sweep_3d(st_c, invd, b, x, sgn, transpose):
             jax.ShapeDtypeStruct((1, 1), x.dtype),
         ),
         grid=(nz,),
-        in_specs=[plane, lz_spec, hz_spec] + [plane] * 6 + [plane, up, dn]
+        in_specs=[plane, lz_spec, hz_spec] + [plane] * 5 + [plane, up, dn]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(plane, pl.BlockSpec((1, 1), lambda i: (0, 0),
                                        memory_space=pltpu.SMEM)),
         interpret=_INTERPRET,
-    )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], invd, b, x, x, x,
+    )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], b, x, x, x,
       _scal(x, sgn))
     return xn, n[0, 0]
 
