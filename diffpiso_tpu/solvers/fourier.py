@@ -17,6 +17,7 @@ matrix CG iterates on (not the continuous -k^2).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -290,23 +291,71 @@ class MatmulSpectralSolver:
         )
 
     def solve(self, weights, rhs, guess=None, tol=None):
-        prec = self._precision()
-        mats = self._mats(rhs.dtype)
-        h = rhs
-        for d, V in enumerate(mats):
-            h = jnp.tensordot(V, h, axes=([1], [d]), precision=prec)
-            h = jnp.moveaxis(h, 0, d)
-        symbol = self._symbol(weights, rhs.dtype)
-        singular = jnp.abs(symbol) < 1e-12
-        h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, symbol))
-        for d, V in enumerate(mats):
-            h = jnp.tensordot(V.T, h, axes=([1], [d]), precision=prec)
-            h = jnp.moveaxis(h, 0, d)
-        return h.astype(rhs.dtype)
+        if len(self.shape) == 2 and tuple(rhs.shape) == tuple(self.shape):
+            from diffpiso_tpu.solvers.pallas_krylov import spectral_eligible
+
+            if spectral_eligible(rhs.shape, rhs.dtype):
+                w = jnp.stack([
+                    jnp.asarray(weights[0], rhs.dtype),
+                    jnp.asarray(weights[1], rhs.dtype),
+                ])
+                return _mm_solve_fused(self, w, rhs)
+        return _mm_solve_xla(self, weights, rhs)
 
     # preconditioning needs no smooth-size block handling: matmuls don't
     # care about awkward lengths
     precondition = solve
+
+
+def _mm_solve_xla(solver: "MatmulSpectralSolver", weights, rhs):
+    """The reference XLA path: per-axis tensordot contractions (any rank)."""
+    prec = solver._precision()
+    mats = solver._mats(rhs.dtype)
+    h = rhs
+    for d, V in enumerate(mats):
+        h = jnp.tensordot(V, h, axes=([1], [d]), precision=prec)
+        h = jnp.moveaxis(h, 0, d)
+    symbol = solver._symbol(weights, rhs.dtype)
+    singular = jnp.abs(symbol) < 1e-12
+    h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, symbol))
+    for d, V in enumerate(mats):
+        h = jnp.tensordot(V.T, h, axes=([1], [d]), precision=prec)
+        h = jnp.moveaxis(h, 0, d)
+    return h.astype(rhs.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mm_solve_fused(solver: "MatmulSpectralSolver", w, rhs):
+    """One-Pallas-launch rank-2 apply (solvers/pallas_krylov.py
+    fused_spectral_apply): all four MXU contractions with the intermediate
+    spectrum resident in VMEM. custom_vjp because pallas_call has no autodiff
+    rule — the backward pass recomputes through the XLA path (the operator is
+    linear; poisson_solve's gradient='autodiff' mode differentiates through
+    preconditioner applications inside pcg)."""
+    from diffpiso_tpu.solvers.pallas_krylov import fused_spectral_apply
+
+    v0, v1 = solver._mats(rhs.dtype)
+    e0 = jnp.asarray(_eigs(solver.shape[0], solver.kinds[0]), rhs.dtype)
+    e1 = jnp.asarray(_eigs(solver.shape[1], solver.kinds[1]), rhs.dtype)
+    return fused_spectral_apply(
+        v0, v1, e0.reshape(-1, 1), e1.reshape(1, -1), (w[0], w[1]), rhs,
+        solver._precision(),
+    )
+
+
+def _mm_fused_fwd(solver, w, rhs):
+    return _mm_solve_fused(solver, w, rhs), (w, rhs)
+
+
+def _mm_fused_bwd(solver, res, ct):
+    w, rhs = res
+    _, vjp = jax.vjp(
+        lambda w_, r_: _mm_solve_xla(solver, (w_[0], w_[1]), r_), w, rhs
+    )
+    return vjp(ct)
+
+
+_mm_solve_fused.defvjp(_mm_fused_fwd, _mm_fused_bwd)
 
 
 def _smooth_size(n: int) -> int:

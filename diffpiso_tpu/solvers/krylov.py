@@ -351,9 +351,10 @@ def bicgstab(
         ]
         b_c = tuple(b.components)
         sweeps_per_launch = int(os.environ.get("DIFFPISO_ADV_JACOBI_K", "4"))
-        # 3-D sweeps can't chain inside one launch (cross-plane deps), so
-        # the while loop carries one sweep per trip — same total sweeps
-        max_launches = 8 if not jac3d else 8 * sweeps_per_launch
+        # 3-D launches chain k PLANE-BLOCK sweeps (z-coupling frozen at the
+        # input iterate, k in-plane sweeps in VMEM) — same launch budget as
+        # the 2-D path
+        max_launches = 8
 
         def jcond(state):
             _, n, j = state
@@ -365,6 +366,7 @@ def bicgstab(
                 outs = [
                     fused_jacobi_sweep_3d(
                         st_cs[ci], b_c[ci], x_c[ci], sgn, transpose,
+                        k=sweeps_per_launch,
                     )
                     for ci in range(ncomp)
                 ]

@@ -390,33 +390,51 @@ def eligible_3d(shape, dtype) -> bool:
     return 13 * shape[1] * shape[2] * itemsize <= _VMEM_BUDGET_BYTES
 
 
-def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, b, x,
+def _jacobi3d_kernel(transpose, k, c, lz, hz, ly, hy, lx, hx, b, x,
                      xup, xdn, s_ref, out_x, out_n):
-    # one sweep: r = b - sgn S x (7-point, z coupling via the up/dn plane
-    # reads); x' = x + invd r with invd = 1/(sgn*c) derived in-kernel
-    # (diag(A) = sgn*c, saves one HBM plane per launch); out_n = per-plane
-    # max|r| (the PRE-update residual — a conservative exit bound: the
-    # returned x' is one full sweep better than the norm reports)
+    # PLANE-BLOCK Jacobi: the z coupling uses the neighbors' PREVIOUS
+    # iterate (xup/xdn read the input buffer), so it is constant within the
+    # launch and folds into an effective rhs — then k in-plane sweeps chain
+    # VMEM-resident against the plane-local 5-point operator. One launch
+    # reads the stencil ONCE for k sweeps (the one-sweep-per-launch version
+    # re-read all 12 planes per sweep) AND converges faster per launch:
+    # only the z-coupling error is lagged, the in-plane error is smoothed
+    # to near-convergence in-core. invd = 1/(sgn*c) derived in-kernel
+    # (diag(A) = sgn*c). out_n = per-plane max|b - sgn S x_in| (the
+    # PRE-update residual — a conservative exit bound).
     sgn = s_ref[0]
     xc = x[0]
+    cc = c[0]
+    lyv, hyv, lxv, hxv = ly[0], hy[0], lx[0], hx[0]
     if not transpose:
-        q = c[0] * xc + lz[0] * xup[0] + hz[0] * xdn[0]
-        q = q + ly[0] * _roll(xc, 1, 0) + hy[0] * _roll(xc, -1, 0)
-        q = q + lx[0] * _roll(xc, 1, 1) + hx[0] * _roll(xc, -1, 1)
+        qz = lz[0] * xup[0] + hz[0] * xdn[0]
     else:
         # transpose z coupling: lz(z+1) x(z+1) + hz(z-1) x(z-1)
         # (ops/pallas_stencil.py:289-297); lz/hz arrive via dn/up maps
-        q = c[0] * xc + lz[0] * xdn[0] + hz[0] * xup[0]
-        q = q + _roll(ly[0] * xc, -1, 0) + _roll(hy[0] * xc, 1, 0)
-        q = q + _roll(lx[0] * xc, -1, 1) + _roll(hx[0] * xc, 1, 1)
-    r = b[0] - sgn * q
-    d = sgn * c[0]
+        qz = lz[0] * xdn[0] + hz[0] * xup[0]
+    rhs_eff = b[0] - sgn * qz
+
+    def inplane(v):
+        if not transpose:
+            q = cc * v + lyv * _roll(v, 1, 0) + hyv * _roll(v, -1, 0)
+            return q + lxv * _roll(v, 1, 1) + hxv * _roll(v, -1, 1)
+        q = cc * v + _roll(lyv * v, -1, 0) + _roll(hyv * v, 1, 0)
+        return q + _roll(lxv * v, -1, 1) + _roll(hxv * v, 1, 1)
+
+    d = sgn * cc
     iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
-    out_x[0] = xc + iv * r
+    r = rhs_eff - sgn * inplane(xc)  # = b - sgn S x_in (true residual)
+    part = jnp.max(jnp.abs(r))
+    xv = xc
+    rr = r
+    for j in range(k):
+        xv = xv + iv * rr
+        if j + 1 < k:
+            rr = rhs_eff - sgn * inplane(xv)
+    out_x[0] = xv
     # (1,1) SMEM max-accumulator over the sequential z grid (Mosaic
     # rejects rank-1 (1,)-blocks over an (nz,) array; the row-tiled 2-D
     # residual kernel's idiom, ops/pallas_stencil.py:396-404)
-    part = jnp.max(jnp.abs(r))
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -428,11 +446,12 @@ def _jacobi3d_kernel(transpose, c, lz, hz, ly, hy, lx, hx, b, x,
         out_n[0, 0] = jnp.maximum(out_n[0, 0], part)
 
 
-def fused_jacobi_sweep_3d(st_c, b, x, sgn, transpose):
-    """ONE Jacobi sweep for one 3-D component as a z-gridded launch;
-    returns (x', max|b - A x| BEFORE the sweep). Unlike the 2-D kernel,
+def fused_jacobi_sweep_3d(st_c, b, x, sgn, transpose, k=4):
+    """k PLANE-BLOCK Jacobi sweeps for one 3-D component as a z-gridded
+    launch; returns (x', max|b - A x| BEFORE the launch). Plain Jacobi
     sweeps can't chain in-launch (each plane needs its neighbors' previous
-    sweep), so the convergence loop calls this per sweep. The Jacobi
+    sweep), so the z-coupling is frozen at the input iterate (block-Jacobi
+    by plane) and k in-plane sweeps chain VMEM-resident. The Jacobi
     inverse diagonal is derived in-kernel from the center plane."""
     c, lo, hi = st_c
     nz = x.shape[0]
@@ -442,7 +461,7 @@ def fused_jacobi_sweep_3d(st_c, b, x, sgn, transpose):
     lz_spec = plane if not transpose else dn
     hz_spec = plane if not transpose else up
     xn, n = pl.pallas_call(
-        functools.partial(_jacobi3d_kernel, transpose),
+        functools.partial(_jacobi3d_kernel, transpose, k),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((1, 1), x.dtype),
@@ -527,3 +546,74 @@ def fused_pcg_update(rz_old, r, z, p):
         interpret=_INTERPRET,
     )(jnp.reshape(rz_old, (1,)), r, z, p)
     return po, rz[0]
+
+
+# -- fused spectral preconditioner apply (2-D eigenbasis contractions) ------------
+
+
+def spectral_eligible(shape, dtype) -> bool:
+    """Fused MatmulSpectralSolver apply: rank-2 only, all planes resident —
+    V0 (n0,n0) + V1 (n1,n1) + r/z/2 temps (n0,n1). The DNS 512x2048 aspect
+    ratio blows the basis budget (n1^2 = 16 MiB) and stays on XLA."""
+    # default OFF until the Mosaic lowering of the transposed dot_general
+    # forms is validated on the real TPU (tunnel down when this landed);
+    # flip to "auto" with the A/B numbers
+    mode = os.environ.get("DIFFPISO_FUSED_SPECTRAL", "never")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    n0, n1 = shape
+    planes = n0 * n0 + n1 * n1 + 4 * n0 * n1
+    return planes * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _spectral_kernel(precision, v0, v1, e0, e1, w, r, out_z):
+    # z = V0^T ((V0 r V1^T) / S) V1 with S = w0 e0 + w1 e1 (outer-broadcast)
+    # and singular modes (|S| < 1e-12 — the all-Neumann / periodic null
+    # space) zeroed, matching MatmulSpectralSolver.solve exactly. All four
+    # contractions run on the MXU with h resident in VMEM — the XLA path
+    # round-trips each tensordot result through HBM.
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), precision=precision,
+            preferred_element_type=a.dtype,
+        )
+
+    v0v, v1v, rv = v0[:], v1[:], r[:]
+    h = dot(v0v, rv, ((1,), (0,)))          # V0 @ r
+    h = dot(h, v1v, ((1,), (1,)))           # (.) @ V1^T — contract b dim 1
+    s = w[0] * e0[:] + w[1] * e1[:]
+    singular = jnp.abs(s) < 1e-12
+    h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, s))
+    h = dot(v0v, h, ((0,), (0,)))           # V0^T @ (.) — contract a dim 0
+    out_z[:] = dot(h, v1v, ((1,), (0,)))    # (.) @ V1
+
+
+def fused_spectral_apply(v0, v1, e0, e1, weights, r, precision):
+    """One-launch symmetric spectral inverse apply (MatmulSpectralSolver):
+    analysis + symbol divide + synthesis without HBM round trips between
+    the contractions. e0: (n0, 1) axis-0 eigenvalues, e1: (1, n1) axis-1
+    eigenvalues; weights: length-2 (possibly traced) axis weights."""
+    w = jnp.stack([jnp.asarray(weights[0], r.dtype),
+                   jnp.asarray(weights[1], r.dtype)])
+    return pl.pallas_call(
+        functools.partial(_spectral_kernel, precision),
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        in_specs=_vmem_specs(4) + _smem_specs(1) + _vmem_specs(1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(v0, v1, e0, e1, w, r)

@@ -313,3 +313,72 @@ def test_jacobi_accelerator_3d(transpose, monkeypatch):
     for a, r in zip(out.x.components, ref.x.components):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kinds", [("dct2", "dct2"), ("fourier", "fourier"), ("dct2", "dct4")]
+)
+def test_fused_spectral_apply_matches_xla(kinds, monkeypatch):
+    """One-launch MatmulSpectralSolver apply == the tensordot chain, for
+    every basis family used by the dct_mm/fft_mm/channel_mm kernels,
+    including the singular-mode zeroing."""
+    from diffpiso_tpu.solvers import fourier as fo
+
+    _force_fused(monkeypatch)
+    shape = (16, 24)
+    solver = fo.MatmulSpectralSolver(kinds=kinds, shape=shape)
+    rng = np.random.RandomState(3)
+    rhs = jnp.asarray(rng.randn(*shape), jnp.float32)
+    w = (jnp.float32(0.7), jnp.float32(1.3))
+
+    ref = fo._mm_solve_xla(solver, w, rhs)
+    wa = jnp.stack([w[0], w[1]])
+    out = fo._mm_solve_fused(solver, wa, rhs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # the class dispatch itself (backend gate forced open)
+    monkeypatch.setattr(pallas_krylov, "spectral_eligible",
+                        lambda *a, **k: True)
+    out2 = solver.solve(w, rhs)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_spectral_gradients_match_xla(monkeypatch):
+    """custom_vjp backward (XLA recompute) == autodiff of the XLA path, for
+    both the rhs and the (traced) axis weights."""
+    from diffpiso_tpu.solvers import fourier as fo
+
+    _force_fused(monkeypatch)
+    shape = (8, 16)
+    solver = fo.MatmulSpectralSolver(kinds=("dct2", "dct2"), shape=shape)
+    rng = np.random.RandomState(7)
+    rhs = jnp.asarray(rng.randn(*shape), jnp.float32)
+    ct_seed = jnp.asarray(rng.randn(*shape), jnp.float32)
+    wa = jnp.asarray([0.9, 1.1], jnp.float32)
+
+    def loss_fused(w, r):
+        return jnp.sum(fo._mm_solve_fused(solver, w, r) * ct_seed)
+
+    def loss_xla(w, r):
+        return jnp.sum(fo._mm_solve_xla(solver, (w[0], w[1]), r) * ct_seed)
+
+    gw_f, gr_f = jax.grad(loss_fused, argnums=(0, 1))(wa, rhs)
+    gw_x, gr_x = jax.grad(loss_xla, argnums=(0, 1))(wa, rhs)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_eligible_budget():
+    """Aspect-ratio and VMEM gates: DNS 512x2048 must stay on XLA."""
+    if not pallas_krylov._PALLAS_AVAILABLE:
+        pytest.skip("pallas unavailable")
+    # pure budget arithmetic (backend gate bypassed by calling the math)
+    f = jnp.float32
+    n0, n1 = 512, 2048
+    assert (n0 * n0 + n1 * n1 + 4 * n0 * n1) * 4 > pallas_krylov._VMEM_BUDGET_BYTES
+    n0 = n1 = 512
+    assert (n0 * n0 + n1 * n1 + 4 * n0 * n1) * 4 <= pallas_krylov._VMEM_BUDGET_BYTES
