@@ -291,13 +291,18 @@ class MatmulSpectralSolver:
         )
 
     def solve(self, weights, rhs, guess=None, tol=None):
-        if len(self.shape) == 2 and tuple(rhs.shape) == tuple(self.shape):
-            from diffpiso_tpu.solvers.pallas_krylov import spectral_eligible
+        if tuple(rhs.shape) == tuple(self.shape):
+            from diffpiso_tpu.solvers.pallas_krylov import (
+                spectral_eligible,
+                spectral_eligible_3d,
+            )
 
-            if spectral_eligible(rhs.shape, rhs.dtype):
+            rank = len(self.shape)
+            if (rank == 2 and spectral_eligible(rhs.shape, rhs.dtype)) or (
+                rank == 3 and spectral_eligible_3d(rhs.shape, rhs.dtype)
+            ):
                 w = jnp.stack([
-                    jnp.asarray(weights[0], rhs.dtype),
-                    jnp.asarray(weights[1], rhs.dtype),
+                    jnp.asarray(wd, rhs.dtype) for wd in weights
                 ])
                 return _mm_solve_fused(self, w, rhs)
         return _mm_solve_xla(self, weights, rhs)
@@ -326,19 +331,32 @@ def _mm_solve_xla(solver: "MatmulSpectralSolver", weights, rhs):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mm_solve_fused(solver: "MatmulSpectralSolver", w, rhs):
-    """One-Pallas-launch rank-2 apply (solvers/pallas_krylov.py
-    fused_spectral_apply): all four MXU contractions with the intermediate
-    spectrum resident in VMEM. custom_vjp because pallas_call has no autodiff
-    rule — the backward pass recomputes through the XLA path (the operator is
-    linear; poisson_solve's gradient='autodiff' mode differentiates through
+    """Pallas-fused apply (solvers/pallas_krylov.py): rank 2 — ONE launch
+    holding all four MXU contractions with the spectrum resident in VMEM;
+    rank 3 — three launches (z-gridded plane transforms + column-blocked
+    z-transform/symbol-divide) vs the XLA path's ~12 full-field HBM round
+    trips. custom_vjp because pallas_call has no autodiff rule — the
+    backward pass recomputes through the XLA path (the operator is linear;
+    poisson_solve's gradient='autodiff' mode differentiates through
     preconditioner applications inside pcg)."""
-    from diffpiso_tpu.solvers.pallas_krylov import fused_spectral_apply
+    from diffpiso_tpu.solvers.pallas_krylov import (
+        fused_spectral_apply,
+        fused_spectral_apply_3d,
+    )
 
-    v0, v1 = solver._mats(rhs.dtype)
-    e0 = jnp.asarray(_eigs(solver.shape[0], solver.kinds[0]), rhs.dtype)
-    e1 = jnp.asarray(_eigs(solver.shape[1], solver.kinds[1]), rhs.dtype)
-    return fused_spectral_apply(
-        v0, v1, e0.reshape(-1, 1), e1.reshape(1, -1), (w[0], w[1]), rhs,
+    mats = solver._mats(rhs.dtype)
+    eigs = [
+        jnp.asarray(_eigs(n, k), rhs.dtype)
+        for n, k in zip(solver.shape, solver.kinds)
+    ]
+    if len(solver.shape) == 2:
+        return fused_spectral_apply(
+            mats[0], mats[1], eigs[0].reshape(-1, 1), eigs[1].reshape(1, -1),
+            (w[0], w[1]), rhs, solver._precision(),
+        )
+    eyx = (w[1] * eigs[1][:, None] + w[2] * eigs[2][None, :]).reshape(1, -1)
+    return fused_spectral_apply_3d(
+        mats[0], mats[1], mats[2], eigs[0].reshape(-1, 1), eyx, w[0], rhs,
         solver._precision(),
     )
 
@@ -349,8 +367,12 @@ def _mm_fused_fwd(solver, w, rhs):
 
 def _mm_fused_bwd(solver, res, ct):
     w, rhs = res
+    rank = len(solver.shape)
     _, vjp = jax.vjp(
-        lambda w_, r_: _mm_solve_xla(solver, (w_[0], w_[1]), r_), w, rhs
+        lambda w_, r_: _mm_solve_xla(
+            solver, tuple(w_[d] for d in range(rank)), r_
+        ),
+        w, rhs,
     )
     return vjp(ct)
 

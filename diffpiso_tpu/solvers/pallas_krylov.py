@@ -581,6 +581,117 @@ def spectral_eligible(shape, dtype) -> bool:
     return planes * itemsize <= _VMEM_BUDGET_BYTES
 
 
+def spectral_eligible_3d(shape, dtype) -> bool:
+    """Fused rank-3 MatmulSpectralSolver apply (3 launches: z-gridded (y,x)
+    analysis, column-blocked z-transform + symbol divide, z-gridded (y,x)
+    synthesis). Per-program VMEM is tiny (one plane + two bases / one slab),
+    so the budget gate is only a sanity bound."""
+    mode = os.environ.get("DIFFPISO_FUSED_SPECTRAL", "never")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if len(shape) != 3:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    nz, ny, nx = shape
+    blk = _spec3_block(ny * nx)
+    plane_bytes = (ny * ny + nx * nx + 3 * ny * nx) * itemsize
+    slab_bytes = (nz * nz + 3 * nz * blk) * itemsize
+    return max(plane_bytes, slab_bytes) * 2 <= _VMEM_BUDGET_BYTES
+
+
+def _spec3_block(n: int, target: int = 512) -> int:
+    """Largest divisor of n that is <= target (column-block width for the
+    z-transform slab kernel)."""
+    for b in range(min(target, n), 0, -1):
+        if n % b == 0:
+            return b
+    return n
+
+
+def _dot(a, b, dims, precision):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), precision=precision,
+        preferred_element_type=a.dtype,
+    )
+
+
+def _spec3_plane_kernel(analysis, precision, vy, vx, h, out):
+    # analysis: Vy @ h @ Vx^T ; synthesis: Vy^T @ h @ Vx — per z-plane
+    hv = h[0]
+    if analysis:
+        t = _dot(vy[:], hv, ((1,), (0,)), precision)
+        out[0] = _dot(t, vx[:], ((1,), (1,)), precision)
+    else:
+        t = _dot(vy[:], hv, ((0,), (0,)), precision)
+        out[0] = _dot(t, vx[:], ((1,), (0,)), precision)
+
+
+def _spec3_z_kernel(precision, vz, ez, eyx, w, h, out):
+    # z-transform + symbol divide + z-inverse on a (nz, blk) column slab:
+    # S = wz ez + eyx (eyx = wy ey + wx ex flattened outside, traced)
+    s = w[0] * ez[:] + eyx[:]
+    g = _dot(vz[:], h[:], ((1,), (0,)), precision)
+    singular = jnp.abs(s) < 1e-12
+    g = jnp.where(singular, 0.0, g / jnp.where(singular, 1.0, s))
+    out[:] = _dot(vz[:], g, ((0,), (0,)), precision)
+
+
+def fused_spectral_apply_3d(vz, vy, vx, ez, eyx, wz, r, precision):
+    """Three-launch rank-3 spectral inverse: the XLA path's 6 tensordots +
+    6 moveaxis each round-trip the full field through HBM (~12 full-field
+    copies at 128^3 = 8 MiB each); this reads/writes the field 3x total.
+    ez: (nz, 1); eyx: (1, ny*nx) carrying the pre-weighted y+x eigenvalue
+    sum; wz: traced z weight."""
+    nz, ny, nx = r.shape
+    plane = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
+    basis_y = pl.BlockSpec((ny, ny), lambda i: (0, 0))
+    basis_x = pl.BlockSpec((nx, nx), lambda i: (0, 0))
+
+    def plane_pass(analysis, h):
+        return pl.pallas_call(
+            functools.partial(_spec3_plane_kernel, analysis, precision),
+            out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+            grid=(nz,),
+            in_specs=[basis_y, basis_x, plane],
+            out_specs=plane,
+            interpret=_INTERPRET,
+        )(vy, vx, h)
+
+    h = plane_pass(True, r)
+    n = ny * nx
+    blk = _spec3_block(n)
+    h2 = h.reshape(nz, n)
+    slab = pl.BlockSpec((nz, blk), lambda i: (0, i))
+    w = jnp.reshape(jnp.asarray(wz, r.dtype), (1,))
+    h2 = pl.pallas_call(
+        functools.partial(_spec3_z_kernel, precision),
+        out_shape=jax.ShapeDtypeStruct((nz, n), r.dtype),
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((nz, nz), lambda i: (0, 0)),
+            pl.BlockSpec((nz, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            slab,
+        ],
+        out_specs=slab,
+        interpret=_INTERPRET,
+    )(vz, ez, eyx, w, h2)
+    return plane_pass(False, h2.reshape(r.shape))
+
+
 def _spectral_kernel(precision, v0, v1, e0, e1, w, r, out_z):
     # z = V0^T ((V0 r V1^T) / S) V1 with S = w0 e0 + w1 e1 (outer-broadcast)
     # and singular modes (|S| < 1e-12 — the all-Neumann / periodic null

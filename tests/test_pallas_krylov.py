@@ -382,3 +382,54 @@ def test_spectral_eligible_budget():
     assert (n0 * n0 + n1 * n1 + 4 * n0 * n1) * 4 > pallas_krylov._VMEM_BUDGET_BYTES
     n0 = n1 = 512
     assert (n0 * n0 + n1 * n1 + 4 * n0 * n1) * 4 <= pallas_krylov._VMEM_BUDGET_BYTES
+
+
+@pytest.mark.parametrize("shape", [(8, 16, 24), (6, 8, 8)])
+def test_fused_spectral3d_matches_xla(shape, monkeypatch):
+    """Three-launch rank-3 apply == the tensordot chain (fft_mm basis — the
+    3-D turbulence preconditioner), incl. the singular k=0 mode zeroing and
+    a non-divisor-friendly ny*nx column count."""
+    from diffpiso_tpu.solvers import fourier as fo
+
+    _force_fused(monkeypatch)
+    solver = fo.MatmulSpectralSolver(kinds=("fourier",) * 3, shape=shape)
+    rng = np.random.RandomState(11)
+    rhs = jnp.asarray(rng.randn(*shape), jnp.float32)
+    w = (jnp.float32(0.8), jnp.float32(1.1), jnp.float32(0.6))
+
+    ref = fo._mm_solve_xla(solver, w, rhs)
+    wa = jnp.stack(list(w))
+    out = fo._mm_solve_fused(solver, wa, rhs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    monkeypatch.setattr(pallas_krylov, "spectral_eligible_3d",
+                        lambda *a, **k: True)
+    out2 = solver.solve(w, rhs)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_spectral3d_gradients_match_xla(monkeypatch):
+    from diffpiso_tpu.solvers import fourier as fo
+
+    _force_fused(monkeypatch)
+    shape = (4, 8, 8)
+    solver = fo.MatmulSpectralSolver(kinds=("fourier",) * 3, shape=shape)
+    rng = np.random.RandomState(13)
+    rhs = jnp.asarray(rng.randn(*shape), jnp.float32)
+    ct = jnp.asarray(rng.randn(*shape), jnp.float32)
+    wa = jnp.asarray([0.9, 1.2, 0.7], jnp.float32)
+
+    def loss_fused(w, r):
+        return jnp.sum(fo._mm_solve_fused(solver, w, r) * ct)
+
+    def loss_xla(w, r):
+        return jnp.sum(fo._mm_solve_xla(solver, (w[0], w[1], w[2]), r) * ct)
+
+    gw_f, gr_f = jax.grad(loss_fused, argnums=(0, 1))(wa, rhs)
+    gw_x, gr_x = jax.grad(loss_xla, argnums=(0, 1))(wa, rhs)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-5)
