@@ -208,3 +208,44 @@ def test_divergence_free_mixed_periodicity():
     div = np.asarray(fv_divergence(out, domain.dx))
     # interior divergence at solver tolerance
     assert np.abs(div[1:-1, :]).max() < 1e-4
+
+
+def test_potential_flow_around_disc_matches_analytic():
+    """Quantitative oracle for the obstacle hard-BC + projection machinery:
+    the impulsive projection of uniform flow past a cylinder IS discrete
+    potential flow, so away from the surface it must match the analytic
+    dipole field u = U(1 + R^2(y^2-x^2)/r^4), v = -2UR^2xy/r^4 (doublet
+    superposition; periodic images at distance n contribute O((R/n)^2) ~ 0.4%).
+    Measured on this grid (96^2, R=6, f32): rmse ~1.6%/0.9%, max ~4.5% in the
+    1.5R..3.3R annulus — asserted with 2x margin."""
+    n, R = 96, 6.0
+    c = n / 2.0
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n), jnp.float32), jnp.ones((n, n), jnp.float32)),
+        periodic=(True, True),
+    )
+    obs = Obstacle(Sphere(center=(c, c), radius=R))
+    out, _ = divergence_free(vel, domain, tol=1e-7, obstacles=[obs])
+    v = np.asarray(out.components[0])
+    u = np.asarray(out.components[1])
+
+    iy, ix = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+
+    def analytic(yy, xx):
+        x, y = xx - c, yy - c
+        r2 = x * x + y * y
+        return -2 * R * R * x * y / r2**2, 1 + R * R * (y * y - x * x) / r2**2
+
+    # staggered face positions: component d sits at i_d * dx along its own
+    # axis (between cells i_d-1 and i_d) and cell centers elsewhere
+    _, ua = analytic(iy + 0.5, ix * 1.0)
+    va, _ = analytic(iy * 1.0, ix + 0.5)
+    r_u = np.hypot(ix * 1.0 - c, iy + 0.5 - c)
+    r_v = np.hypot(ix + 0.5 - c, iy * 1.0 - c)
+    mu = (r_u > 1.5 * R) & (r_u < 3.3 * R)
+    mv = (r_v > 1.5 * R) & (r_v < 3.3 * R)
+    assert np.sqrt(np.mean((u[mu] - ua[mu]) ** 2)) < 0.035
+    assert np.sqrt(np.mean((v[mv] - va[mv]) ** 2)) < 0.02
+    assert np.abs(u[mu] - ua[mu]).max() < 0.10
+    assert np.abs(v[mv] - va[mv]).max() < 0.09
