@@ -126,8 +126,18 @@ def divergence_free(
         )
     else:
         deficient = bool(detect_rank_deficiency(active, accessible_mask))
+    # Singular systems are solved WITHOUT the rank-one shift here (always
+    # rank_deficient=False at assembly): with solid cells the shift s*11^T
+    # couples every row — including the otherwise-decoupled empty solid rows
+    # — and its lone eigenvalue s*n (~1.5e5 at 64^3) amplifies the f32
+    # roundoff leak of the residual mean until CG emits NaN (measured: the
+    # deflated+shifted solve blew up at iteration ~1828 on the 64^3 sphere;
+    # the unshifted consistent-rhs solve converges in 233). Instead the
+    # singular-CG treatment below projects the rhs onto the range space
+    # (active-mean removal) and leaves the inert null mode alone — the
+    # returned q is gauge-arbitrary, and only its gradient is used.
     lap = assemble_pressure_laplacian(
-        influence, active, accessible_mask, domain.periodic, rank_deficient=deficient
+        influence, active, accessible_mask, domain.periodic, rank_deficient=False
     )
 
     # hard boundary conditions: a face is open only if BOTH adjacent cells
@@ -145,12 +155,19 @@ def divergence_free(
     # the imprint would wipe them and the obstacle would barely move flow.
     if obstacles:
         velocity = apply_obstacle_velocities(velocity, obstacles, domain.box)
-    div = fv_divergence(velocity, dx) / (dx[0] * dx[1])
+    div = fv_divergence(velocity, dx) / dxprod
     # zero the rhs on inactive (solid) cells: their Laplacian rows are empty,
     # so any imprint-ramp divergence left inside the solid would make the
     # system inconsistent and CG diverges (q ~ 1e6 at surface-adjacent solid
     # cells before this mask)
-    div = div * active[tuple(slice(1, -1) for _ in range(rank))]
+    active_int = active[tuple(slice(1, -1) for _ in range(rank))]
+    div = div * active_int
+    if deficient:
+        # consistent rhs for the unshifted singular system: remove the
+        # active-cell mean ON active cells (a GLOBAL mean would dump the
+        # compensation onto decoupled solid cells, where no operator row
+        # can ever reduce it and max|r| stalls)
+        div = div - (jnp.sum(div) / jnp.maximum(jnp.sum(active_int), 1.0)) * active_int
     from diffpiso_tpu.ops.laplace import apply_laplacian
 
     res = cg(
@@ -159,7 +176,7 @@ def divergence_free(
         tol=tol,
         max_iter=max_iter,
         residual_reset=50,
-        deflate_mean=deficient,
+        deflate_mean=False,
     )
     q = res.x
     comps_fd = []

@@ -249,3 +249,43 @@ def test_potential_flow_around_disc_matches_analytic():
     assert np.sqrt(np.mean((v[mv] - va[mv]) ** 2)) < 0.02
     assert np.abs(u[mu] - ua[mu]).max() < 0.10
     assert np.abs(v[mv] - va[mv]).max() < 0.09
+
+
+def test_potential_flow_around_sphere_3d_matches_analytic():
+    """3-D twin of the disc oracle AND the regression pin for the singular
+    masked-CG fix: at 64^3 the old rank-one-shifted deflated CG amplified the
+    f32 residual-mean leak through the shift's s*n ~ 1.5e5 eigenvalue until
+    the solve emitted NaN (silently — divergence_free drops the warn flag).
+    The unshifted consistent-rhs singular CG converges in ~233 iterations and
+    must reproduce the analytic 3-D doublet u = U(1 + R^3(r^2-3x^2)/(2r^5)),
+    v = -3UR^3xy/(2r^5). Measured: u rmse 0.7%, max 4.9% in 1.5R..2.8R."""
+    n, R = 64, 6.0
+    c = n / 2.0
+    domain = Domain(
+        (n, n, n), Box.from_size((float(n),) * 3), boundaries=PERIODIC
+    )
+    vel = StaggeredField(
+        tuple(jnp.zeros((n, n, n), jnp.float32) for _ in range(2))
+        + (jnp.ones((n, n, n), jnp.float32),),
+        periodic=(True, True, True),
+    )
+    obs = Obstacle(Sphere(center=(c, c, c), radius=R))
+    out, _ = divergence_free(vel, domain, tol=1e-6, obstacles=[obs])
+    u = np.asarray(out.components[2])
+    v = np.asarray(out.components[1])
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+
+    iz, iy, ix = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    # u-faces: x at ix, y/z at cell centers; v-faces: y at iy, x/z at centers
+    xu, yu, zu = ix * 1.0 - c, iy + 0.5 - c, iz + 0.5 - c
+    ru = np.sqrt(xu**2 + yu**2 + zu**2)
+    ua = 1 + R**3 * (ru**2 - 3 * xu**2) / (2 * ru**5)
+    xv, yv, zv = ix + 0.5 - c, iy * 1.0 - c, iz + 0.5 - c
+    rv = np.sqrt(xv**2 + yv**2 + zv**2)
+    va = -3 * R**3 * xv * yv / (2 * rv**5)
+    mu = (ru > 1.5 * R) & (ru < 2.8 * R)
+    mv = (rv > 1.5 * R) & (rv < 2.8 * R)
+    assert np.sqrt(np.mean((u[mu] - ua[mu]) ** 2)) < 0.015
+    assert np.abs(u[mu] - ua[mu]).max() < 0.10
+    assert np.sqrt(np.mean((v[mv] - va[mv]) ** 2)) < 0.015
+    assert np.abs(v[mv] - va[mv]).max() < 0.10
