@@ -31,6 +31,7 @@ def divergence_free(
     max_iter: int = 2000,
     obstacles=(),
     rank_deficient: Optional[bool] = None,
+    return_info: bool = False,
 ):
     """Project a staggered velocity onto its divergence-free part
     (fluid.py:203-250). Periodic boxes use the exact spectral solve; bounded
@@ -48,7 +49,11 @@ def divergence_free(
     (piso_cuda_pressure_solver.py:84-87) needs concrete masks, and the
     conservative all-Neumann fallback corrupts OPEN-domain solves.
 
-    Returns (velocity_div_free, pressure-like potential)."""
+    return_info — also return the CG SolveResult (iterations/residual/warn;
+    None on the direct spectral path) so callers can detect failed
+    projection solves instead of consuming values silently.
+
+    Returns (velocity_div_free, pressure-like potential[, solve_info])."""
     if obstacles:
         from diffpiso_tpu.physics.obstacle import (
             apply_obstacle_velocities,
@@ -75,7 +80,8 @@ def divergence_free(
         for d, v in enumerate(velocity.components):
             gq = (q - jnp.roll(q, 1, axis=d)) / dx[d]
             comps_fd.append(v - gq)
-        return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
+        out_ = StaggeredField(tuple(comps_fd), periodic=velocity.periodic)
+        return (out_, q, None) if return_info else (out_, q)
     # bounded/masked: CG on the unit-influence masked Laplacian (also the
     # periodic-with-obstacles case — the spectral inverse assumes an
     # unobstructed box)
@@ -197,7 +203,8 @@ def divergence_free(
             hi = jax.lax.slice_in_dim(qp, 1, qp.shape[d], axis=d)
             gq = (hi - lo) / dx[d]
         comps_fd.append(v - gq * face_acc[d])
-    return StaggeredField(tuple(comps_fd), periodic=velocity.periodic), q
+    out_ = StaggeredField(tuple(comps_fd), periodic=velocity.periodic)
+    return (out_, q, res) if return_info else (out_, q)
 
 
 def _face_accessibility(accessible_mask, periodic, res):

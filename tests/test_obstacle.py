@@ -289,3 +289,19 @@ def test_potential_flow_around_sphere_3d_matches_analytic():
     assert np.abs(u[mu] - ua[mu]).max() < 0.10
     assert np.sqrt(np.mean((v[mv] - va[mv]) ** 2)) < 0.015
     assert np.abs(v[mv] - va[mv]).max() < 0.10
+
+
+def test_divergence_free_return_info():
+    n = 32
+    domain = Domain((n, n), Box.from_size((float(n), float(n))), boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.zeros((n, n)), jnp.ones((n, n))), periodic=(True, True)
+    )
+    obs = Obstacle(Sphere(center=(16.0, 16.0), radius=5.0))
+    out, q, info = divergence_free(
+        vel, domain, tol=1e-6, obstacles=[obs], return_info=True
+    )
+    assert not bool(info.warn) and bool(info.converged)
+    # unobstructed periodic path is direct: info is None
+    _, _, info2 = divergence_free(vel, domain, tol=1e-6, return_info=True)
+    assert info2 is None
