@@ -324,7 +324,11 @@ def _make_pressure_precond(kind: str | None, lap: LaplaceStencil):
             kinds = ("dct2",) * (rank - 1) + ("dct4",)
         weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
         mss = MatmulSpectralSolver(kinds=kinds, shape=lap.center.shape)
-        return lambda r: mss.precondition(weights, r)
+        fn = lambda r: mss.precondition(weights, r)
+        # pcg folds this application into its fused p-update launch when the
+        # kernels are eligible (krylov.pcg precond_mm)
+        fn.mm_info = (mss, weights)
+        return fn
     raise ValueError(f"unknown preconditioner {kind!r}")
 
 
@@ -383,6 +387,7 @@ def _pressure_solve_once(
             precond_zero_mean=kind in ("fft", "dct", "fft_mm", "dct_mm"),
             early_exit=not adjoint,
             stencil=lap,
+            precond_mm=getattr(precond, "mm_info", None),
         )
     else:
         result = cg(

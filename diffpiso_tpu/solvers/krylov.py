@@ -578,6 +578,7 @@ def pcg(
     precond_zero_mean: bool = False,
     early_exit: bool = True,
     stencil=None,
+    precond_mm=None,
 ) -> SolveResult:
     """Preconditioned CG: z = M^-1 r each iteration (e.g. one multigrid
     V-cycle or a spectral solve). This is the designed-in upgrade over the
@@ -596,6 +597,14 @@ def pcg(
       * early_exit=False drops the whole-solve lax.cond wrapper (profiled at
         ~0.24 ms of pure overhead) for callers that KNOW the solve is cold
         and non-trivial — the adjoint solves.
+
+    precond_mm — optional (MatmulSpectralSolver, weights): when the fused
+    kernels are eligible and the preconditioner is the rank-2 matmul
+    spectral inverse over the full grid, the M^-1 application folds INTO
+    the fused p-update launch (pallas_krylov.fused_pcg_mm_update): one
+    launch per iteration instead of apply + separate update, and z never
+    round-trips HBM. Must describe the same operator as `precond` (the
+    non-fused path keeps calling `precond`).
     """
     cold = x0 is None
     if cold:
@@ -625,6 +634,41 @@ def pcg(
             fused_residual,
         )
 
+    mm_update = None
+    if fused and precond_mm is not None:
+        solver_mm, w_mm = precond_mm
+        leaf = jax.tree_util.tree_leaves(b)[0]
+        if (
+            len(solver_mm.shape) == 2
+            and tuple(solver_mm.shape) == tuple(leaf.shape)
+            # project_z must be the identity: *_mm singular-mode zeroing
+            # provides the mean-free output the callers promise via
+            # precond_zero_mean
+            and (precond_zero_mean or not deflate_mean)
+        ):
+            from diffpiso_tpu.solvers.pallas_krylov import (
+                fused_pcg_mm_update,
+                spectral_eligible,
+            )
+
+            if spectral_eligible(leaf.shape, leaf.dtype):
+                from diffpiso_tpu.solvers.fourier import _eigs as _sp_eigs
+
+                v0m, v1m = solver_mm._mats(leaf.dtype)
+                e0m = jnp.asarray(
+                    _sp_eigs(solver_mm.shape[0], solver_mm.kinds[0]), leaf.dtype
+                ).reshape(-1, 1)
+                e1m = jnp.asarray(
+                    _sp_eigs(solver_mm.shape[1], solver_mm.kinds[1]), leaf.dtype
+                ).reshape(1, -1)
+                prec_mm = solver_mm._precision()
+                zeros_leaf = jnp.zeros_like(leaf)
+
+                def mm_update(rz_old, r_, p_):
+                    return fused_pcg_mm_update(
+                        v0m, v1m, e0m, e1m, w_mm, rz_old, r_, p_, prec_mm
+                    )
+
     if cold:
         r0 = project(b)
         rnorm0 = _tree_max_abs(r0)
@@ -647,6 +691,9 @@ def pcg(
                     rr, _ = fused_residual(stencil, b, x, deflate_mean)
                 else:
                     rr = project(_sub(b, apply_A(x)))
+                if mm_update is not None:
+                    zz, rrzz = mm_update(1.0, rr, zeros_leaf)
+                    return x, rr, zz, rrzz
                 zz = project_z(precond(rr))
                 return x, rr, zz, tree_vdot(rr, zz)
 
@@ -658,8 +705,11 @@ def pcg(
             )
         if fused:
             x, r, rnorm, _pq = fused_pcg_apply(stencil, rz, x, r, p, deflate_mean)
-            z = project_z(precond(r))
-            p, rz_new = fused_pcg_update(rz, r, z, p)
+            if mm_update is not None:
+                p, rz_new = mm_update(rz, r, p)
+            else:
+                z = project_z(precond(r))
+                p, rz_new = fused_pcg_update(rz, r, z, p)
         else:
             q = apply_A(p)
             pq = tree_vdot(p, q)
@@ -675,9 +725,13 @@ def pcg(
         return (x, r, p, rz_new, k + 1, done)
 
     def run_solve(_):
-        z0 = project_z(precond(r0))
+        if mm_update is not None:
+            z0, rz0 = mm_update(1.0, r0, zeros_leaf)
+        else:
+            z0 = project_z(precond(r0))
+            rz0 = tree_vdot(r0, z0)
         init = (
-            x0, r0, z0, tree_vdot(r0, z0), jnp.zeros((), jnp.int32),
+            x0, r0, z0, rz0, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool),
         )
         x, r, p, rz, k, _ = jax.lax.while_loop(cond, body, init)

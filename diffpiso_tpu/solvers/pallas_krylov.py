@@ -548,6 +548,50 @@ def fused_pcg_update(rz_old, r, z, p):
     return po, rz[0]
 
 
+# -- fused preconditioned-update: z = M^-1 r folded into the PCG p-update ---------
+
+
+def _pcg_mm_update_kernel(precision, v0, v1, e0, e1, w, rz_old, r, p,
+                          out_p, out_rz):
+    # z = V0^T ((V0 r V1^T)/S) V1 (the spectral inverse, singular modes
+    # zeroed); rz' = r.z; beta = rz'/rz_old; p' = z + beta p — one launch,
+    # z never round-trips HBM
+    rv = r[:]
+    h = _dot(v0[:], rv, ((1,), (0,)), precision)
+    h = _dot(h, v1[:], ((1,), (1,)), precision)
+    s = w[0] * e0[:] + w[1] * e1[:]
+    singular = jnp.abs(s) < 1e-12
+    h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, s))
+    h = _dot(v0[:], h, ((0,), (0,)), precision)
+    z = _dot(h, v1[:], ((1,), (0,)), precision)
+    rz_new = jnp.sum(rv * z)
+    eps = jnp.asarray(1e-30, rz_new.dtype)
+    beta = jnp.where(jnp.abs(rz_old[0]) > eps, rz_new / rz_old[0], 0.0)
+    out_p[:] = z + beta * p[:]
+    out_rz[0] = rz_new
+
+
+def fused_pcg_mm_update(v0, v1, e0, e1, weights, rz_old, r, p, precision):
+    """Spectral-preconditioned PCG update in ONE launch: z = M^-1 r (4 MXU
+    contractions, spectrum resident in VMEM), rz' = r.z, beta, p' = z+beta p.
+    For the z0 init call with p = zeros and rz_old = 1: p' = z0, rz' = r0.z0."""
+    w = jnp.stack([jnp.asarray(weights[0], r.dtype),
+                   jnp.asarray(weights[1], r.dtype)])
+    s = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    one = jax.ShapeDtypeStruct((1,), p.dtype)
+    po, rz = pl.pallas_call(
+        functools.partial(_pcg_mm_update_kernel, precision),
+        out_shape=(s, one),
+        in_specs=_vmem_specs(4) + _smem_specs(2) + _vmem_specs(2),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(v0, v1, e0, e1, w, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
+    return po, rz[0]
+
+
 # -- fused spectral preconditioner apply (2-D eigenbasis contractions) ------------
 
 

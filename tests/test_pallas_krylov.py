@@ -433,3 +433,30 @@ def test_fused_spectral3d_gradients_match_xla(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pcg_mm_update_through_pressure_solver(monkeypatch):
+    """dct_mm PCG with the preconditioner FOLDED into the p-update launch
+    (precond_mm path: one kernel per iteration, z never leaves VMEM) must
+    match both the jnp path and the two-launch fused path."""
+    lap, rhs = _system(rank_deficient=True)
+    cfg = PressureSolver(
+        max_iterations=200, deflate_mean=True,
+        preconditioner="dct_mm", adjoint_preconditioner="dct_mm",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-7)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "spectral_eligible",
+                        lambda *a, **k: True)
+    x_mm, it_mm, warn_mm = solve_pressure_system(cfg, lap, rhs, None, 1e-7)
+    assert not bool(warn_mm)
+    a = np.asarray(x_mm) - np.asarray(x_mm).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    # same iteration count: the folded update is the same math
+    assert abs(int(it_mm) - int(it_ref)) <= 1
+    # warm start with the previous solution converges (near-)immediately
+    _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_mm, 1e-6)
+    assert not bool(w2) and int(it2) <= 2
