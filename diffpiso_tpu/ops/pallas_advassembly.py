@@ -216,6 +216,163 @@ def _fused_assembly_bwd(res, cts):
 _fused_assembly.defvjp(_fused_assembly_fwd, _fused_assembly_bwd)
 
 
+# -- rank-3 z-plane-gridded assembly ----------------------------------------------
+
+
+def _rollp(x, shift, axis):
+    # in-plane roll on a (ny, nx) plane; patched to jnp.roll in interpret tests
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def advassembly3_eligible(velocity, dirichlet_mask, active_mask, no_slip_mask,
+                          viscosity, periodic) -> bool:
+    import os
+
+    # default OFF until the 34-operand Mosaic lowering is validated on the
+    # real TPU (tunnel down when this landed); flip with the A/B numbers
+    if os.environ.get("DIFFPISO_FUSED_ADV3", "never") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return False
+    if velocity.rank != 3 or periodic != (True, True, True):
+        return False
+    shapes = {c.shape for c in velocity.components}
+    if len(shapes) != 1:
+        return False
+    (nz, ny, nx), = shapes
+    if jnp.dtype(velocity.dtype).itemsize > 4:
+        return False
+    if isinstance(viscosity, (jax.Array, np.ndarray)) and getattr(
+        viscosity, "ndim", 0
+    ) > 0:
+        return False  # per-face viscosity fields (LES) keep the jnp path
+    # 9 input + 24 output plane blocks, double-buffered across the z grid
+    if nz < 2 or ny % 8 != 0 or nx % 128 != 0:
+        return False
+    if 33 * 2 * ny * nx * 4 > _VMEM_BUDGET_BYTES:
+        return False
+    return _uniform_masks(dirichlet_mask, active_mask, no_slip_mask)
+
+
+def _kernel3(w0k, w1k, w2k, w0u, w1u, w2u, w0d, w1d, w2d, s_ref, *outs):
+    # Uniform-mask periodic 3-D assembly, one z-plane per program. For
+    # component c, axis d (z,y,x order):
+    #   flux_lo = 0.5*(w_d + S_c^+ w_d) * area_d   (S_c^+ = shift +1 along c)
+    #   flux_hi = S_d^- flux_lo
+    # z-direction shifts read the k-1 / k+1 neighbor planes (wrapped
+    # BlockSpec maps — the wrap IS the periodic boundary): S_z^+ w at plane
+    # k is w[k-1]; flux_hi for d=z at plane k is flux_lo evaluated at k+1.
+    beta = s_ref[0]
+    area = (s_ref[1], s_ref[2], s_ref[3])
+    visc = (s_ref[4], s_ref[5], s_ref[6])
+    wk = (w0k[0], w1k[0], w2k[0])
+    wu = (w0u[0], w1u[0], w2u[0])
+    wd = (w0d[0], w1d[0], w2d[0])
+
+    for c in range(3):
+        diag = None
+        los, his = [], []
+        for d in range(3):
+            if c == 0:
+                sh_k, sh_p1 = wu[d], wk[d]
+            else:
+                sh_k = _rollp(wk[d], 1, c - 1)
+                sh_p1 = _rollp(wd[d], 1, c - 1)
+            flux_lo = 0.5 * (wk[d] + sh_k) * area[d]
+            if d == 0:
+                flux_hi = 0.5 * (wd[d] + sh_p1) * area[d]
+            else:
+                flux_hi = _rollp(flux_lo, -1, d - 1)
+            los.append(0.5 * flux_lo + visc[d])
+            his.append(-0.5 * flux_hi + visc[d])
+            contrib = 0.5 * (flux_lo - flux_hi) - 2.0 * visc[d]
+            diag = contrib if diag is None else diag + contrib
+        cr, loz, hiz, loy, hiy, lox, hix, ar = outs[c * 8:(c + 1) * 8]
+        cr[0] = diag - beta
+        loz[0] = los[0]
+        hiz[0] = his[0]
+        loy[0] = los[1]
+        hiy[0] = his[1]
+        lox[0] = los[2]
+        hix[0] = his[2]
+        ar[0] = diag
+
+
+def _fused_assembly3_impl(w0, w1, w2, scalars):
+    nz, ny, nx = w0.shape
+    plane = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
+    up = pl.BlockSpec((1, ny, nx), lambda i: ((i - 1) % nz, 0, 0))
+    dn = pl.BlockSpec((1, ny, nx), lambda i: ((i + 1) % nz, 0, 0))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), w0.dtype)] * 24
+    return pl.pallas_call(
+        _kernel3,
+        grid=(nz,),
+        in_specs=[plane] * 3 + [up] * 3 + [dn] * 3 + [smem_spec],
+        out_specs=[plane] * 24,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(w0, w1, w2, w0, w1, w2, w0, w1, w2, scalars)
+
+
+@jax.custom_vjp
+def _fused_assembly3(w0, w1, w2, scalars):
+    return _fused_assembly3_impl(w0, w1, w2, scalars)
+
+
+def _fused_assembly3_fwd(w0, w1, w2, scalars):
+    return _fused_assembly3_impl(w0, w1, w2, scalars), (w0, w1, w2, scalars)
+
+
+def _fused_assembly3_bwd(res, cts):
+    # reference semantics: assembly contributes ZERO gradient
+    # (piso_tf.py:116-128); piso_step stop_gradients the velocity anyway
+    w0, w1, w2, scalars = res
+    return (jnp.zeros_like(w0), jnp.zeros_like(w1), jnp.zeros_like(w2),
+            jnp.zeros_like(scalars))
+
+
+_fused_assembly3.defvjp(_fused_assembly3_fwd, _fused_assembly3_bwd)
+
+
+def fused_advection_assembly_3d(velocity, dx, viscosity, beta):
+    """One z-gridded launch computing all 24 stencil planes of the rank-3
+    uniform-mask periodic assembly (3 components x center/lo_z/hi_z/lo_y/
+    hi_y/lo_x/hi_x/diag_A), reading the three velocity fields once. Gate on
+    advassembly3_eligible()."""
+    import math as _math
+
+    dxt = tuple(float(v) for v in dx)
+    dxprod = _math.prod(dxt)
+    dtype = velocity.dtype
+    area = tuple(dxprod / dxt[d] for d in range(3))
+    scalars = jnp.stack(
+        [jnp.asarray(beta, dtype)]
+        + [jnp.asarray(a, dtype) for a in area]
+        + [jnp.asarray(viscosity, dtype) * (area[d] / dxt[d]) for d in range(3)]
+    )
+    planes = _fused_assembly3(
+        velocity.components[0], velocity.components[1],
+        velocity.components[2], scalars,
+    )
+    centers, los, his, diag_As = [], [], [], []
+    for c in range(3):
+        cr, loz, hiz, loy, hiy, lox, hix, ar = planes[c * 8:(c + 1) * 8]
+        centers.append(cr)
+        los.append((loz, loy, lox))
+        his.append((hiz, hiy, hix))
+        diag_As.append(ar)
+    return tuple(centers), tuple(los), tuple(his), tuple(diag_As)
+
+
 def fused_advection_assembly(velocity, dx, viscosity, beta):
     """One-launch uniform-mask periodic assembly. Returns the
     AdvectionStencil pieces as (centers, los, his, diag_As) tuples matching

@@ -119,14 +119,23 @@ def assemble_advection_stencil(
     # stencil planes (ops/pallas_advassembly.py) — the r3 roofline measured
     # the jnp path's unaligned window slices at 45% of the 512^2 step
     from diffpiso_tpu.ops.pallas_advassembly import (
+        advassembly3_eligible,
         advassembly_eligible,
         fused_advection_assembly,
+        fused_advection_assembly_3d,
     )
 
     if advassembly_eligible(
         velocity, dirichlet_mask, active_mask, no_slip_mask, viscosity, periodic
     ):
         centers, los, his, diag_As = fused_advection_assembly(
+            velocity, dx, viscosity, beta
+        )
+        return AdvectionStencil(center=centers, lo=los, hi=his, diag_A=diag_As)
+    if advassembly3_eligible(
+        velocity, dirichlet_mask, active_mask, no_slip_mask, viscosity, periodic
+    ):
+        centers, los, his, diag_As = fused_advection_assembly_3d(
             velocity, dx, viscosity, beta
         )
         return AdvectionStencil(center=centers, lo=los, hi=his, diag_A=diag_As)

@@ -49,3 +49,45 @@ for kinds, shape in [
         # is pinned by the interpret-mode tests)
         assert err < 1e-4, (kinds, shape, precision, err)
 print("LOWERING OK")
+
+
+# -- rank-3 fused advection assembly lowering check -------------------------------
+os.environ["DIFFPISO_FUSED_ADV3"] = "auto"
+import jax.numpy as jnp
+from diffpiso_tpu import StaggeredField
+from diffpiso_tpu.ops import pallas_advassembly, stencil as stencil_mod
+from diffpiso_tpu.ops import pallas_stencil as ps
+from diffpiso_tpu.fields.material import CIRCULAR
+
+nz, ny, nx = 32, 64, 128
+vel = StaggeredField(
+    tuple(jnp.asarray(rng.randn(nz, ny, nx), jnp.float32) for _ in range(3)),
+    periodic=(True, True, True),
+)
+dm = StaggeredField(
+    tuple(jnp.zeros((nz, ny, nx), bool) for _ in range(3)),
+    periodic=(True, True, True),
+)
+active = jnp.ones((nz + 2, ny + 2, nx + 2), jnp.float32)
+dx3 = (0.7, 1.3, 0.9)
+assert pallas_advassembly.advassembly3_eligible(
+    vel, dm, active, None, 2e-3, (True, True, True)
+)
+with ps.no_pallas():
+    want = stencil_mod.assemble_advection_stencil(
+        vel, dx3, tuple(((CIRCULAR, CIRCULAR),) * 3), 2e-3, 1.7,
+        dm, active, active, None, (True, True, True),
+    )
+got = jax.jit(
+    lambda v: pallas_advassembly.fused_advection_assembly_3d(v, dx3, 2e-3, 1.7)
+)(vel)
+centers, los, his, diag_As = got
+for c in range(3):
+    np.testing.assert_allclose(np.asarray(centers[c]), np.asarray(want.center[c]),
+                               rtol=1e-5, atol=1e-5)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(los[c][d]), np.asarray(want.lo[c][d]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(his[c][d]), np.asarray(want.hi[c][d]),
+                                   rtol=1e-5, atol=1e-5)
+print("ADV3 LOWERING OK")

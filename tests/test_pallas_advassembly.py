@@ -142,3 +142,81 @@ def test_zero_gradient_semantics(monkeypatch):
 
     g = jax.grad(f)(vel.components[0])
     assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+@pytest.mark.parametrize("shape", [(6, 16, 128), (4, 8, 128)])
+def test_fused_assembly3_matches_jnp(shape, monkeypatch):
+    """Rank-3 z-gridded assembly kernel == the jnp assembly on uniform-mask
+    all-periodic configurations (incl. the z-wrap planes)."""
+    try:
+        from jax.experimental import pallas  # noqa: F401
+    except Exception:
+        pytest.skip("pallas unavailable")
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_advassembly, "_rollp",
+                        lambda x, s, ax: jnp.roll(x, s, ax))
+    import diffpiso_tpu.ops.pallas_stencil as ps
+
+    nz, ny, nx = shape
+    rng = np.random.RandomState(3)
+    vel = StaggeredField(
+        tuple(jnp.asarray(rng.randn(nz, ny, nx), jnp.float32) for _ in range(3)),
+        periodic=(True, True, True),
+    )
+    dm = StaggeredField(
+        tuple(jnp.zeros((nz, ny, nx), bool) for _ in range(3)),
+        periodic=(True, True, True),
+    )
+    active = jnp.ones((nz + 2, ny + 2, nx + 2), jnp.float32)
+    dx = (0.7, 1.3, 0.9)
+    nu = 2e-3
+    beta = 1.7
+
+    with ps.no_pallas():
+        want = stencil_mod.assemble_advection_stencil(
+            vel, dx, tuple(((CIRCULAR, CIRCULAR),) * 3), nu, beta,
+            dm, active, active, None, (True, True, True),
+        )
+
+    centers, los, his, diag_As = pallas_advassembly.fused_advection_assembly_3d(
+        vel, dx, nu, beta
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(centers[c]), np.asarray(want.center[c]), rtol=1e-5,
+            atol=1e-5, err_msg=f"center[{c}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(diag_As[c]), np.asarray(want.diag_A[c]), rtol=1e-5,
+            atol=1e-5, err_msg=f"diag_A[{c}]",
+        )
+        for d in range(3):
+            np.testing.assert_allclose(
+                np.asarray(los[c][d]), np.asarray(want.lo[c][d]), rtol=1e-5,
+                atol=1e-5, err_msg=f"lo[{c}][{d}]",
+            )
+            np.testing.assert_allclose(
+                np.asarray(his[c][d]), np.asarray(want.hi[c][d]), rtol=1e-5,
+                atol=1e-5, err_msg=f"hi[{c}][{d}]",
+            )
+
+
+def test_fused_assembly3_zero_gradient(monkeypatch):
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_advassembly, "_rollp",
+                        lambda x, s, ax: jnp.roll(x, s, ax))
+    nz, ny, nx = 4, 8, 128
+    rng = np.random.RandomState(5)
+    comps = tuple(
+        jnp.asarray(rng.randn(nz, ny, nx), jnp.float32) for _ in range(3)
+    )
+
+    def f(w0):
+        vel = StaggeredField((w0,) + comps[1:], periodic=(True, True, True))
+        c, _, _, _ = pallas_advassembly.fused_advection_assembly_3d(
+            vel, (1.0, 1.0, 1.0), 1e-3, 2.0
+        )
+        return sum(jnp.sum(ci) for ci in c)
+
+    g = jax.grad(f)(comps[0])
+    assert float(jnp.abs(g).max()) == 0.0  # reference zero-gradient semantics
