@@ -634,6 +634,39 @@ def pcg(
             fused_residual,
         )
 
+    # fully-fused rank-3 spectral-PCG loop (z-gridded launch kernels):
+    # dispatches the whole solve when the stencil, preconditioner, and
+    # shapes line up — see pallas_krylov.fused_pcg3_solve
+    if (
+        stencil is not None
+        and precond_mm is not None
+        and precond_zero_mean
+        and not isinstance(b, (tuple, list, dict))
+    ):
+        leaves3 = jax.tree_util.tree_leaves(b)
+        if len(leaves3) == 1 and getattr(leaves3[0], "ndim", 0) == 3:
+            from diffpiso_tpu.solvers.pallas_krylov import (
+                fused_pcg3_solve,
+                pcg3_eligible,
+            )
+
+            solver_mm3, w_mm3 = precond_mm
+            leaf3 = leaves3[0]
+            if (
+                len(solver_mm3.shape) == 3
+                and tuple(solver_mm3.shape) == tuple(leaf3.shape)
+                and pcg3_eligible(leaf3.shape, leaf3.dtype)
+            ):
+                x3, rn3, k3 = fused_pcg3_solve(
+                    stencil, leaf3, None if cold else x0, solver_mm3, w_mm3,
+                    tol, max_iter, deflate_mean=deflate_mean,
+                )
+                warn3 = (~jnp.isfinite(rn3)) | (rn3 > 100.0 * tol)
+                return SolveResult(
+                    x=x3, iterations=k3, residual_norm=rn3,
+                    converged=rn3 < tol, warn=warn3,
+                )
+
     mm_update = None
     if fused and precond_mm is not None:
         solver_mm, w_mm = precond_mm

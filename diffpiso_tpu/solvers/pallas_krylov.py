@@ -548,6 +548,312 @@ def fused_pcg_update(rz_old, r, z, p):
     return po, rz[0]
 
 
+# -- rank-3 fully-fused PCG (z-gridded loop kernels) ------------------------------
+#
+# The 2-D fused PCG keeps whole planes in VMEM; rank-3 fields don't fit, so
+# the loop runs as z-plane-gridded launches with the cross-plane scalars
+# (pq, rz, sum(p)) accumulated through (1,1) SMEM blocks over the sequential
+# z grid and fed to the NEXT launch as SMEM inputs. The rank-one shift
+# s*sum(p) is reproduced exactly by carrying sum(p) (emitted by the p-update
+# launch) into the matvec launch. Per-iteration launches: q/pq, x/r,
+# spectral analysis, z-slab, synthesis(+r.z), p-update(+sum p) = 6, each
+# touching every field once — the jnp loop is ~20 whole-field HBM round
+# trips. In-loop mean-deflation is intentionally omitted: the mm
+# preconditioner zeroes the singular modes, so z (and hence every p) is
+# mean-free and alpha/beta/rz are algebraically identical with or without
+# the projection; only the exit-test rnorm can see the (roundoff-sized)
+# accumulated mean, and only conservatively (never exits early).
+
+
+def pcg3_eligible(shape, dtype) -> bool:
+    """Gate for the fully-fused rank-3 spectral PCG loop. Separate knob
+    (DIFFPISO_FUSED_PCG3, default OFF until TPU-validated) so it can be
+    A/B'd independently of the bare fused preconditioner apply."""
+    if os.environ.get("DIFFPISO_FUSED_PCG3", "never") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if len(shape) != 3:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    nz, ny, nx = shape
+    blk = _spec3_block(ny * nx)
+    per_prog = max(
+        (ny * ny + nx * nx + 3 * ny * nx),  # spectral plane passes
+        (nz * nz + 3 * nz * blk),           # z-slab pass
+        12 * ny * nx,                       # 7 stencil + p(x3) + q planes
+    )
+    return nz >= 2 and per_prog * 2 * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _acc_smem(i, ref, val, op):
+    @pl.when(i == 0)
+    def _():
+        ref[0, 0] = val
+
+    @pl.when(i != 0)
+    def _():
+        ref[0, 0] = op(ref[0, 0], val)
+
+
+def _pcg3_residual_kernel(c, lz, hz, ly, hy, lx, hx, sc, b, x, xup, xdn,
+                          out_r, out_n):
+    # r = b - (S x + shift * sum(x)); sc = (shift, sum(x)); out_n = max|r|
+    xc = x[0]
+    q = c[0] * xc + lz[0] * xup[0] + hz[0] * xdn[0]
+    q = q + ly[0] * _roll(xc, 1, 0) + hy[0] * _roll(xc, -1, 0)
+    q = q + lx[0] * _roll(xc, 1, 1) + hx[0] * _roll(xc, -1, 1)
+    r = b[0] - (q + sc[0] * sc[1])
+    out_r[0] = r
+    _acc_smem(pl.program_id(0), out_n, jnp.max(jnp.abs(r)), jnp.maximum)
+
+
+def _pcg3_q_kernel(c, lz, hz, ly, hy, lx, hx, sc, p, pup, pdn, out_q, out_pq):
+    # q = S p + shift * sum(p); sc = (shift, sum_p); out_pq = p.q
+    pc = p[0]
+    q = c[0] * pc + lz[0] * pup[0] + hz[0] * pdn[0]
+    q = q + ly[0] * _roll(pc, 1, 0) + hy[0] * _roll(pc, -1, 0)
+    q = q + lx[0] * _roll(pc, 1, 1) + hx[0] * _roll(pc, -1, 1)
+    q = q + sc[0] * sc[1]
+    out_q[0] = q
+    _acc_smem(pl.program_id(0), out_pq, jnp.sum(pc * q), jnp.add)
+
+
+def _pcg3_xr_kernel(sc, x, r, p, q, out_x, out_r, out_n, out_sr):
+    # alpha = rz/pq (guarded); x' = x + alpha p; r' = r - alpha q - cbar.
+    # cbar is the LAGGED deflation constant (previous iteration's measured
+    # mean of r): the mean-zeroing preconditioner makes every search
+    # direction mean-free, so a mean component of r is uncorrectable by the
+    # updates and would otherwise plateau max|r| at the f32 reduction-leak
+    # level (~3e-6 measured) — subtracting last iteration's mean keeps the
+    # leak at its per-iteration size. out_sr accumulates sum(r') for the
+    # next iteration's cbar.
+    rz, pq, cbar = sc[0], sc[1], sc[2]
+    eps = jnp.asarray(1e-30, rz.dtype)
+    alpha = jnp.where(jnp.abs(pq) > eps, rz / pq, 0.0)
+    xn = x[0] + alpha * p[0]
+    rn = r[0] - alpha * q[0] - cbar
+    out_x[0] = xn
+    out_r[0] = rn
+    i = pl.program_id(0)
+    _acc_smem(i, out_n, jnp.max(jnp.abs(rn)), jnp.maximum)
+    _acc_smem(i, out_sr, jnp.sum(rn), jnp.add)
+
+
+def _pcg3_syn_kernel(precision, vy, vx, h, r, out_z, out_rz):
+    # spectral synthesis per plane + rz = sum(r * z) accumulation
+    t = _dot(vy[:], h[0], ((0,), (0,)), precision)
+    z = _dot(t, vx[:], ((1,), (0,)), precision)
+    out_z[0] = z
+    _acc_smem(pl.program_id(0), out_rz, jnp.sum(r[0] * z), jnp.add)
+
+
+def _pcg3_p_kernel(sc, z, p, out_p, out_sp):
+    # beta = rz_new/rz_old (guarded); p' = z + beta p; sum(p') accumulation
+    rz_new, rz_old = sc[0], sc[1]
+    eps = jnp.asarray(1e-30, rz_new.dtype)
+    beta = jnp.where(jnp.abs(rz_old) > eps, rz_new / rz_old, 0.0)
+    pn = z[0] + beta * p[0]
+    out_p[0] = pn
+    _acc_smem(pl.program_id(0), out_sp, jnp.sum(pn), jnp.add)
+
+
+def _plane_specs(shape):
+    nz = shape[0]
+    plane = pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0))
+    up = pl.BlockSpec((1,) + shape[1:], lambda i: ((i - 1) % nz, 0, 0))
+    dn = pl.BlockSpec((1,) + shape[1:], lambda i: ((i + 1) % nz, 0, 0))
+    return plane, up, dn
+
+
+def _smem_in():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _smem_out():
+    # gridded SMEM accumulator: (1,1) block, all programs map to it
+    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
+                     deflate_mean=True):
+    """Fully-fused rank-3 spectral-PCG on the pressure system. Returns
+    (x, true_resid_norm, iterations); the caller derives warn. Semantics
+    follow krylov.pcg with residual_reset=0 (preconditioned pressure solves
+    converge in 1-3 iterations; resets never fire before 50); in-loop
+    deflation is LAGGED by one iteration (see _pcg3_xr_kernel)."""
+    from diffpiso_tpu.solvers.fourier import _eigs as _sp_eigs
+
+    shape = b.shape
+    dtype = b.dtype
+    nz, ny, nx = shape
+    tol = jnp.asarray(tol, dtype)
+    plane, up, dn = _plane_specs(shape)
+    sm_i = _smem_in()
+    sm_o = _smem_out()
+    f = jax.ShapeDtypeStruct(shape, dtype)
+    one = jax.ShapeDtypeStruct((1, 1), dtype)
+    # stencil planes ordered (c, lz, hz, ly, hy, lx, hx)
+    st_in = (lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1],
+             lap.lo[2], lap.hi[2])
+    shift = jnp.asarray(lap.shift, dtype)
+
+    mats = solver_mm._mats(dtype)
+    vz, vy, vx = mats
+    eigs = [
+        jnp.asarray(_sp_eigs(n_, k_), dtype)
+        for n_, k_ in zip(solver_mm.shape, solver_mm.kinds)
+    ]
+    w = [jnp.asarray(wd, dtype) for wd in weights]
+    ez = eigs[0].reshape(-1, 1)
+    eyx = (w[1] * eigs[1][:, None] + w[2] * eigs[2][None, :]).reshape(1, -1)
+    prec = solver_mm._precision()
+    n_flat = ny * nx
+    blk = _spec3_block(n_flat)
+    slab = pl.BlockSpec((nz, blk), lambda i: (0, i))
+
+    def residual3(bb, xx, sx):
+        sc = jnp.stack([shift, jnp.asarray(sx, dtype)])
+        r, nrm = pl.pallas_call(
+            _pcg3_residual_kernel,
+            grid=(nz,),
+            in_specs=[plane] * 7 + [sm_i] + [plane, plane, up, dn],
+            out_specs=(plane, sm_o),
+            out_shape=(f, one),
+            interpret=_INTERPRET,
+        )(*st_in, sc, bb, xx, xx, xx)
+        return r, nrm[0, 0]
+
+    def q_launch(p, sp):
+        sc = jnp.stack([shift, sp])
+        q, pq = pl.pallas_call(
+            _pcg3_q_kernel,
+            grid=(nz,),
+            in_specs=[plane] * 7 + [sm_i] + [plane, up, dn],
+            out_specs=(plane, sm_o),
+            out_shape=(f, one),
+            interpret=_INTERPRET,
+        )(*st_in, sc, p, p, p)
+        return q, pq[0, 0]
+
+    def xr_launch(x, r, p, q, rz, pq, cbar):
+        sc = jnp.stack([rz, pq, cbar])
+        xn, rn, nrm, sr = pl.pallas_call(
+            _pcg3_xr_kernel,
+            grid=(nz,),
+            in_specs=[sm_i] + [plane] * 4,
+            out_specs=(plane, plane, sm_o, sm_o),
+            out_shape=(f, f, one, one),
+            interpret=_INTERPRET,
+        )(sc, x, r, p, q)
+        return xn, rn, nrm[0, 0], sr[0, 0]
+
+    basis_y = pl.BlockSpec((ny, ny), lambda i: (0, 0))
+    basis_x = pl.BlockSpec((nx, nx), lambda i: (0, 0))
+
+    def precond_rz(r):
+        # analysis + z-slab (reused spectral kernels), then synthesis with
+        # the r.z reduction folded in
+        h = pl.pallas_call(
+            functools.partial(_spec3_plane_kernel, True, prec),
+            out_shape=f,
+            grid=(nz,),
+            in_specs=[basis_y, basis_x, plane],
+            out_specs=plane,
+            interpret=_INTERPRET,
+        )(vy, vx, r)
+        wz1 = jnp.reshape(w[0], (1,))
+        h2 = pl.pallas_call(
+            functools.partial(_spec3_z_kernel, prec),
+            out_shape=jax.ShapeDtypeStruct((nz, n_flat), dtype),
+            grid=(n_flat // blk,),
+            in_specs=[
+                pl.BlockSpec((nz, nz), lambda i: (0, 0)),
+                pl.BlockSpec((nz, 1), lambda i: (0, 0)),
+                pl.BlockSpec((1, blk), lambda i: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                slab,
+            ],
+            out_specs=slab,
+            interpret=_INTERPRET,
+        )(vz, ez, eyx, wz1, h.reshape(nz, n_flat))
+        z, rz = pl.pallas_call(
+            functools.partial(_pcg3_syn_kernel, prec),
+            out_shape=(f, one),
+            grid=(nz,),
+            in_specs=[basis_y, basis_x, plane, plane],
+            out_specs=(plane, sm_o),
+            interpret=_INTERPRET,
+        )(vy, vx, h2.reshape(shape), r)
+        return z, rz[0, 0]
+
+    def p_launch(z, p, rz_new, rz_old):
+        sc = jnp.stack([rz_new, rz_old])
+        pn, sp = pl.pallas_call(
+            _pcg3_p_kernel,
+            grid=(nz,),
+            in_specs=[sm_i] + [plane] * 2,
+            out_specs=(plane, sm_o),
+            out_shape=(f, one),
+            interpret=_INTERPRET,
+        )(sc, z, p)
+        return pn, sp[0, 0]
+
+    cold = x0 is None
+    if cold:
+        x0 = jnp.zeros(shape, dtype)
+        r0 = b
+        rnorm0 = jnp.max(jnp.abs(b))
+    else:
+        r0, rnorm0 = residual3(b, x0, jnp.sum(x0))
+
+    ncells = jnp.asarray(float(nz * ny * nx), dtype)
+    defl = jnp.asarray(1.0 if deflate_mean else 0.0, dtype)
+
+    def cond(state):
+        x, r, p, rz, sp, sr, k, done = state
+        return (~done) & (k < max_iter)
+
+    def body(state):
+        x, r, p, rz, sp, sr, k, done = state
+        q, pq = q_launch(p, sp)
+        x, r, rnorm, sr = xr_launch(x, r, p, q, rz, pq, defl * sr / ncells)
+        z, rz_new = precond_rz(r)
+        p, sp = p_launch(z, p, rz_new, rz)
+        done = (rnorm < tol) | ~jnp.isfinite(rnorm)
+        return (x, r, p, rz_new, sp, sr, k + 1, done)
+
+    def run_solve(_):
+        z0, rz0 = precond_rz(r0)
+        sp0 = jnp.sum(z0)
+        init = (x0, r0, z0, rz0, sp0, jnp.sum(r0), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        x, r, p, rz, sp, sr, k, _ = jax.lax.while_loop(cond, body, init)
+        # final verification residual via XLA (one-time): exact deflation,
+        # matching the jnp path's project(b - A x) convention
+        from diffpiso_tpu.ops.laplace import apply_laplacian
+
+        r_true = b - apply_laplacian(lap, x)
+        if deflate_mean:
+            r_true = r_true - jnp.mean(r_true)
+        return x, jnp.max(jnp.abs(r_true)), k
+
+    def skip_solve(_):
+        return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+    return jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
+
+
 # -- fused preconditioned-update: z = M^-1 r folded into the PCG p-update ---------
 
 

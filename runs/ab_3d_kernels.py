@@ -21,16 +21,18 @@ jax.config.update(
 import bench
 
 MODES = [
-    ("never", "never"),
-    ("auto", "never"),
-    ("never", "auto"),
-    ("auto", "auto"),
+    ("never", "never", "never"),
+    ("auto", "never", "never"),
+    ("never", "auto", "never"),
+    ("auto", "auto", "never"),
+    ("auto", "auto", "auto"),
 ]
 
 
-def measure(spectral, adv3):
+def measure(spectral, adv3, pcg3):
     os.environ["DIFFPISO_FUSED_SPECTRAL"] = spectral
     os.environ["DIFFPISO_FUSED_ADV3"] = adv3
+    os.environ["DIFFPISO_FUSED_PCG3"] = pcg3
     domain, sim, step, initial_state = bench.build_turbulence_3d(128, 1e-6)
     vel, p = initial_state(seed=0)
     fwd, iters, (vel_d, p_d) = bench.bench_forward(
@@ -42,13 +44,13 @@ def measure(spectral, adv3):
 
 results = {}
 for rep in range(2):
-    for spectral, adv3 in MODES:
-        f, g, it = measure(spectral, adv3)
-        results.setdefault((spectral, adv3), []).append(
+    for spectral, adv3, pcg3 in MODES:
+        f, g, it = measure(spectral, adv3, pcg3)
+        results.setdefault((spectral, adv3, pcg3), []).append(
             (round(f, 1), round(g, 1))
         )
         print(
-            f"[ab] rep{rep} spectral={spectral} adv3={adv3}: "
+            f"[ab] rep{rep} spectral={spectral} adv3={adv3} pcg3={pcg3}: "
             f"fwd {f:.1f} grad10 {g:.1f} iters {np.round(it, 2)}",
             file=sys.stderr, flush=True,
         )

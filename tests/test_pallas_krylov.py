@@ -460,3 +460,51 @@ def test_fused_pcg_mm_update_through_pressure_solver(monkeypatch):
     # warm start with the previous solution converges (near-)immediately
     _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_mm, 1e-6)
     assert not bool(w2) and int(it2) <= 2
+
+
+def _system3_periodic(res=(6, 8, 16), seed=2):
+    """Rank-deficient all-periodic 3-D pressure system (the turb3d shape)."""
+    nz, ny, nx = res
+    rng = np.random.RandomState(seed)
+    infl = StaggeredField(
+        tuple(
+            jnp.asarray(rng.rand(nz, ny, nx) + 0.5, jnp.float32)
+            for _ in range(3)
+        ),
+        periodic=(True, True, True),
+    )
+    act = np.ones((nz + 2, ny + 2, nx + 2), np.float32)
+    lap = assemble_pressure_laplacian(
+        infl, jnp.asarray(act), jnp.asarray(act), (True, True, True), True
+    )
+    rhs = rng.randn(nz, ny, nx).astype(np.float32)
+    rhs -= rhs.mean()
+    return lap, jnp.asarray(rhs)
+
+
+def test_fused_pcg3_through_pressure_solver(monkeypatch):
+    """The fully-fused rank-3 spectral-PCG loop (6 z-gridded launches per
+    iteration, scalars through SMEM accumulators, shift via carried sum(p))
+    must match the jnp pcg path through solve_pressure_system: same
+    solution (up to the singular system's constant gauge), iteration count
+    within 1 (the fused loop omits the in-loop mean deflation, which is
+    algebraically inert under the mean-zeroing preconditioner)."""
+    lap, rhs = _system3_periodic()
+    cfg = PressureSolver(
+        max_iterations=300, deflate_mean=True,
+        preconditioner="fft_mm", adjoint_preconditioner="fft_mm",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "pcg3_eligible", lambda *a, **k: True)
+    x_f, it_f, warn_f = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_f)
+    a = np.asarray(x_f) - np.asarray(x_f).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    assert abs(int(it_f) - int(it_ref)) <= 1
+    # warm start with the previous solution converges (near-)immediately
+    _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_f, 1e-5)
+    assert not bool(w2) and int(it2) <= 2
