@@ -25,10 +25,12 @@ from typing import Dict, Sequence
 import numpy as np
 
 
-def write_zipped_array(filename: str, array: np.ndarray):
+def write_zipped_array(filename: str, array: np.ndarray, async_: bool = False):
     """Reference-exact npz write (fluidformat.py:31-37): squeeze a leading
     1-batch, store components XYZ (reverse our y-x channel order when the
-    last dim is a >1 channel axis), savez_compressed."""
+    last dim is a >1 channel axis), savez_compressed. async_=True hands the
+    file to the native background writer (learning/native_writer.py) —
+    call wait_pending_writes() before reading any async frame back."""
     array = np.asarray(array)
     if array.ndim > 1 and array.shape[0] == 1:
         array = array[0, ...]
@@ -36,7 +38,20 @@ def write_zipped_array(filename: str, array: np.ndarray):
         # heuristic matches the reference: the trailing axis is a component
         # axis (size <= rank); stored order is always XYZ
         array = array[..., ::-1]
+    if async_:
+        from diffpiso_tpu.learning.native_writer import savez
+
+        savez(filename, async_=True, level=6, arr_0=array)
+        return
     np.savez_compressed(filename, array)
+
+
+def wait_pending_writes():
+    """Barrier for write_zipped_array(..., async_=True) / Scene.write
+    async frames; raises if any background write failed."""
+    from diffpiso_tpu.learning.native_writer import wait
+
+    wait()
 
 
 def read_zipped_array(filename: str) -> np.ndarray:
@@ -56,10 +71,13 @@ def _filename(directory: str, name: str, frame: int) -> str:
     return os.path.join(directory, "%s_%06i.npz" % (name, frame))
 
 
-def write_sim_frame(directory: str, arrays: Dict[str, np.ndarray], frame: int):
+def write_sim_frame(directory: str, arrays: Dict[str, np.ndarray], frame: int,
+                    async_: bool = False):
     os.makedirs(directory, exist_ok=True)
     for name, arr in arrays.items():
-        write_zipped_array(_filename(directory, name, frame), np.asarray(arr))
+        write_zipped_array(
+            _filename(directory, name, frame), np.asarray(arr), async_=async_
+        )
 
 
 def read_sim_frame(directory: str, fieldnames: Sequence[str], frame: int):
@@ -90,8 +108,11 @@ class Scene:
             i += 1
         return Scene(os.path.join(base, "%s_%06d" % (name, i)))
 
-    def write(self, arrays: Dict[str, np.ndarray], frame: int):
-        write_sim_frame(self.directory, arrays, frame)
+    def write(self, arrays: Dict[str, np.ndarray], frame: int,
+              async_: bool = False):
+        """async_=True enqueues the frame on the native background writer
+        (utils.io.wait_pending_writes() is the read-back barrier)."""
+        write_sim_frame(self.directory, arrays, frame, async_=async_)
 
     def read(self, fieldnames: Sequence[str], frame: int):
         return read_sim_frame(self.directory, fieldnames, frame)

@@ -66,3 +66,25 @@ def test_numpy_layout_compatible(tmp_path):
     if nl.available():
         out = nl.load_npz(str(path))
         np.testing.assert_array_equal(out, arrs["arr_0"])
+
+
+def test_scene_async_write_round_trip(tmp_path):
+    """Scene.write(async_=True) + wait_pending_writes: byte-compatible with
+    the synchronous reference-exact path (same XYZ flip, same member name,
+    same read_sim_frame result)."""
+    import numpy as np
+
+    from diffpiso_tpu.utils.io import Scene, wait_pending_writes
+
+    rng = np.random.RandomState(3)
+    vel = rng.randn(16, 16, 2).astype(np.float32)
+    s1 = Scene(str(tmp_path / "sync"))
+    s2 = Scene(str(tmp_path / "async"))
+    for f in range(3):
+        s1.write({"velocity": vel * (f + 1)}, f)
+        s2.write({"velocity": vel * (f + 1)}, f, async_=True)
+    wait_pending_writes()
+    for f in range(3):
+        a = s1.read(["velocity"], f)[0]
+        b = s2.read(["velocity"], f)[0]
+        np.testing.assert_array_equal(a, b)
