@@ -84,13 +84,20 @@ def main():
         d = np.asarray(state.density)
         v = [np.asarray(c) for c in state.velocity.components]
         for b, scene in enumerate(scenes):
+            # async: compression runs on the native writer pool while the
+            # next batched step executes (utils/io.py wait_pending_writes
+            # is the end-of-run barrier)
             scene.write(
-                {"density": d[b], "vy": v[0][b], "vx": v[1][b]}, frame=i
+                {"density": d[b], "vy": v[0][b], "vx": v[1][b]}, frame=i,
+                async_=True,
             )
         if (i + 1) % 8 == 0:
             print(f"step {i + 1}: mean density {d.mean():.4f}, "
                   f"mean |v| {np.mean(np.abs(v[1])):.4f}")
 
+    from diffpiso_tpu.utils.io import wait_pending_writes
+
+    wait_pending_writes()
     print(f'data written to "{os.path.dirname(scenes[0].directory)}" '
           f"({B} sims x {args.steps} frames)")
 
