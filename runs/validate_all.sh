@@ -1,0 +1,24 @@
+#!/bin/bash
+# One-shot TPU validation + A/B queue for the r3 gated kernels.
+# Run with: nohup bash runs/validate_all.sh > runs/validate_all.log 2>&1 &
+# Each stage appends to its own log; a stage failure does not stop later
+# stages (lowering failures mean "leave that gate off", not "abort").
+cd /root/repo
+echo "=== start $(date)"
+echo "--- stage 1: lowering checks"
+timeout 3000 python runs/check_spectral_lowering.py > runs/lowering.log 2>&1
+echo "lowering exit $? ($(date))"
+tail -5 runs/lowering.log
+echo "--- stage 2: 512^2 spectral A/B"
+timeout 4000 python runs/ab_spectral.py > runs/ab_spectral.log 2>&1
+echo "ab_spectral exit $? ($(date))"
+tail -10 runs/ab_spectral.log
+echo "--- stage 3: 128^3 kernel A/B"
+timeout 5000 python runs/ab_3d_kernels.py > runs/ab_3d.log 2>&1
+echo "ab_3d exit $? ($(date))"
+tail -12 runs/ab_3d.log
+echo "--- stage 4: plane-block jacobi A/B"
+timeout 4000 python runs/ab_jac3d.py > runs/ab_jac3d.log 2>&1
+echo "ab_jac3d exit $? ($(date))"
+tail -8 runs/ab_jac3d.log
+echo "=== done $(date)"
