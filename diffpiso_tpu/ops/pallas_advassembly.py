@@ -216,6 +216,218 @@ def _fused_assembly_bwd(res, cts):
 _fused_assembly.defvjp(_fused_assembly_fwd, _fused_assembly_bwd)
 
 
+# -- rank-2 MASKED assembly (bounded domains: cavity, channels, mixing layers) ----
+#
+# The uniform-mask kernel above covers the periodic turbulence class; the
+# bounded workloads run the general jnp assembly whose `_win` slices of the
+# 1-padded planes each cost an unaligned-relayout kernel + HBM round trip
+# (measured 45% of the 512^2 step pre-fusion). Here the padded planes live
+# in VMEM and every window is an in-core static slice: ONE launch per
+# velocity component reproduces the full mask logic (flux, viscosity,
+# no-slip 2nu, domain-boundary link drops, Dirichlet identity rows) —
+# masks are read as DATA, so traced masks work too.
+
+
+def _masked_eligible_shapes(velocity, active_mask):
+    # per-component launch residency: both padded velocity planes + the two
+    # padded masks + the component's dirichlet plane + 6 output planes
+    itemsize = 4
+    res_pad = active_mask.shape
+    pad_bytes = sum(
+        (vc.shape[0] + 2) * (vc.shape[1] + 2) for vc in velocity.components
+    )
+    worst = 0
+    for comp in velocity.components:
+        S = comp.shape
+        total = (
+            pad_bytes + 2 * res_pad[0] * res_pad[1] + 7 * S[0] * S[1]
+        ) * itemsize
+        worst = max(worst, total)
+    return worst * 2 <= _VMEM_BUDGET_BYTES
+
+
+def advassembly_masked_eligible(velocity, active_mask, viscosity,
+                                periodic) -> bool:
+    import os
+
+    if os.environ.get("DIFFPISO_FUSED_ADVM", "never") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return False
+    if velocity.rank != 2:
+        return False
+    if jnp.dtype(velocity.dtype).itemsize > 4:
+        return False
+    if isinstance(viscosity, (jax.Array, np.ndarray)) and getattr(
+        viscosity, "ndim", 0
+    ) > 0:
+        return False  # per-face viscosity fields (LES) keep the jnp path
+    return _masked_eligible_shapes(velocity, active_mask)
+
+
+def _mk_masked_kernel(c, S, periodic, dtype):
+    e = ((1, 0), (0, 1))
+    neg_ec = tuple(-v for v in e[c])
+
+    def win(arr, off):
+        return jax.lax.slice(
+            arr, (1 + off[0], 1 + off[1]),
+            (1 + off[0] + S[0], 1 + off[1] + S[1]),
+        )
+
+    def kernel(wp0, wp1, act, ns, dm, s_ref,
+               c_out, loy, hiy, lox, hix, ar):
+        beta = s_ref[0]
+        area = (s_ref[1], s_ref[2])
+        visc = (s_ref[3], s_ref[4])
+        w = (wp0[:], wp1[:])
+        actv = act[:]
+        nsv = ns[:]
+        one = jnp.ones((), dtype)
+
+        diag = None
+        los, his = [], []
+        for d in range(2):
+            wd = w[d]
+            ed_minus_ec = tuple(a - b for a, b in zip(e[d], e[c]))
+            flux_lo = 0.5 * (win(wd, (0, 0)) + win(wd, neg_ec)) * area[d]
+            flux_hi = 0.5 * (win(wd, e[d]) + win(wd, ed_minus_ec)) * area[d]
+
+            if periodic[d]:
+                interior_lo = interior_hi = jnp.ones(S, bool)
+            else:
+                idx = jax.lax.broadcasted_iota(jnp.int32, S, d)
+                interior_lo = idx > 0
+                interior_hi = idx < S[d] - 1
+
+            off_lo = tuple(-v for v in e[d])
+            off_hi = e[d] if d != c else (0, 0)
+            act_lo = win(actv, off_lo)
+            act_hi = win(actv, off_hi)
+            ns_lo = win(nsv, off_lo) > 0.5
+            ns_hi = win(nsv, off_hi) > 0.5
+
+            tbb_lo = (act_lo == 1.0) | (interior_lo & ns_lo)
+            tbb_hi = (act_hi == 1.0) | (interior_hi & ns_hi)
+            tbb_lo_f = tbb_lo.astype(dtype)
+            tbb_hi_f = tbb_hi.astype(dtype)
+
+            coeff_lo = jnp.where(
+                tbb_lo & interior_lo, 0.5 * flux_lo + visc[d], 0.0
+            )
+            coeff_hi = jnp.where(
+                tbb_hi & interior_hi, -0.5 * flux_hi + visc[d], 0.0
+            )
+
+            wall = one if d != c else jnp.zeros((), dtype)
+            contrib = flux_lo * (2.0 - tbb_lo_f) * 0.5 - visc[d] * (
+                tbb_lo_f
+                + wall * (1.0 - tbb_lo_f) * ns_lo.astype(dtype) * 2.0
+            )
+            contrib = contrib - flux_hi * (2.0 - tbb_hi_f) * 0.5 - visc[d] * (
+                tbb_hi_f
+                + wall * (1.0 - tbb_hi_f) * ns_hi.astype(dtype) * 2.0
+            )
+            diag = contrib if diag is None else diag + contrib
+            los.append(coeff_lo)
+            his.append(coeff_hi)
+
+        dmb = dm[:] > 0.5
+        c_out[:] = jnp.where(dmb, one, diag - beta)
+        loy[:] = jnp.where(dmb, 0.0, los[0])
+        hiy[:] = jnp.where(dmb, 0.0, his[0])
+        lox[:] = jnp.where(dmb, 0.0, los[1])
+        hix[:] = jnp.where(dmb, 0.0, his[1])
+        ar[:] = jnp.where(dmb, 0.0, diag)
+
+    return kernel
+
+
+def _masked_assembly_impl(c, vel_pad, S, periodic, act, ns, dm, scalars):
+    dtype = vel_pad[0].dtype
+    out_shape = [jax.ShapeDtypeStruct(S, dtype)] * 6
+    return pl.pallas_call(
+        _mk_masked_kernel(c, S, periodic, dtype),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        interpret=_INTERPRET,
+    )(vel_pad[0], vel_pad[1], act, ns, dm, scalars)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+def _masked_assembly(c, vel_pad, S, periodic, act, ns, dm, scalars):
+    return _masked_assembly_impl(c, vel_pad, S, periodic, act, ns, dm, scalars)
+
+
+def _masked_assembly_fwd(c, vel_pad, S, periodic, act, ns, dm, scalars):
+    return (
+        _masked_assembly_impl(c, vel_pad, S, periodic, act, ns, dm, scalars),
+        (vel_pad, act, ns, dm, scalars),
+    )
+
+
+def _masked_assembly_bwd(c, S, periodic, res, cts):
+    # reference semantics: assembly contributes ZERO gradient
+    vel_pad, act, ns, dm, scalars = res
+    return (
+        tuple(jnp.zeros_like(v) for v in vel_pad),
+        jnp.zeros_like(act), jnp.zeros_like(ns), jnp.zeros_like(dm),
+        jnp.zeros_like(scalars),
+    )
+
+
+_masked_assembly.defvjp(_masked_assembly_fwd, _masked_assembly_bwd)
+
+
+def fused_advection_assembly_masked(vel_pad, velocity, dx, viscosity, beta,
+                                    dirichlet_mask, active_mask,
+                                    no_slip_mask, periodic):
+    """General-mask rank-2 assembly: one launch per component, all six
+    stencil planes emitted with the padded operands resident in VMEM. Gate
+    on advassembly_masked_eligible(). vel_pad: pad_staggered(velocity, ..., 1)."""
+    import math as _math
+
+    dxt = tuple(float(v) for v in dx)
+    dxprod = _math.prod(dxt)
+    dtype = velocity.dtype
+    area = tuple(dxprod / dxt[d] for d in range(2))
+    scalars = jnp.stack(
+        [jnp.asarray(beta, dtype)]
+        + [jnp.asarray(a, dtype) for a in area]
+        + [jnp.asarray(viscosity, dtype) * (area[d] / dxt[d])
+           for d in range(2)]
+    )
+    act = active_mask.astype(dtype)
+    if no_slip_mask is None:
+        ns = jnp.zeros_like(act)
+    else:
+        ns = no_slip_mask.astype(dtype)
+    pads = tuple(p.astype(dtype) for p in vel_pad)
+    centers, los, his, diag_As = [], [], [], []
+    for c in range(2):
+        S = velocity.components[c].shape
+        dm = dirichlet_mask.components[c].astype(dtype)
+        cr, loy, hiy, lox, hix, ar = _masked_assembly(
+            c, pads, tuple(S), tuple(bool(p) for p in periodic),
+            act, ns, dm, scalars,
+        )
+        centers.append(cr)
+        los.append((loy, lox))
+        his.append((hiy, hix))
+        diag_As.append(ar)
+    return tuple(centers), tuple(los), tuple(his), tuple(diag_As)
+
+
 # -- rank-3 z-plane-gridded assembly ----------------------------------------------
 
 

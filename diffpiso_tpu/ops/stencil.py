@@ -139,6 +139,20 @@ def assemble_advection_stencil(
             velocity, dx, viscosity, beta
         )
         return AdvectionStencil(center=centers, lo=los, hi=his, diag_A=diag_As)
+    # general-mask rank-2 fast path (bounded domains: cavity/channels/mixing
+    # layers) — masks are kernel DATA, so no uniformity requirement
+    from diffpiso_tpu.ops.pallas_advassembly import (
+        advassembly_masked_eligible,
+        fused_advection_assembly_masked,
+    )
+
+    if advassembly_masked_eligible(velocity, active_mask, viscosity, periodic):
+        vel_pad_f = pad_staggered(velocity, velocity_pad_modes, 1)
+        centers, los, his, diag_As = fused_advection_assembly_masked(
+            vel_pad_f, velocity, dx, viscosity, beta, dirichlet_mask,
+            active_mask, no_slip_mask, periodic,
+        )
+        return AdvectionStencil(center=centers, lo=los, hi=his, diag_A=diag_As)
     dxprod = _math.prod(dx)
     area = tuple(dxprod / dx[d] for d in range(rank))
     dtype = velocity.dtype

@@ -220,3 +220,126 @@ def test_fused_assembly3_zero_gradient(monkeypatch):
 
     g = jax.grad(f)(comps[0])
     assert float(jnp.abs(g).max()) == 0.0  # reference zero-gradient semantics
+
+
+def _interp_masked(monkeypatch):
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    monkeypatch.setenv("DIFFPISO_FUSED_ADVM", "auto")
+
+
+def _assembled_pair(monkeypatch, vel, dx, pad_modes, nu, beta, dm, active,
+                    accessible, no_slip, periodic):
+    import diffpiso_tpu.ops.pallas_stencil as ps
+
+    with ps.no_pallas():
+        want = stencil_mod.assemble_advection_stencil(
+            vel, dx, pad_modes, nu, beta, dm, active, accessible, no_slip,
+            periodic,
+        )
+    _interp_masked(monkeypatch)
+    monkeypatch.setattr(
+        pallas_advassembly, "advassembly_masked_eligible",
+        lambda *a, **k: True,
+    )
+    got = stencil_mod.assemble_advection_stencil(
+        vel, dx, pad_modes, nu, beta, dm, active, accessible, no_slip,
+        periodic,
+    )
+    return want, got
+
+
+def _assert_stencils_equal(want, got, rank=2):
+    for c in range(rank):
+        np.testing.assert_allclose(
+            np.asarray(got.center[c]), np.asarray(want.center[c]),
+            rtol=1e-6, atol=1e-6, err_msg=f"center[{c}]")
+        np.testing.assert_allclose(
+            np.asarray(got.diag_A[c]), np.asarray(want.diag_A[c]),
+            rtol=1e-6, atol=1e-6, err_msg=f"diag_A[{c}]")
+        for d in range(rank):
+            np.testing.assert_allclose(
+                np.asarray(got.lo[c][d]), np.asarray(want.lo[c][d]),
+                rtol=1e-6, atol=1e-6, err_msg=f"lo[{c}][{d}]")
+            np.testing.assert_allclose(
+                np.asarray(got.hi[c][d]), np.asarray(want.hi[c][d]),
+                rtol=1e-6, atol=1e-6, err_msg=f"hi[{c}][{d}]")
+
+
+def test_masked_assembly_matches_jnp_cavity(monkeypatch):
+    """The general-mask kernel == the jnp assembly on the REAL lid-driven
+    cavity configuration (Dirichlet lid rows + no-slip walls + bounded
+    faces) — the production bounded workload."""
+    from diffpiso_tpu.core import lid_driven_cavity_masks
+    from diffpiso_tpu.fields.domain import Domain
+    from diffpiso_tpu.fields.box import Box
+    from diffpiso_tpu.fields.material import OPEN
+
+    n = 32
+    dm, dv, active, accessible, no_slip = lid_driven_cavity_masks(n)
+    domain = Domain((n + 1, n), Box.from_size((1.0 + 1.0 / n, 1.0)),
+                    boundaries=OPEN)
+    rng = np.random.RandomState(4)
+    vel = StaggeredField(
+        (jnp.asarray(rng.randn(n + 2, n), jnp.float32),
+         jnp.asarray(rng.randn(n + 1, n + 1), jnp.float32)),
+        periodic=(False, False),
+    )
+    want, got = _assembled_pair(
+        monkeypatch, vel, domain.dx, domain.velocity_pad_modes(), 1e-3, 2.0,
+        dm, active, accessible, no_slip, (False, False),
+    )
+    _assert_stencils_equal(want, got)
+
+
+def test_masked_assembly_matches_jnp_channel(monkeypatch):
+    """Mixed periodicity (channel: no-slip walls + periodic x)."""
+    from diffpiso_tpu.core.masks import channel_masks
+    from diffpiso_tpu.fields.domain import Domain
+    from diffpiso_tpu.fields.box import Box
+    from diffpiso_tpu.fields.material import CLOSED, PERIODIC
+
+    ny, nx = 24, 48
+    dm, dv, active, accessible, no_slip = channel_masks(ny, nx)
+    domain = Domain((ny, nx), Box.from_size((float(ny), float(nx))),
+                    boundaries=(CLOSED, PERIODIC))
+    rng = np.random.RandomState(5)
+    vel = StaggeredField(
+        (jnp.asarray(rng.randn(ny + 1, nx), jnp.float32),
+         jnp.asarray(rng.randn(ny, nx), jnp.float32)),
+        periodic=(False, True),
+    )
+    want, got = _assembled_pair(
+        monkeypatch, vel, domain.dx, domain.velocity_pad_modes(), 2e-3, 1.3,
+        dm, active, accessible, no_slip, (False, True),
+    )
+    _assert_stencils_equal(want, got)
+
+
+def test_masked_assembly_zero_gradient(monkeypatch):
+    _interp_masked(monkeypatch)
+    from diffpiso_tpu.core.masks import channel_masks
+    from diffpiso_tpu.fields.domain import Domain
+    from diffpiso_tpu.fields.box import Box
+    from diffpiso_tpu.fields.material import CLOSED, PERIODIC
+
+    ny, nx = 16, 32
+    dm, dv, active, accessible, no_slip = channel_masks(ny, nx)
+    domain = Domain((ny, nx), Box.from_size((float(ny), float(nx))),
+                    boundaries=(CLOSED, PERIODIC))
+    monkeypatch.setattr(
+        pallas_advassembly, "advassembly_masked_eligible",
+        lambda *a, **k: True,
+    )
+    rng = np.random.RandomState(6)
+    v1 = jnp.asarray(rng.randn(ny, nx), jnp.float32)
+
+    def f(v0):
+        vel = StaggeredField((v0, v1), periodic=(False, True))
+        st = stencil_mod.assemble_advection_stencil(
+            vel, domain.dx, domain.velocity_pad_modes(), 2e-3, 1.3,
+            dm, active, accessible, no_slip, (False, True),
+        )
+        return sum(jnp.sum(c) for c in st.center)
+
+    g = jax.grad(f)(jnp.asarray(rng.randn(ny + 1, nx), jnp.float32))
+    assert float(jnp.abs(g).max()) == 0.0
