@@ -153,3 +153,47 @@ res3d = float(jnp.max(jnp.abs(b3d + q)))
 print(f"jacobi plane-block: resid after 8 launches {res3d:.2e}", flush=True)
 assert res3d < 1e-4
 print("JACOBI3D LOWERING OK")
+
+
+# -- masked (bounded) fused assembly lowering check -------------------------------
+os.environ["DIFFPISO_FUSED_ADVM"] = "auto"
+from diffpiso_tpu.core import lid_driven_cavity_masks
+from diffpiso_tpu.fields.domain import Domain
+from diffpiso_tpu.fields.box import Box
+from diffpiso_tpu.fields.material import OPEN
+
+nm = 512
+dmm, dvm, activem, accessiblem, no_slipm = lid_driven_cavity_masks(nm)
+domainm = Domain((nm + 1, nm), Box.from_size((1.0 + 1.0 / nm, 1.0)),
+                 boundaries=OPEN)
+velm = StaggeredField(
+    (jnp.asarray(rng.randn(nm + 2, nm), jnp.float32),
+     jnp.asarray(rng.randn(nm + 1, nm + 1), jnp.float32)),
+    periodic=(False, False),
+)
+with ps.no_pallas():
+    wantm = stencil_mod.assemble_advection_stencil(
+        velm, domainm.dx, domainm.velocity_pad_modes(), 1e-3, 2.0,
+        dmm, activem, accessiblem, no_slipm, (False, False),
+    )
+assert pallas_advassembly.advassembly_masked_eligible(
+    velm, activem, 1e-3, (False, False)
+)
+gotm = jax.jit(
+    lambda v: stencil_mod.assemble_advection_stencil(
+        v, domainm.dx, domainm.velocity_pad_modes(), 1e-3, 2.0,
+        dmm, activem, accessiblem, no_slipm, (False, False),
+    )
+)(velm)
+for c in range(2):
+    np.testing.assert_allclose(np.asarray(gotm.center[c]),
+                               np.asarray(wantm.center[c]),
+                               rtol=1e-5, atol=1e-5)
+    for d in range(2):
+        np.testing.assert_allclose(np.asarray(gotm.lo[c][d]),
+                                   np.asarray(wantm.lo[c][d]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gotm.hi[c][d]),
+                                   np.asarray(wantm.hi[c][d]),
+                                   rtol=1e-5, atol=1e-5)
+print("MASKED ASSEMBLY LOWERING OK")

@@ -17,7 +17,11 @@ echo "--- stage 3: 128^3 kernel A/B"
 timeout 5000 python runs/ab_3d_kernels.py > runs/ab_3d.log 2>&1
 echo "ab_3d exit $? ($(date))"
 tail -12 runs/ab_3d.log
-echo "--- stage 4: plane-block jacobi A/B"
+echo "--- stage 4: masked-assembly A/B (cavity)"
+timeout 4000 python runs/ab_advm.py > runs/ab_advm.log 2>&1
+echo "ab_advm exit $? ($(date))"
+tail -8 runs/ab_advm.log
+echo "--- stage 5: plane-block jacobi A/B"
 timeout 4000 python runs/ab_jac3d.py > runs/ab_jac3d.log 2>&1
 echo "ab_jac3d exit $? ($(date))"
 tail -8 runs/ab_jac3d.log
