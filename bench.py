@@ -731,6 +731,17 @@ def main():
         if os.path.exists("BENCH_DETAIL.json"):
             with open("BENCH_DETAIL.json") as f:
                 detail = json.load(f)  # keep roofline etc.
+        # measurement provenance: which kernel gates were active
+        detail["kernel_gates"] = {
+            k: os.environ.get(k, "<default>")
+            for k in (
+                "DIFFPISO_FUSED_KRYLOV", "DIFFPISO_FUSED_BICG",
+                "DIFFPISO_ADV_JACOBI", "DIFFPISO_ADV_JACOBI_K",
+                "DIFFPISO_FUSED_FV", "DIFFPISO_FUSED_SPECTRAL",
+                "DIFFPISO_FUSED_PCG3", "DIFFPISO_FUSED_ADV3",
+                "DIFFPISO_FUSED_ADVM", "DIFFPISO_DISABLE_PALLAS",
+            )
+        }
         detail["turb"] = workload_turbulence(args)
         detail["turb3d"] = workload_turb3d(args)
         detail["cavity"] = workload_cavity(args)
