@@ -366,7 +366,7 @@ def _regime_label(iters):
 
 
 def workload_turb3d(args):
-    n = 32 if args.quick else min(args.n, 128)
+    n = 32 if args.quick else getattr(args, "n3d", None) or min(args.n, 128)
     domain, sim, step, initial_state = build_turbulence_3d(n, args.tol, p_tol=args.p_tol)
     vel, p = initial_state(seed=0)
     steps_per_call = 5 if args.quick else 50
@@ -606,6 +606,11 @@ def workload_training(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=512)
+    ap.add_argument(
+        "--n3d", type=int, default=None,
+        help="3-D turbulence edge length (default min(n,128); e.g. 256 for "
+             "the fwd-only scale row — grad at 256^3 exceeds HBM)",
+    )
     ap.add_argument(
         "--tol", type=float, default=1e-6,
         help="advection tolerance (reference training solver_precision)",
