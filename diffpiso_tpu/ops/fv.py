@@ -117,6 +117,18 @@ def fv_divergence(field: StaggeredField, dx: Sequence[float]) -> jax.Array:
             fs = tuple(dxprod / d for d in dx)
             op = pallas_fv.div3 if field.rank == 3 else pallas_fv.div2
             return op(fs, tuple(field.components))
+    if field.rank == 2:
+        from diffpiso_tpu.ops import pallas_fv
+
+        comps_ = field.components
+        res_ = (comps_[1].shape[0], comps_[0].shape[1])
+        if pallas_fv.eligible2m(
+            tuple(c.shape for c in comps_), res_, comps_[0].dtype
+        ):
+            fs = tuple(dxprod / d_ for d_ in dx)
+            return pallas_fv.div2m(
+                fs, tuple(field.periodic), res_, tuple(comps_)
+            )
     total = None
     for d, comp in enumerate(field.components):
         if field.periodic[d]:
@@ -162,6 +174,43 @@ def fv_gradient(
                     comps, accessible_mask, periodic, pressure.ndim
                 )
             return StaggeredField(tuple(comps), periodic=periodic)
+    if pressure.ndim == 2:
+        from diffpiso_tpu.ops import pallas_fv
+
+        comp_shapes = tuple(
+            tuple(
+                pressure.shape[i] + (0 if periodic[d] else 1) * (i == d)
+                for i in range(2)
+            )
+            for d in range(2)
+        )
+        modes_ok = all(
+            periodic[d]
+            or (
+                pad_modes[d][0] in (ZERO, REPLICATE, SYMMETRIC)
+                and pad_modes[d][1] in (ZERO, REPLICATE, SYMMETRIC)
+            )
+            for d in range(2)
+        )
+        if modes_ok and pallas_fv.eligible2m(
+            comp_shapes, pressure.shape, pressure.dtype
+        ):
+            fs = tuple(dxprod / d_ for d_ in dx)
+            # SYMMETRIC at pad width 1 is identical to REPLICATE
+            rep = tuple(
+                (pad_modes[d][0] != ZERO, pad_modes[d][1] != ZERO)
+                for d in range(2)
+            )
+            masks = None
+            if accessible_mask is not None:
+                masks = tuple(
+                    m.astype(pressure.dtype)
+                    for m in _face_masks(accessible_mask, periodic, 2)
+                )
+            comps_f = pallas_fv.grad2m(
+                fs, tuple(periodic), rep, comp_shapes, pressure, masks
+            )
+            return StaggeredField(tuple(comps_f), periodic=periodic)
     comps = []
     for d in range(pressure.ndim):
         lo_mode, hi_mode = pad_modes[d]
@@ -183,12 +232,11 @@ def fv_gradient(
     return StaggeredField(tuple(comps), periodic=periodic)
 
 
-def _mask_gradient_faces(comps, accessible_mask, periodic, ndim):
-    """Zero gradient faces touching an inaccessible cell (the
-    zero_gradient_mask of piso_helpers.py:255-265). accessible_mask is the
-    padded centered mask (shape res+2)."""
-    masked = []
-    for d, grad in enumerate(comps):
+def _face_masks(accessible_mask, periodic, ndim):
+    """Per-component face-open masks from the padded centered mask (the
+    zero_gradient_mask of piso_helpers.py:255-265)."""
+    out = []
+    for d in range(ndim):
         # upper/lower windows of the padded mask along d, cropped [1:-1]
         # on the other axes. Periodic axes have unique faces: the face at
         # index i couples cells i-1 and i (mask pre-padded with wrap).
@@ -196,9 +244,16 @@ def _mask_gradient_faces(comps, accessible_mask, periodic, ndim):
         lo = slice(0, -2) if periodic[d] else slice(0, -1)
         idx_up = tuple(up if i == d else slice(1, -1) for i in range(ndim))
         idx_lo = tuple(lo if i == d else slice(1, -1) for i in range(ndim))
-        face_mask = jnp.minimum(accessible_mask[idx_up], accessible_mask[idx_lo])
-        masked.append(grad * face_mask.astype(grad.dtype))
-    return masked
+        out.append(
+            jnp.minimum(accessible_mask[idx_up], accessible_mask[idx_lo])
+        )
+    return out
+
+
+def _mask_gradient_faces(comps, accessible_mask, periodic, ndim):
+    """Zero gradient faces touching an inaccessible cell."""
+    fms = _face_masks(accessible_mask, periodic, ndim)
+    return [g * fm.astype(g.dtype) for g, fm in zip(comps, fms)]
 
 
 def centered_to_faces(data: jax.Array, axis: int, pad_mode: str = REPLICATE) -> jax.Array:

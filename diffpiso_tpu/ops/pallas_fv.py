@@ -224,6 +224,198 @@ def _grad2_impl(fs, p):
     )(p, p)
 
 
+# -- rank-2 MIXED/BOUNDED kernels (cavity, channels, mixing layers) ---------------
+#
+# Bounded axes carry n+1 duplicated faces; the divergence is an in-core
+# hi-lo slice and the gradient builds its ghost rows from the pad mode
+# (ZERO or REPLICATE — SYMMETRIC at width 1 IS replicate; the pressure pad
+# is always one of these, fields/material.py pressure_pad). The adjoint
+# pair generalizes the periodic transpose identity:
+#   div_m^T(ct)  = -grad_{ZERO pads, no mask}(ct)
+#   grad_m^T(ct) =  -div-like gather of (face_mask * ct) with +f*mct[0] /
+#                   -f*mct[n] edge corrections on REPLICATE ends
+# both verified against autodiff of the jnp path in the interpret tests.
+
+
+def eligible2m(comp_shapes, out_shape, dtype) -> bool:
+    """Monolithic mixed/bounded eligibility: every operand resident."""
+    if os.environ.get("DIFFPISO_FUSED_FVM", "never") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0 or os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    total = sum(s[0] * s[1] for s in comp_shapes) + out_shape[0] * out_shape[1]
+    # comps + out + (mask planes for the gradient) + double buffering
+    return (total + sum(s[0] * s[1] for s in comp_shapes)) * 2 * itemsize \
+        <= _VMEM_BUDGET_BYTES
+
+
+def _div2m_kernel(periodic, f0, f1, v, u, out):
+    vc = v[:]
+    uc = u[:]
+    if periodic[0]:
+        t0 = (_roll(vc, -1, 0) - vc) * f0
+    else:
+        t0 = (vc[1:, :] - vc[:-1, :]) * f0
+    if periodic[1]:
+        t1 = (_roll(uc, -1, 1) - uc) * f1
+    else:
+        t1 = (uc[:, 1:] - uc[:, :-1]) * f1
+    out[:] = t0 + t1
+
+
+def _div2m_impl(fs, periodic, out_shape, comps):
+    v, u = comps
+    return pl.pallas_call(
+        functools.partial(_div2m_kernel, periodic, *fs),
+        out_shape=jax.ShapeDtypeStruct(out_shape, v.dtype),
+        interpret=_INTERPRET,
+    )(v, u)
+
+
+def _grad2m_kernel(periodic, rep, masked, f0, f1, p, *rest):
+    # rep[d] = (lo_replicate, hi_replicate) for bounded axes; masked ->
+    # rest = (mask_v, mask_u, outs...) face masks multiplied in
+    if masked:
+        mv, mu = rest[0], rest[1]
+        outv, outu = rest[2], rest[3]
+    else:
+        outv, outu = rest[0], rest[1]
+    pc = p[:]
+    zrow = jnp.zeros_like(pc[0:1, :])
+    zcol = jnp.zeros_like(pc[:, 0:1])
+    if periodic[0]:
+        g0 = (pc - _roll(pc, 1, 0)) * f0
+    else:
+        glo = (pc[0:1, :] - (pc[0:1, :] if rep[0][0] else zrow)) * f0
+        ghi = ((pc[-1:, :] if rep[0][1] else zrow) - pc[-1:, :]) * f0
+        g0 = jnp.concatenate([glo, (pc[1:, :] - pc[:-1, :]) * f0, ghi], 0)
+    if periodic[1]:
+        g1 = (pc - _roll(pc, 1, 1)) * f1
+    else:
+        glo = (pc[:, 0:1] - (pc[:, 0:1] if rep[1][0] else zcol)) * f1
+        ghi = ((pc[:, -1:] if rep[1][1] else zcol) - pc[:, -1:]) * f1
+        g1 = jnp.concatenate([glo, (pc[:, 1:] - pc[:, :-1]) * f1, ghi], 1)
+    if masked:
+        g0 = g0 * mv[:]
+        g1 = g1 * mu[:]
+    outv[:] = g0
+    outu[:] = g1
+
+
+def _grad2m_impl(fs, periodic, rep, comp_shapes, p, masks):
+    masked = masks is not None
+    shapes = tuple(
+        jax.ShapeDtypeStruct(s, p.dtype) for s in comp_shapes
+    )
+    args = (p,) + (tuple(masks) if masked else ())
+    return pl.pallas_call(
+        functools.partial(_grad2m_kernel, periodic, rep, masked, *fs),
+        out_shape=shapes,
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _gradT2m_kernel(periodic, rep, masked, f0, f1, ctv, ctu, *rest):
+    # p-cotangent of _grad2m_kernel: base gather f*(mct[i] - mct[i+1]) per
+    # axis (the ZERO-pad adjoint), with REPLICATE edge corrections
+    if masked:
+        mv, mu = rest[0], rest[1]
+        out = rest[2]
+        m0 = ctv[:] * mv[:]
+        m1 = ctu[:] * mu[:]
+    else:
+        out = rest[0]
+        m0 = ctv[:]
+        m1 = ctu[:]
+    if periodic[0]:
+        t0 = (m0 - _roll(m0, -1, 0)) * f0
+    else:
+        t0 = (m0[:-1, :] - m0[1:, :]) * f0
+        if rep[0][0]:
+            t0 = jnp.concatenate([t0[0:1, :] - f0 * m0[0:1, :], t0[1:, :]], 0)
+        if rep[0][1]:
+            t0 = jnp.concatenate([t0[:-1, :], t0[-1:, :] + f0 * m0[-1:, :]], 0)
+    if periodic[1]:
+        t1 = (m1 - _roll(m1, -1, 1)) * f1
+    else:
+        t1 = (m1[:, :-1] - m1[:, 1:]) * f1
+        if rep[1][0]:
+            t1 = jnp.concatenate([t1[:, 0:1] - f1 * m1[:, 0:1], t1[:, 1:]], 1)
+        if rep[1][1]:
+            t1 = jnp.concatenate([t1[:, :-1], t1[:, -1:] + f1 * m1[:, -1:]], 1)
+    out[:] = t0 + t1
+
+
+def _gradT2m_impl(fs, periodic, rep, out_shape, cts, masks):
+    masked = masks is not None
+    args = tuple(cts) + (tuple(masks) if masked else ())
+    return pl.pallas_call(
+        functools.partial(_gradT2m_kernel, periodic, rep, masked, *fs),
+        out_shape=jax.ShapeDtypeStruct(out_shape, cts[0].dtype),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def div2m(fs, periodic, out_shape, comps):
+    """Volume-integrated mixed/bounded rank-2 divergence (duplicated +1
+    faces on bounded axes)."""
+    return _div2m_impl(fs, periodic, out_shape, comps)
+
+
+def _div2m_fwd(fs, periodic, out_shape, comps):
+    return _div2m_impl(fs, periodic, out_shape, comps), None
+
+
+def _div2m_bwd(fs, periodic, out_shape, _, ct):
+    # d(div)/d(comp_d): ZERO-ghost gradient, negated per the transpose pair
+    comp_shapes = tuple(
+        tuple(out_shape[i] + (0 if periodic[d] else 1) * (i == d)
+              for i in range(2))
+        for d in range(2)
+    )
+    rep = ((False, False), (False, False))
+    g = _grad2m_impl(fs, periodic, rep, comp_shapes, ct, None)
+    return (tuple(-gc for gc in g),)
+
+
+div2m.defvjp(_div2m_fwd, _div2m_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def grad2m(fs, periodic, rep, comp_shapes, p, masks):
+    """Mixed/bounded rank-2 staggered gradient with pad-mode ghost rows and
+    optional face masks (masks=None or a 2-tuple of face-mask planes)."""
+    return _grad2m_impl(fs, periodic, rep, comp_shapes, p, masks)
+
+
+def _grad2m_fwd(fs, periodic, rep, comp_shapes, p, masks):
+    return _grad2m_impl(fs, periodic, rep, comp_shapes, p, masks), masks
+
+
+def _grad2m_bwd(fs, periodic, rep, comp_shapes, masks, cts):
+    out_shape = tuple(
+        comp_shapes[0][i] - (0 if periodic[0] else 1) * (i == 0)
+        for i in range(2)
+    )
+    p_ct = _gradT2m_impl(fs, periodic, rep, out_shape, cts, masks)
+    if masks is None:
+        return (p_ct, None)
+    return (p_ct, tuple(jnp.zeros_like(m) for m in masks))
+
+
+grad2m.defvjp(_grad2m_fwd, _grad2m_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def div2(fs, comps):
     """Volume-integrated periodic divergence of a rank-2 staggered tuple."""

@@ -190,3 +190,126 @@ def test_eligible3_gates():
     # rank, itemsize, and env gates (on CPU the backend gate rejects)
     assert not pallas_fv.eligible3((64, 64), jnp.float32)
     assert not pallas_fv.eligible3((64, 64, 64), jnp.float64)
+
+
+# -- mixed/bounded rank-2 kernels --------------------------------------------------
+
+
+def _force_m(monkeypatch):
+    monkeypatch.setattr(pallas_fv, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_fv, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setattr(pallas_fv, "eligible2m", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_fv, "eligible2", lambda *a, **k: False)
+
+
+def _disable_m(monkeypatch):
+    monkeypatch.setattr(pallas_fv, "eligible2m", lambda *a, **k: False)
+    monkeypatch.setattr(pallas_fv, "eligible2", lambda *a, **k: False)
+
+
+_CASES_2M = [
+    # (periodic, ny, nx)
+    ((False, False), 6, 9),
+    ((False, True), 7, 8),
+    ((True, False), 6, 10),
+]
+
+
+@pytest.mark.parametrize("periodic,ny,nx", _CASES_2M)
+def test_div2m_matches_xla_and_grad(periodic, ny, nx, monkeypatch):
+    shapes = [
+        (ny + (not periodic[0]), nx),
+        (ny, nx + (not periodic[1])),
+    ]
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    field = StaggeredField(
+        tuple(jax.random.normal(k, s, jnp.float32) for k, s in zip(ks, shapes)),
+        periodic=periodic,
+    )
+    dx = (0.5, 0.25)
+    _disable_m(monkeypatch)
+    ref = fv.fv_divergence(field, dx)
+    ct = jax.random.normal(jax.random.PRNGKey(9), ref.shape, jnp.float32)
+
+    def loss_ref(comps):
+        f = StaggeredField(comps, periodic=periodic)
+        return jnp.sum(fv.fv_divergence(f, dx) * ct)
+
+    g_ref = jax.grad(loss_ref)(tuple(field.components))
+
+    _force_m(monkeypatch)
+    out = fv.fv_divergence(field, dx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g_out = jax.grad(loss_ref)(tuple(field.components))
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+_MODES_2M = [
+    (("zero", "zero"), ("zero", "zero")),
+    (("replicate", "replicate"), ("replicate", "replicate")),
+    (("zero", "replicate"), ("replicate", "zero")),
+]
+
+
+@pytest.mark.parametrize("modes", _MODES_2M)
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_grad2m_matches_xla_and_grad(modes, use_mask, monkeypatch):
+    ny, nx = 7, 9
+    p = jax.random.normal(jax.random.PRNGKey(4), (ny, nx), jnp.float32)
+    acc = None
+    if use_mask:
+        m = np.ones((ny + 2, nx + 2), np.float32)
+        m[3:5, 4:6] = 0.0  # interior solid block
+        acc = jnp.asarray(m)
+    dx = (0.5, 0.25)
+    _disable_m(monkeypatch)
+    ref = fv.fv_gradient(p, dx, modes, acc)
+    cts = tuple(
+        jax.random.normal(jax.random.PRNGKey(11 + i), c.shape, jnp.float32)
+        for i, c in enumerate(ref.components)
+    )
+
+    def loss(p_):
+        g = fv.fv_gradient(p_, dx, modes, acc)
+        return sum(jnp.sum(c * w) for c, w in zip(g.components, cts))
+
+    g_ref = jax.grad(loss)(p)
+
+    _force_m(monkeypatch)
+    out = fv.fv_gradient(p, dx, modes, acc)
+    for a, b in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    g_out = jax.grad(loss)(p)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+
+
+def test_grad2m_mixed_periodicity_channel(monkeypatch):
+    """Channel layout: bounded y (zero pad = solid walls), periodic x,
+    with face masks — forward + VJP vs the jnp path."""
+    ny, nx = 8, 12
+    p = jax.random.normal(jax.random.PRNGKey(5), (ny, nx), jnp.float32)
+    m = np.ones((ny + 2, nx + 2), np.float32)
+    m[0, :] = 0.0
+    m[-1, :] = 0.0
+    acc = jnp.asarray(m)
+    modes = (("zero", "zero"), ("circular", "circular"))
+    dx = (1.0, 0.5)
+    _disable_m(monkeypatch)
+    ref = fv.fv_gradient(p, dx, modes, acc)
+    cts = tuple(
+        jax.random.normal(jax.random.PRNGKey(21 + i), c.shape, jnp.float32)
+        for i, c in enumerate(ref.components)
+    )
+
+    def loss(p_):
+        g = fv.fv_gradient(p_, dx, modes, acc)
+        return sum(jnp.sum(c * w) for c, w in zip(g.components, cts))
+
+    g_ref = jax.grad(loss)(p)
+    _force_m(monkeypatch)
+    out = fv.fv_gradient(p, dx, modes, acc)
+    for a, b in zip(out.components, ref.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    g_out = jax.grad(loss)(p)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
