@@ -744,7 +744,8 @@ def main():
                 "DIFFPISO_ADV_JACOBI", "DIFFPISO_ADV_JACOBI_K",
                 "DIFFPISO_FUSED_FV", "DIFFPISO_FUSED_SPECTRAL",
                 "DIFFPISO_FUSED_PCG3", "DIFFPISO_FUSED_ADV3",
-                "DIFFPISO_FUSED_ADVM", "DIFFPISO_DISABLE_PALLAS",
+                "DIFFPISO_FUSED_ADVM", "DIFFPISO_FUSED_FVM",
+                "DIFFPISO_DISABLE_PALLAS",
             )
         }
         detail["turb"] = workload_turbulence(args)

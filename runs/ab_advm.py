@@ -17,8 +17,9 @@ import bench
 CAV_SPINUP = int(os.environ.get("AB_CAV_SPINUP", "2000"))
 
 
-def measure_cavity(mode):
+def measure_cavity(mode, fvm):
     os.environ["DIFFPISO_FUSED_ADVM"] = mode
+    os.environ["DIFFPISO_FUSED_FVM"] = fvm
     domain, sim, step = bench.build(512, 1e-6)
     vel = domain.staggered_grid(0.0)
     p = domain.centered_grid(0.0)
@@ -31,13 +32,14 @@ def measure_cavity(mode):
 
 results = {}
 for rep in range(2):
-    for mode in ("never", "auto"):
-        f, g, it = measure_cavity(mode)
-        results.setdefault(("cavity", mode), []).append(
+    for mode, fvm in (("never", "never"), ("auto", "never"),
+                      ("never", "auto"), ("auto", "auto")):
+        f, g, it = measure_cavity(mode, fvm)
+        results.setdefault(("cavity", mode, fvm), []).append(
             (round(f, 1), round(g, 1))
         )
         print(
-            f"[ab] rep{rep} cavity/advm={mode}: fwd {f:.1f} grad30 {g:.1f}"
+            f"[ab] rep{rep} cavity/advm={mode}/fvm={fvm}: fwd {f:.1f} grad30 {g:.1f}"
             f" iters {np.round(it, 2)}",
             file=sys.stderr, flush=True,
         )

@@ -197,3 +197,28 @@ for c in range(2):
                                    np.asarray(wantm.hi[c][d]),
                                    rtol=1e-5, atol=1e-5)
 print("MASKED ASSEMBLY LOWERING OK")
+
+
+# -- mixed/bounded fused FV lowering check ----------------------------------------
+os.environ["DIFFPISO_FUSED_FVM"] = "auto"
+from diffpiso_tpu.ops import fv as fv_mod, pallas_fv
+
+nyf, nxf = 513, 512
+pf = jnp.asarray(rng.randn(nyf, nxf), jnp.float32)
+accf = jnp.ones((nyf + 2, nxf + 2), jnp.float32)
+modesf = (("replicate", "replicate"), ("replicate", "replicate"))
+with ps.no_pallas():
+    wantg = fv_mod.fv_gradient(pf, (1.0, 1.0), modesf, accf)
+gotg = jax.jit(lambda p_: fv_mod.fv_gradient(p_, (1.0, 1.0), modesf, accf))(pf)
+for a, b in zip(gotg.components, wantg.components):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+velf = StaggeredField(
+    (jnp.asarray(rng.randn(nyf + 1, nxf), jnp.float32),
+     jnp.asarray(rng.randn(nyf, nxf + 1), jnp.float32)),
+    periodic=(False, False),
+)
+with ps.no_pallas():
+    wantd = fv_mod.fv_divergence(velf, (1.0, 1.0))
+gotd = jax.jit(lambda v: fv_mod.fv_divergence(v, (1.0, 1.0)))(velf)
+np.testing.assert_allclose(np.asarray(gotd), np.asarray(wantd), atol=1e-5)
+print("BOUNDED FV LOWERING OK")
