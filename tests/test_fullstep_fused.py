@@ -109,3 +109,51 @@ def test_cavity_fullstep_all_fused_gradient_matches_jnp(monkeypatch):
     g_f = jax.grad(loss)(jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
                                rtol=5e-3, atol=1e-8)
+
+
+def test_turb_fullstep_all_fused_matches_jnp(monkeypatch):
+    """Periodic turbulence config: uniform fused assembly + periodic fused
+    FV + fused Krylov/BiCGSTAB/Jacobi + fused spectral preconditioner (incl.
+    the folded mm p-update), all forced, vs the all-jnp step."""
+    n = 32
+    domain, sim = decaying_turbulence_setup((n, n), viscosity=1e-3)
+    rng = np.random.RandomState(1)
+    vel0 = StaggeredField(
+        tuple(jnp.asarray(0.3 * rng.randn(n, n), jnp.float32)
+              for _ in range(2)),
+        periodic=(True, True),
+    )
+    p0 = domain.centered_grid(0.0)
+    dt = 0.4 / n
+
+    def rollout(vel, p, steps=3):
+        def body(carry, _):
+            vel, p, g1, g2 = carry
+            out = piso_step(
+                vel, p, dt, domain, sim,
+                pressure_inc1_guess=g1, pressure_inc2_guess=g2,
+                advection_tol=1e-6, pressure_tol=1e-7,
+            )
+            return (out.velocity, out.pressure, out.pressure_inc1,
+                    out.pressure_inc2), out.warn
+
+        (vel, p, _, _), warns = jax.lax.scan(
+            body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)), None,
+            length=steps,
+        )
+        return vel, p, warns
+
+    vel_ref, _, warns = rollout(vel0, p0)
+    assert not bool(jnp.any(warns))
+
+    _force_all(monkeypatch)
+    # also force the periodic kernel families the cavity test can't reach
+    monkeypatch.setattr(pallas_krylov, "eligible", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_fv, "eligible2", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_fv, "eligible2m", lambda *a, **k: False)
+    monkeypatch.setattr(pallas_advassembly, "_INTERPRET", True)
+    vel_f, _, warns_f = rollout(vel0, p0)
+    assert not bool(jnp.any(warns_f))
+    for a, b in zip(vel_f.components, vel_ref.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
