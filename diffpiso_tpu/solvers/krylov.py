@@ -660,6 +660,7 @@ def pcg(
                 x3, rn3, k3 = fused_pcg3_solve(
                     stencil, leaf3, None if cold else x0, solver_mm3, w_mm3,
                     tol, max_iter, deflate_mean=deflate_mean,
+                    early_exit=early_exit,
                 )
                 warn3 = (~jnp.isfinite(rn3)) | (rn3 > 100.0 * tol)
                 return SolveResult(

@@ -686,7 +686,7 @@ def _smem_out():
 
 
 def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
-                     deflate_mean=True):
+                     deflate_mean=True, early_exit=True):
     """Fully-fused rank-3 spectral-PCG on the pressure system. Returns
     (x, true_resid_norm, iterations); the caller derives warn. Semantics
     follow krylov.pcg with residual_reset=0 (preconditioned pressure solves
@@ -851,6 +851,10 @@ def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     def skip_solve(_):
         return x0, rnorm0, jnp.zeros((), jnp.int32)
 
+    if not early_exit:
+        # adjoint callers KNOW the solve is cold and non-trivial: drop the
+        # whole-solve cond wrapper (krylov.pcg early_exit semantics)
+        return run_solve(None)
     return jax.lax.cond(rnorm0 < tol, skip_solve, run_solve, None)
 
 
