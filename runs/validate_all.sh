@@ -25,4 +25,11 @@ echo "--- stage 5: plane-block jacobi A/B"
 timeout 4000 python runs/ab_jac3d.py > runs/ab_jac3d.log 2>&1
 echo "ab_jac3d exit $? ($(date))"
 tail -8 runs/ab_jac3d.log
+echo "--- stage 6: cavity phase roofline (default + fused gates)"
+timeout 2500 python runs/roofline_cavity.py > runs/roofline_cavity_default.log 2>&1
+echo "roofline_cavity default exit $?"
+DIFFPISO_FUSED_ADVM=auto DIFFPISO_FUSED_FVM=auto timeout 2500 python runs/roofline_cavity.py > runs/roofline_cavity_fused.log 2>&1
+echo "roofline_cavity fused exit $?"
+tail -12 runs/roofline_cavity_default.log
+tail -12 runs/roofline_cavity_fused.log
 echo "=== done $(date)"
