@@ -312,6 +312,19 @@ class MatmulSpectralSolver:
     precondition = solve
 
 
+def _safe_symbol(solver: "MatmulSpectralSolver", weights, dtype):
+    """Eigenvalue symbol with singular modes (|S| < 1e-12 — the all-Neumann
+    / periodic null space) replaced by +inf, so the kernels' plain
+    `h / S` zeroes them (IEEE finite/inf = 0) with the SAME rounding as the
+    XLA path's guarded divide on nonsingular modes. Computed in XLA and
+    passed into the fused Pallas kernels as data: doing the where/divide
+    chain in-kernel cost ~3 full-plane VMEM temporaries and blew the
+    16 MiB scoped-vmem stack at 512^2."""
+    symbol = solver._symbol(weights, dtype)
+    singular = jnp.abs(symbol) < 1e-12
+    return jnp.where(singular, jnp.inf, symbol)
+
+
 def _mm_solve_xla(solver: "MatmulSpectralSolver", weights, rhs):
     """The reference XLA path: per-axis tensordot contractions (any rank)."""
     prec = solver._precision()
@@ -350,9 +363,9 @@ def _mm_solve_fused(solver: "MatmulSpectralSolver", w, rhs):
         for n, k in zip(solver.shape, solver.kinds)
     ]
     if len(solver.shape) == 2:
+        symbol = _safe_symbol(solver, (w[0], w[1]), rhs.dtype)
         return fused_spectral_apply(
-            mats[0], mats[1], eigs[0].reshape(-1, 1), eigs[1].reshape(1, -1),
-            (w[0], w[1]), rhs, solver._precision(),
+            mats[0], mats[1], symbol, rhs, solver._precision(),
         )
     eyx = (w[1] * eigs[1][:, None] + w[2] * eigs[2][None, :]).reshape(1, -1)
     return fused_spectral_apply_3d(

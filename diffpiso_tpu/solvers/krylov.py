@@ -686,21 +686,16 @@ def pcg(
             )
 
             if spectral_eligible(leaf.shape, leaf.dtype):
-                from diffpiso_tpu.solvers.fourier import _eigs as _sp_eigs
+                from diffpiso_tpu.solvers.fourier import _safe_symbol
 
                 v0m, v1m = solver_mm._mats(leaf.dtype)
-                e0m = jnp.asarray(
-                    _sp_eigs(solver_mm.shape[0], solver_mm.kinds[0]), leaf.dtype
-                ).reshape(-1, 1)
-                e1m = jnp.asarray(
-                    _sp_eigs(solver_mm.shape[1], solver_mm.kinds[1]), leaf.dtype
-                ).reshape(1, -1)
+                sym_mm = _safe_symbol(solver_mm, w_mm, leaf.dtype)
                 prec_mm = solver_mm._precision()
                 zeros_leaf = jnp.zeros_like(leaf)
 
                 def mm_update(rz_old, r_, p_):
                     return fused_pcg_mm_update(
-                        v0m, v1m, e0m, e1m, w_mm, rz_old, r_, p_, prec_mm
+                        v0m, v1m, sym_mm, rz_old, r_, p_, prec_mm
                     )
 
     if cold:

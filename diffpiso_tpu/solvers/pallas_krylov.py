@@ -717,7 +717,7 @@ def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     w = [jnp.asarray(wd, dtype) for wd in weights]
     ez = eigs[0].reshape(-1, 1)
     eyx = (w[1] * eigs[1][:, None] + w[2] * eigs[2][None, :]).reshape(1, -1)
-    prec = solver_mm._precision()
+    prec = _mosaic_precision(solver_mm._precision())
     n_flat = ny * nx
     blk = _spec3_block(n_flat)
     slab = pl.BlockSpec((nz, blk), lambda i: (0, i))
@@ -861,17 +861,16 @@ def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
 # -- fused preconditioned-update: z = M^-1 r folded into the PCG p-update ---------
 
 
-def _pcg_mm_update_kernel(precision, v0, v1, e0, e1, w, rz_old, r, p,
+def _pcg_mm_update_kernel(precision, v0, v1, symbol, rz_old, r, p,
                           out_p, out_rz):
-    # z = V0^T ((V0 r V1^T)/S) V1 (the spectral inverse, singular modes
-    # zeroed); rz' = r.z; beta = rz'/rz_old; p' = z + beta p — one launch,
-    # z never round-trips HBM
+    # z = V0^T ((V0 r V1^T) / S) V1 (the spectral inverse; S = safe symbol
+    # with +inf at singular modes, computed outside — see _spectral_kernel's
+    # VMEM note); rz' = r.z; beta = rz'/rz_old; p' = z + beta p — one
+    # launch, z never round-trips HBM
     rv = r[:]
     h = _dot(v0[:], rv, ((1,), (0,)), precision)
     h = _dot(h, v1[:], ((1,), (1,)), precision)
-    s = w[0] * e0[:] + w[1] * e1[:]
-    singular = jnp.abs(s) < 1e-12
-    h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, s))
+    h = h / symbol[:]
     h = _dot(v0[:], h, ((0,), (0,)), precision)
     z = _dot(h, v1[:], ((1,), (0,)), precision)
     rz_new = jnp.sum(rv * z)
@@ -881,24 +880,23 @@ def _pcg_mm_update_kernel(precision, v0, v1, e0, e1, w, rz_old, r, p,
     out_rz[0] = rz_new
 
 
-def fused_pcg_mm_update(v0, v1, e0, e1, weights, rz_old, r, p, precision):
+def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
     """Spectral-preconditioned PCG update in ONE launch: z = M^-1 r (4 MXU
     contractions, spectrum resident in VMEM), rz' = r.z, beta, p' = z+beta p.
     For the z0 init call with p = zeros and rz_old = 1: p' = z0, rz' = r0.z0."""
-    w = jnp.stack([jnp.asarray(weights[0], r.dtype),
-                   jnp.asarray(weights[1], r.dtype)])
+    precision = _mosaic_precision(precision)
     s = jax.ShapeDtypeStruct(p.shape, p.dtype)
     one = jax.ShapeDtypeStruct((1,), p.dtype)
     po, rz = pl.pallas_call(
         functools.partial(_pcg_mm_update_kernel, precision),
         out_shape=(s, one),
-        in_specs=_vmem_specs(4) + _smem_specs(2) + _vmem_specs(2),
+        in_specs=_vmem_specs(3) + _smem_specs(1) + _vmem_specs(2),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
-    )(v0, v1, e0, e1, w, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
+    )(v0, v1, symbol, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
     return po, rz[0]
 
 
@@ -974,6 +972,17 @@ def _spec3_block(n: int, target: int = 512) -> int:
     return n
 
 
+def _mosaic_precision(precision):
+    """Mosaic's dot lowering supports only DEFAULT and HIGHEST (fp32
+    contract); Precision.HIGH (the MatmulSpectralSolver default — 3 bf16
+    passes under XLA) fails to lower. Coerce HIGH -> HIGHEST inside the
+    kernels: strictly more accurate than the XLA path it replaces, so the
+    equality tolerances vs that path still hold."""
+    if precision == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
 def _dot(a, b, dims, precision):
     return jax.lax.dot_general(
         a, b, (dims, ((), ())), precision=precision,
@@ -1008,6 +1017,7 @@ def fused_spectral_apply_3d(vz, vy, vx, ez, eyx, wz, r, precision):
     copies at 128^3 = 8 MiB each); this reads/writes the field 3x total.
     ez: (nz, 1); eyx: (1, ny*nx) carrying the pre-weighted y+x eigenvalue
     sum; wz: traced z weight."""
+    precision = _mosaic_precision(precision)
     nz, ny, nx = r.shape
     plane = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
     basis_y = pl.BlockSpec((ny, ny), lambda i: (0, 0))
@@ -1046,39 +1056,40 @@ def fused_spectral_apply_3d(vz, vy, vx, ez, eyx, wz, r, precision):
     return plane_pass(False, h2.reshape(r.shape))
 
 
-def _spectral_kernel(precision, v0, v1, e0, e1, w, r, out_z):
-    # z = V0^T ((V0 r V1^T) / S) V1 with S = w0 e0 + w1 e1 (outer-broadcast)
-    # and singular modes (|S| < 1e-12 — the all-Neumann / periodic null
-    # space) zeroed, matching MatmulSpectralSolver.solve exactly. All four
-    # contractions run on the MXU with h resident in VMEM — the XLA path
-    # round-trips each tensordot result through HBM.
+def _spectral_kernel(precision, v0, v1, symbol, r, out_z):
+    # z = V0^T ((V0 r V1^T) / S) V1 with S the safe symbol (singular modes
+    # — the all-Neumann / periodic null space — carry +inf, so the plain
+    # divide zeroes them), matching MatmulSpectralSolver.solve exactly. All
+    # four contractions run on the MXU with h resident in VMEM — the XLA
+    # path round-trips each tensordot result through HBM. S is precomputed
+    # OUTSIDE the kernel (one XLA elementwise op, see fourier._safe_symbol):
+    # the in-kernel where/divide chain cost ~3 extra full-plane VMEM
+    # temporaries, which blew the 16 MiB scoped-vmem stack at 512^2
+    # (measured 18.58M).
     def dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), precision=precision,
             preferred_element_type=a.dtype,
         )
 
-    v0v, v1v, rv = v0[:], v1[:], r[:]
-    h = dot(v0v, rv, ((1,), (0,)))          # V0 @ r
+    v0v, v1v = v0[:], v1[:]
+    h = dot(v0v, r[:], ((1,), (0,)))        # V0 @ r
     h = dot(h, v1v, ((1,), (1,)))           # (.) @ V1^T — contract b dim 1
-    s = w[0] * e0[:] + w[1] * e1[:]
-    singular = jnp.abs(s) < 1e-12
-    h = jnp.where(singular, 0.0, h / jnp.where(singular, 1.0, s))
+    h = h / symbol[:]
     h = dot(v0v, h, ((0,), (0,)))           # V0^T @ (.) — contract a dim 0
     out_z[:] = dot(h, v1v, ((1,), (0,)))    # (.) @ V1
 
 
-def fused_spectral_apply(v0, v1, e0, e1, weights, r, precision):
+def fused_spectral_apply(v0, v1, symbol, r, precision):
     """One-launch symmetric spectral inverse apply (MatmulSpectralSolver):
     analysis + symbol divide + synthesis without HBM round trips between
-    the contractions. e0: (n0, 1) axis-0 eigenvalues, e1: (1, n1) axis-1
-    eigenvalues; weights: length-2 (possibly traced) axis weights."""
-    w = jnp.stack([jnp.asarray(weights[0], r.dtype),
-                   jnp.asarray(weights[1], r.dtype)])
+    the contractions. symbol: (n0, n1) eigenvalue symbol with singular
+    modes set to +inf (see fourier._safe_symbol)."""
+    precision = _mosaic_precision(precision)
     return pl.pallas_call(
         functools.partial(_spectral_kernel, precision),
         out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
-        in_specs=_vmem_specs(4) + _smem_specs(1) + _vmem_specs(1),
+        in_specs=_vmem_specs(4),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_INTERPRET,
-    )(v0, v1, e0, e1, w, r)
+    )(v0, v1, symbol, r)

@@ -162,7 +162,12 @@ from diffpiso_tpu.fields.domain import Domain
 from diffpiso_tpu.fields.box import Box
 from diffpiso_tpu.fields.material import OPEN
 
-nm = 512
+# the monolithic masked kernel holds ~11 full planes per component: at the
+# 512^2 cavity that is ~11.7 MB of operands+outputs and the Mosaic compile
+# helper dies (measured 2026-08-18, forced-eligible probe; no diagnostic —
+# helper subprocess exit 1). The eligibility formula caps it at ~nm<=320;
+# validate at the largest eligible size and pin the 512 gate-off.
+nm = 320
 dmm, dvm, activem, accessiblem, no_slipm = lid_driven_cavity_masks(nm)
 domainm = Domain((nm + 1, nm), Box.from_size((1.0 + 1.0 / nm, 1.0)),
                  boundaries=OPEN)
@@ -179,6 +184,13 @@ with ps.no_pallas():
 assert pallas_advassembly.advassembly_masked_eligible(
     velm, activem, 1e-3, (False, False)
 )
+vel512 = StaggeredField(
+    (jnp.zeros((514, 512), jnp.float32), jnp.zeros((513, 513), jnp.float32)),
+    periodic=(False, False),
+)
+assert not pallas_advassembly.advassembly_masked_eligible(
+    vel512, jnp.ones((515, 514), jnp.float32), 1e-3, (False, False)
+), "512 cavity must stay on the jnp assembly path (Mosaic compile fails)"
 gotm = jax.jit(
     lambda v: stencil_mod.assemble_advection_stencil(
         v, domainm.dx, domainm.velocity_pad_modes(), 1e-3, 2.0,
