@@ -38,6 +38,7 @@ from diffpiso_tpu.fields import (
     PERIODIC,
     SLIPPERY,
     STICKY,
+    SampledField,
     StaggeredField,
 )
 

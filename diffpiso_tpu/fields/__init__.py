@@ -22,6 +22,12 @@ from diffpiso_tpu.fields.geometry import (
     union_mask,
 )
 from diffpiso_tpu.fields.noise import noise, noise_staggered, random_solenoidal
+from diffpiso_tpu.fields.sampled import (
+    SampledField,
+    advect_points,
+    regular_points,
+    velocity_at_points,
+)
 from diffpiso_tpu.fields.angular_velocity import AngularVelocity, gaussian_falloff
 from diffpiso_tpu.fields import struct
 
@@ -51,4 +57,8 @@ __all__ = [
     "random_solenoidal",
     "AngularVelocity",
     "gaussian_falloff",
+    "SampledField",
+    "advect_points",
+    "regular_points",
+    "velocity_at_points",
 ]

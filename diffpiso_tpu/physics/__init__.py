@@ -23,7 +23,7 @@ from diffpiso_tpu.physics.schroedinger import (
     step_potential,
     wave_packet,
 )
-from diffpiso_tpu.physics.fluid import IncompressibleFlow
+from diffpiso_tpu.physics.fluid import Drift, IncompressibleFlow
 from diffpiso_tpu.physics.effect import (
     ADD,
     FIX,
@@ -67,6 +67,7 @@ __all__ = [
     "sin_potential",
     "step_potential",
     "wave_packet",
+    "Drift",
     "IncompressibleFlow",
     "ADD", "FIX", "GROW",
     "Accelerator", "ColdSource", "ConstantVelocity", "Fan", "FieldEffect",

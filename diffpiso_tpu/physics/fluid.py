@@ -1,11 +1,15 @@
-"""IncompressibleFlow as a Physics (PhiFlow/phi/physics/fluid.py:75-118),
-wrapping the Chorin projection step so smoke/fluid states participate in
-World orchestration alongside other physics."""
+"""IncompressibleFlow + Drift as Physics (PhiFlow/phi/physics/fluid.py:
+75-118 and :140-159), wrapping the Chorin projection step and passive
+marker advection so smoke/fluid/marker states participate in World
+orchestration alongside other physics."""
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from diffpiso_tpu.core.chorin import FlowState, incompressible_flow_step
 from diffpiso_tpu.fields.domain import Domain
+from diffpiso_tpu.fields.grid import CenteredField, StaggeredField
 from diffpiso_tpu.physics.base import Physics, StateDependency
 
 
@@ -43,3 +47,67 @@ class IncompressibleFlow(Physics):
             tol=self.tol,
             rank_deficient=self.rank_deficient,
         )
+
+
+class Drift(Physics):
+    """Passive advection by the world's velocity (fluid.py:140-159).
+
+    Steps any built-in field type with the velocity carried by the state
+    named `velocity_state` (a FlowState, StaggeredField, or anything with
+    a `.velocity` attribute): dense centered fields ride the
+    semi-Lagrangian advection, staggered fields self-advect-style ride
+    advect_semi_lagrangian, and SampledFields move their points with the
+    interpolated velocity (fields/sampled.py).
+
+    conserve=True renormalizes advected GRID fields to keep their total
+    (the reference's `.normalized(field)` guard, fluid.py:157-158); it is
+    a no-op for SampledFields, whose values are untouched by advection.
+    use_updated_velocity=True makes the dependency blocking, so this state
+    steps after the velocity state and reads its updated value
+    (fluid.py:150's StateDependency blocking flag).
+    """
+
+    def __init__(
+        self,
+        domain: Domain,
+        use_updated_velocity: bool = False,
+        conserve: bool = True,
+        velocity_state: str = "velocity",
+    ):
+        super().__init__(
+            [
+                StateDependency(
+                    "velocity",
+                    "velocityfield",
+                    single_state=True,
+                    blocking=use_updated_velocity,
+                    state_name=velocity_state,
+                )
+            ]
+        )
+        self.domain = domain
+        self.conserve = conserve
+
+    def step(self, field, dt=1.0, velocity=None, **deps):
+        from diffpiso_tpu.fields.sampled import SampledField, advect_points
+        from diffpiso_tpu.ops.advect import (
+            advect_centered,
+            advect_semi_lagrangian,
+        )
+
+        if velocity is None:
+            raise ValueError("Drift needs a velocity state in the World")
+        vel = getattr(velocity, "velocity", velocity)
+        if isinstance(field, SampledField):
+            return advect_points(field, vel, self.domain.box, dt)
+        if isinstance(field, StaggeredField):
+            return advect_semi_lagrangian(field, vel, dt, self.domain.dx)
+        data = field.data if isinstance(field, CenteredField) else field
+        out = advect_centered(data, vel, dt, self.domain.dx)
+        if self.conserve:
+            total = jnp.sum(data)
+            new_total = jnp.sum(out)
+            out = out * jnp.where(
+                jnp.abs(new_total) > 1e-20, total / new_total, 1.0
+            )
+        return CenteredField(out) if isinstance(field, CenteredField) else out

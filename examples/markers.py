@@ -1,0 +1,127 @@
+"""Passive markers riding a buoyant plume: a dense checkerboard grid marker
+and a sparse particle marker, both advected by Drift.
+
+The diffpiso_tpu analog of the reference's marker demo
+(PhiFlow/demos/marker.py): a CLOSED-domain smoke plume (Inflow sphere +
+buoyancy) plus two passive tracers — a checkerboard CenteredField and a
+SampledField particle lattice — all stepped jointly by World.make_step_fn
+inside one jit + lax.scan.
+
+Run:  python examples/markers.py --steps 100
+Outputs runs/markers_<ts>/frame_*.npz (dense marker, density, particle
+positions) for view_scene.py / the dashboard.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def checkerboard(resolution, size=8, offset=2):
+    """marker.py:12-17's dense checkerboard seed."""
+    data = np.zeros(resolution, np.float32)
+    data[offset::size * 2, offset::size * 2] = 1.0
+    return jnp.asarray(data)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--dt", type=float, default=0.2)
+    ap.add_argument("--out", default="runs")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffpiso_tpu.core.chorin import FlowState
+    from diffpiso_tpu.fields import (
+        Box, CLOSED, Domain, SampledField, StaggeredField, regular_points,
+    )
+    from diffpiso_tpu.fields.geometry import Sphere
+    from diffpiso_tpu.physics import Drift, IncompressibleFlow, World
+    from diffpiso_tpu.physics.effect import Inflow
+
+    ny, nx = 160, 126  # marker.py:24 Domain([160, 126], CLOSED)
+    box = Box.from_size((float(ny), float(nx)))
+    domain = Domain((ny, nx), box, boundaries=CLOSED)
+
+    # the reference's Inflow feeds the smoke density through the world;
+    # here the flow state carries density, so wrap the inflow as a
+    # density effect inside a small physics shim
+    inflow = Inflow(Sphere(center=(18.0, 64.0), radius=10.0), (ny, nx),
+                    box, rate=0.2)
+
+    class FlowWithInflow(IncompressibleFlow):
+        def step(self, state, dt=1.0, forces=(), **deps):
+            from diffpiso_tpu.core.chorin import incompressible_flow_step
+
+            return incompressible_flow_step(
+                state, self.domain, dt,
+                buoyancy_factor=self.buoyancy_factor,
+                density_effects=(inflow,), tol=self.tol,
+                rank_deficient=self.rank_deficient,
+            )
+
+    world = World()
+    world.add(
+        "velocity",
+        FlowState(
+            velocity=StaggeredField(
+                (jnp.zeros((ny + 1, nx), jnp.float32),
+                 jnp.zeros((ny, nx + 1), jnp.float32)),
+                periodic=(False, False),
+            ),
+            density=jnp.zeros((ny, nx), jnp.float32),
+        ),
+        physics=FlowWithInflow(domain, buoyancy_factor=0.1,
+                               rank_deficient=True),
+        tags=("velocityfield",),
+    )
+
+    world.add("dense_marker", checkerboard((ny, nx)),
+              physics=Drift(domain))  # marker.py:28 (extrapolation const)
+    world.add(
+        "sparse_marker",
+        SampledField(regular_points(box, 16),
+                     jnp.ones((256,), jnp.float32)),
+        physics=Drift(domain),  # marker.py:29 SampledField + Drift
+    )
+
+    step = world.make_step_fn(dt=args.dt)
+
+    def chunk(values, _):
+        out = step(values)
+        return out, None
+
+    values = world.collection.values_pytree()
+    run = os.path.join(args.out, f"markers_{int(time.time())}")
+    os.makedirs(run, exist_ok=True)
+    jitted = jax.jit(lambda v: jax.lax.scan(chunk, v, None, length=10)[0])
+    t0 = time.time()
+    for i in range(max(1, args.steps // 10)):
+        values = jitted(values)
+        dense = np.asarray(values["dense_marker"])
+        pts = np.asarray(values["sparse_marker"].points)
+        dens = np.asarray(values["velocity"].density)
+        np.savez_compressed(
+            os.path.join(run, f"frame_{i:04d}.npz"),
+            dense_marker=dense, particles=pts, density=dens,
+        )
+        print(
+            f"step {10 * (i + 1):4d}  marker mass {dense.sum():.1f}  "
+            f"particle spread {pts.std(0).round(2)}", flush=True,
+        )
+    dt_wall = time.time() - t0
+    print(f"done: {args.steps} steps in {dt_wall:.1f}s -> {run}")
+
+
+if __name__ == "__main__":
+    main()

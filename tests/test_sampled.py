@@ -1,0 +1,202 @@
+"""SampledField rasterization + point advection + Drift physics oracles
+(reference: PhiFlow/phi/physics/field/sampled.py, fluid.py:140-159 Drift,
+demos/marker.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffpiso_tpu.fields import (
+    Box,
+    CLOSED,
+    Domain,
+    PERIODIC,
+    SampledField,
+    StaggeredField,
+    advect_points,
+    regular_points,
+    velocity_at_points,
+)
+from diffpiso_tpu.physics import Drift
+
+
+def _numpy_scatter(points, values, box, res, mode):
+    """Scalar-loop oracle for to_centered."""
+    lower = np.asarray(box.lower)
+    size = np.asarray(box.size)
+    total = np.zeros(res)
+    count = np.zeros(res)
+    for p, v in zip(np.asarray(points), np.asarray(values)):
+        local = (p - lower) / size
+        idx = tuple(
+            int(np.clip(np.floor(local[ax] * res[ax]), 0, res[ax] - 1))
+            for ax in range(len(res))
+        )
+        total[idx] += v
+        count[idx] += 1
+    if mode == "add":
+        return total
+    if mode == "any":
+        return (count > 0).astype(np.float64)
+    return total / np.maximum(count, 1.0)
+
+
+@pytest.mark.parametrize("mode", ["mean", "add", "any"])
+def test_to_centered_matches_numpy_oracle(mode):
+    rng = np.random.RandomState(0)
+    box = Box.from_size((2.0, 3.0))
+    domain = Domain((8, 12), box, boundaries=CLOSED)
+    pts = rng.rand(64, 2) * np.array([2.0, 3.0])
+    pts[:5] = [[-0.5, 1.0], [2.5, 1.0], [1.0, -1.0], [1.0, 3.5], [2.0, 3.0]]
+    vals = rng.randn(64)
+    f = SampledField(jnp.asarray(pts, jnp.float32),
+                     jnp.asarray(vals, jnp.float32), mode=mode)
+    got = np.asarray(f.to_centered(domain).data)
+    want = _numpy_scatter(pts, vals, box, (8, 12), mode)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_to_centered_vector_values_and_grad():
+    """Channel axis survives rasterization; scatter-add is differentiable
+    in the values (gradient = one per contributing point)."""
+    box = Box.from_size((1.0, 1.0))
+    domain = Domain((4, 4), box)
+    pts = jnp.asarray([[0.1, 0.1], [0.1, 0.15], [0.9, 0.9]], jnp.float32)
+    vals = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], jnp.float32)
+    f = SampledField(pts, vals, mode="add")
+    out = f.to_centered(domain).data
+    assert out.shape == (4, 4, 2)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [4.0, 6.0])
+    np.testing.assert_allclose(np.asarray(out[3, 3]), [5.0, 6.0])
+
+    g = jax.grad(
+        lambda v: jnp.sum(
+            SampledField(pts, v, mode="add").to_centered(domain).data
+        )
+    )(vals)
+    np.testing.assert_allclose(np.asarray(g), np.ones((3, 2)), atol=1e-6)
+
+
+def test_to_staggered_bins_faces():
+    """A single point scatters its u value onto the nearest x-face and its
+    v value onto the nearest y-face."""
+    box = Box.from_size((4.0, 4.0))
+    domain = Domain((4, 4), box, boundaries=CLOSED)
+    # point in cell (1, 2), nearest y-face 2 and nearest x-face 3
+    f = SampledField(
+        jnp.asarray([[1.8, 2.6]], jnp.float32),
+        jnp.asarray([[3.0, 7.0]], jnp.float32),
+        mode="add",
+    )
+    st = f.to_staggered(domain)
+    v, u = (np.asarray(c) for c in st.components)
+    assert v.shape == (5, 4) and u.shape == (4, 5)
+    assert v[2, 2] == 3.0 and v.sum() == 3.0  # round(1.8) = 2
+    assert u[1, 3] == 7.0 and u.sum() == 7.0  # round(2.6) = 3
+
+
+def test_occupancy():
+    box = Box.from_size((1.0, 1.0))
+    domain = Domain((2, 2), box)
+    f = SampledField(
+        jnp.asarray([[0.1, 0.1], [0.2, 0.2], [0.9, 0.9]], jnp.float32),
+        jnp.ones((3,), jnp.float32),
+    )
+    occ = np.asarray(f.occupancy(domain).data)
+    np.testing.assert_allclose(occ, [[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_velocity_at_points_linear_field_exact():
+    """Multilinear interpolation reproduces a linear velocity field exactly
+    at interior points: u = x, v = -y on a staggered grid."""
+    n = 8
+    box = Box.from_size((1.0, 1.0))
+    domain = Domain((n, n), box, boundaries=CLOSED)
+    dx = 1.0 / n
+    yf = (jnp.arange(n + 1, dtype=jnp.float32) * dx)[:, None]
+    xc = ((jnp.arange(n, dtype=jnp.float32) + 0.5) * dx)[None, :]
+    v = jnp.broadcast_to(-yf, (n + 1, n)) + 0.0 * xc
+    yc = ((jnp.arange(n, dtype=jnp.float32) + 0.5) * dx)[:, None]
+    xf = (jnp.arange(n + 1, dtype=jnp.float32) * dx)[None, :]
+    u = jnp.broadcast_to(xf, (n, n + 1)) + 0.0 * yc
+    vel = StaggeredField((v, u), periodic=(False, False))
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(0.125 + 0.75 * rng.rand(40, 2), jnp.float32)
+    got = np.asarray(velocity_at_points(vel, pts, box))
+    want = np.stack([-np.asarray(pts)[:, 0], np.asarray(pts)[:, 1]], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_advect_points_uniform_flow():
+    """Uniform velocity moves every point by exactly dt * (v, u), under
+    jit."""
+    n = 6
+    box = Box.from_size((1.0, 1.0))
+    domain = Domain((n, n), box, boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.full((n, n), 0.25, jnp.float32),
+         jnp.full((n, n), -0.5, jnp.float32)),
+        periodic=(True, True),
+    )
+    pts = regular_points(box, 4)
+    f = SampledField(pts, jnp.ones((16,), jnp.float32))
+    out = jax.jit(lambda fld: advect_points(fld, vel, box, 0.1))(f)
+    np.testing.assert_allclose(
+        np.asarray(out.points - pts),
+        np.tile([0.025, -0.05], (16, 1)),
+        rtol=1e-5, atol=1e-6,
+    )
+    # values untouched
+    np.testing.assert_allclose(np.asarray(out.values), 1.0)
+
+
+def test_regular_points_lattice():
+    box = Box.from_size((2.0, 4.0), lower=(1.0, -1.0))
+    pts = np.asarray(regular_points(box, 2))
+    assert pts.shape == (4, 2)
+    np.testing.assert_allclose(
+        pts, [[1.5, 0.0], [1.5, 2.0], [2.5, 0.0], [2.5, 2.0]]
+    )
+
+
+def test_drift_world_markers():
+    """marker.py's setup in miniature: a World with a flow state, a dense
+    marker (conserved) and a particle marker, stepped jointly under jit."""
+    from diffpiso_tpu.core.chorin import FlowState
+    from diffpiso_tpu.physics import World
+
+    n = 16
+    box = Box.from_size((float(n), float(n)))
+    domain = Domain((n, n), box, boundaries=CLOSED)
+    rng = np.random.RandomState(2)
+    vel = StaggeredField(
+        (jnp.asarray(rng.randn(n + 1, n) * 0.1, jnp.float32),
+         jnp.asarray(rng.randn(n, n + 1) * 0.1, jnp.float32)),
+        periodic=(False, False),
+    )
+    dense = jnp.asarray((rng.rand(n, n) > 0.5).astype(np.float32))
+    particles = SampledField(
+        regular_points(box, 4), jnp.ones((16,), jnp.float32)
+    )
+
+    from diffpiso_tpu.physics import IncompressibleFlow
+
+    world = World()
+    world.add("velocity", FlowState(velocity=vel),
+              physics=IncompressibleFlow(domain, rank_deficient=True),
+              tags=("velocityfield",))
+    world.add("dense_marker", dense, physics=Drift(domain))
+    world.add("particles", particles, physics=Drift(domain))
+    step = world.jitted_step(dt=0.5)
+    values = world.collection.values_pytree()
+    for _ in range(3):
+        values = step(values)
+    out_dense = np.asarray(values["dense_marker"])
+    out_pts = values["particles"]
+    assert np.isfinite(out_dense).all()
+    assert np.isfinite(np.asarray(out_pts.points)).all()
+    # conserve=True keeps the dense marker's total mass
+    np.testing.assert_allclose(out_dense.sum(), float(dense.sum()), rtol=1e-4)
+    # particles moved
+    assert float(jnp.max(jnp.abs(out_pts.points - particles.points))) > 0
