@@ -440,9 +440,12 @@ def advassembly3_eligible(velocity, dirichlet_mask, active_mask, no_slip_mask,
                           viscosity, periodic) -> bool:
     import os
 
-    # default OFF until the 34-operand Mosaic lowering is validated on the
-    # real TPU (tunnel down when this landed); flip with the A/B numbers
-    if os.environ.get("DIFFPISO_FUSED_ADV3", "never") == "never":
+    # default ON: TPU-validated 2026-08-18 (runs/lowering.log ADV3 OK) and
+    # A/B'd at 128^3 turb (runs/ab_3d.log, 2 reps): fwd 261.5/261.8 vs
+    # 244.3 baseline (+7%), grad10 108.0 vs 110.9 (-2.6%, the kernel's
+    # zero-gradient VJP leaves the backward on XLA) — net win for the
+    # forward-dominated workloads this rank-3 assembly serves
+    if os.environ.get("DIFFPISO_FUSED_ADV3", "auto") == "never":
         return False
     if not _PALLAS_AVAILABLE:
         return False

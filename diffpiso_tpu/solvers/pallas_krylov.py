@@ -39,6 +39,16 @@ except Exception:  # pragma: no cover
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
+
+def _mxu_compiler_params():
+    """Raised scoped-vmem ceiling for the single-program MXU spectral
+    kernels: HIGHEST-precision dots keep hi/lo bf16 operand splits on the
+    Mosaic stack, and the default 16 MiB limit is 420K short at the cavity
+    pressure shape (513x512) even with the symbol precomputed outside.
+    These kernels have no grid (one program owns the core), so raising the
+    ceiling trades nothing away; v5e VMEM is 128 MiB."""
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 # tests flip this to run the exact production kernels on CPU
 _INTERPRET = False
 
@@ -567,8 +577,14 @@ def fused_pcg_update(rz_old, r, z, p):
 
 def pcg3_eligible(shape, dtype) -> bool:
     """Gate for the fully-fused rank-3 spectral PCG loop. Separate knob
-    (DIFFPISO_FUSED_PCG3, default OFF until TPU-validated) so it can be
-    A/B'd independently of the bare fused preconditioner apply."""
+    (DIFFPISO_FUSED_PCG3) so it can be A/B'd independently of the bare
+    fused preconditioner apply. Default OFF by measurement: TPU-validated
+    correct (runs/lowering.log PCG3 OK, iteration parity 11=11) but the
+    full-config A/B at 128^3 turb LOSES — fwd 248.5 (vs 261.7 with just
+    ADV3), grad10 95.4 (vs 110.9 baseline, -14%): the warm-started
+    production solves run ~1 iteration, so 6 z-gridded launches + the XLA
+    verification matvec cost more than the plain fused-PCG path they
+    replace (runs/ab_3d.log, 2 reps)."""
     if os.environ.get("DIFFPISO_FUSED_PCG3", "never") == "never":
         return False
     if not _PALLAS_AVAILABLE:
@@ -896,6 +912,7 @@ def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_mxu_compiler_params(),
     )(v0, v1, symbol, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
     return po, rz[0]
 
@@ -907,9 +924,10 @@ def spectral_eligible(shape, dtype) -> bool:
     """Fused MatmulSpectralSolver apply: rank-2 only, all planes resident —
     V0 (n0,n0) + V1 (n1,n1) + r/z/2 temps (n0,n1). The DNS 512x2048 aspect
     ratio blows the basis budget (n1^2 = 16 MiB) and stays on XLA."""
-    # default OFF until the Mosaic lowering of the transposed dot_general
-    # forms is validated on the real TPU (tunnel down when this landed);
-    # flip to "auto" with the A/B numbers
+    # rank-2 gate: TPU lowering validated 2026-08-18 (every basis family +
+    # the unaligned 513x512 cavity shape, runs/lowering.log); default
+    # pending the 512^2 A/B re-run (first attempt hit the 16 MiB scoped
+    # vmem ceiling at 513x512 before _mxu_compiler_params raised it)
     mode = os.environ.get("DIFFPISO_FUSED_SPECTRAL", "never")
     if mode == "never":
         return False
@@ -937,7 +955,12 @@ def spectral_eligible_3d(shape, dtype) -> bool:
     """Fused rank-3 MatmulSpectralSolver apply (3 launches: z-gridded (y,x)
     analysis, column-blocked z-transform + symbol divide, z-gridded (y,x)
     synthesis). Per-program VMEM is tiny (one plane + two bases / one slab),
-    so the budget gate is only a sanity bound."""
+    so the budget gate is only a sanity bound. Default OFF by measurement:
+    TPU-validated correct (runs/lowering.log, rel-err 2.3e-7 at HIGHEST)
+    but the 128^3 turb A/B LOSES — fwd 232.6 vs 244.3 baseline (-5%),
+    grad10 103.2 vs 110.9: at ~1 warm-started iteration per solve the 3
+    launches replace XLA ops the compiler already fuses competitively, and
+    the z-gridded launch overhead dominates (runs/ab_3d.log, 2 reps)."""
     mode = os.environ.get("DIFFPISO_FUSED_SPECTRAL", "never")
     if mode == "never":
         return False
@@ -1092,4 +1115,5 @@ def fused_spectral_apply(v0, v1, symbol, r, precision):
         in_specs=_vmem_specs(4),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_INTERPRET,
+        compiler_params=_mxu_compiler_params(),
     )(v0, v1, symbol, r)
