@@ -250,6 +250,14 @@ def advassembly_masked_eligible(velocity, active_mask, viscosity,
                                 periodic) -> bool:
     import os
 
+    # default OFF by measurement (runs/ab_advm.log, 2 reps): the monolithic
+    # masked kernel cannot compile at the production 512^2 cavity (operand
+    # residency past the Mosaic stack — see runs/check_spectral_lowering.py)
+    # and at its largest eligible scale (256^2 cavity) it trades +3.4% fwd
+    # (8720 vs 8439) for -4.4% grad30 (2150 vs 2244): a net loss for the
+    # training workloads bounded domains exist for. Re-flip if a row-tiled
+    # variant lands that reaches 512^2 with a forward win that survives
+    # the adjoint.
     if os.environ.get("DIFFPISO_FUSED_ADVM", "never") == "never":
         return False
     if not _PALLAS_AVAILABLE:

@@ -238,8 +238,13 @@ def _grad2_impl(fs, p):
 
 
 def eligible2m(comp_shapes, out_shape, dtype) -> bool:
-    """Monolithic mixed/bounded eligibility: every operand resident."""
-    if os.environ.get("DIFFPISO_FUSED_FVM", "never") == "never":
+    """Monolithic mixed/bounded eligibility: every operand resident.
+
+    Default ON: TPU-validated at the 513x512 cavity shape (runs/
+    lowering.log BOUNDED FV OK) and A/B'd on the 512^2 developed cavity
+    (runs/ab_advm.log, 2 reps): fwd 3196.4 vs 3058.0 baseline (+4.5%),
+    grad30 827.0 vs 820.5 (neutral)."""
+    if os.environ.get("DIFFPISO_FUSED_FVM", "auto") == "never":
         return False
     if not _PALLAS_AVAILABLE:
         return False
