@@ -925,9 +925,15 @@ def spectral_eligible(shape, dtype) -> bool:
     V0 (n0,n0) + V1 (n1,n1) + r/z/2 temps (n0,n1). The DNS 512x2048 aspect
     ratio blows the basis budget (n1^2 = 16 MiB) and stays on XLA."""
     # rank-2 gate: TPU lowering validated 2026-08-18 (every basis family +
-    # the unaligned 513x512 cavity shape, runs/lowering.log); default
-    # pending the 512^2 A/B re-run (first attempt hit the 16 MiB scoped
-    # vmem ceiling at 513x512 before _mxu_compiler_params raised it)
+    # the unaligned 513x512 cavity shape, runs/lowering.log) but default
+    # OFF by measurement (runs/ab_spectral.log, 2 reps): turb 512^2 fwd
+    # 2638 vs 2087 (-21%), grad30 -18%; cavity fwd -8%, grad30 -18%. Root
+    # cause is structural, not a tuning miss: Mosaic contracts only at
+    # fp32 (HIGHEST, ~6 bf16 passes) while the XLA path runs the
+    # production "high" (3 passes) — the fused kernels' HBM-round-trip
+    # savings never recover the 2x matmul-pass penalty. Re-flip condition:
+    # a Mosaic release that lowers Precision.HIGH, or a workload that
+    # needs precision="highest" anyway (there the pass counts tie).
     mode = os.environ.get("DIFFPISO_FUSED_SPECTRAL", "never")
     if mode == "never":
         return False
