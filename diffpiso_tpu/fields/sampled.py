@@ -76,10 +76,12 @@ class SampledField:
     # -- rasterization -----------------------------------------------------
 
     def to_centered(self, domain) -> CenteredField:
-        """Scatter points into the cells of `domain` (nearest cell,
-        clamped to the box like sampled.py:45's edge snap)."""
+        """Scatter points into the cells of `domain`: nearest cell, wrapped
+        on periodic axes (points that drifted out of the box bin into the
+        wrapped cell, matching velocity_at_points' CIRCULAR interpolation)
+        and clamped on bounded axes (sampled.py:45's edge snap)."""
         res = domain.resolution
-        idx = _cell_indices(self.points, domain.box, res)
+        idx = _cell_indices(self.points, domain.box, res, domain.periodic)
         lin = _linearize(idx, res)
         n_cells = 1
         for n in res:
@@ -100,31 +102,38 @@ class SampledField:
                 f"{self.values.shape}"
             )
         res = domain.resolution
+        periodic = domain.periodic
         local = _local(self.points, domain.box)
         comps = []
         for d in range(self.rank):
-            idx_axes = []
+            idx = []
+            shape = []
             for ax in range(self.rank):
                 n = res[ax]
                 c = local[:, ax] * n
-                if ax == d:  # faces at integer index coords 0..n
-                    i = jnp.clip(jnp.round(c).astype(jnp.int32), 0, n)
-                    idx_axes.append((i, n + 1))
+                if ax == d:  # faces at integer index coords
+                    i = jnp.round(c).astype(jnp.int32)
+                    if periodic[ax]:
+                        # periodic axes store only the n unique faces
+                        # (fields/grid.py StaggeredField layout): face n IS
+                        # face 0, so wrap instead of allocating a duplicate
+                        i = jnp.mod(i, n)
+                        shape.append(n)
+                    else:
+                        i = jnp.clip(i, 0, n)
+                        shape.append(n + 1)
                 else:
-                    i = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n - 1)
-                    idx_axes.append((i, n))
-            shape = tuple(n for _, n in idx_axes)
-            lin = jnp.zeros_like(idx_axes[0][0])
-            stride = 1
-            for i, n in reversed(idx_axes):
-                lin = lin + i * stride
-                stride *= n
+                    i = jnp.floor(c).astype(jnp.int32)
+                    i = jnp.mod(i, n) if periodic[ax] else jnp.clip(i, 0, n - 1)
+                    shape.append(n)
+                idx.append(i)
             size = 1
             for n in shape:
                 size *= n
-            flat = _scatter(lin, self.values[:, d], size, self.mode)
-            comps.append(flat.reshape(shape))
-        return StaggeredField(tuple(comps), periodic=domain.periodic)
+            flat = _scatter(_linearize(idx, shape), self.values[:, d], size,
+                            self.mode)
+            comps.append(flat.reshape(tuple(shape)))
+        return StaggeredField(tuple(comps), periodic=periodic)
 
     def occupancy(self, domain) -> CenteredField:
         """1.0 in every cell containing at least one point ('any' mode,
@@ -141,12 +150,14 @@ def _local(points, box: Box):
     return (points - lower) / size
 
 
-def _cell_indices(points, box: Box, res):
+def _cell_indices(points, box: Box, res, periodic=None):
+    if periodic is None:
+        periodic = (False,) * len(res)
     local = _local(points, box)
     idx = []
     for ax, n in enumerate(res):
         i = jnp.floor(local[:, ax] * n).astype(jnp.int32)
-        idx.append(jnp.clip(i, 0, n - 1))
+        idx.append(jnp.mod(i, n) if periodic[ax] else jnp.clip(i, 0, n - 1))
     return idx
 
 

@@ -107,7 +107,12 @@ class Drift(Physics):
         if self.conserve:
             total = jnp.sum(data)
             new_total = jnp.sum(out)
-            out = out * jnp.where(
-                jnp.abs(new_total) > 1e-20, total / new_total, 1.0
-            )
+            # renormalize only when the totals are commensurate: a (near-)
+            # mean-zero tracer would otherwise get an unbounded factor, and
+            # the untaken total/new_total branch must be kept NaN-free for
+            # the gradient (double-where: grad of the untaken branch is
+            # inf*0 = NaN with a single where)
+            ok = jnp.abs(new_total) > 1e-6 * jnp.abs(total)
+            denom = jnp.where(ok, new_total, 1.0)
+            out = out * jnp.where(ok, total / denom, 1.0)
         return CenteredField(out) if isinstance(field, CenteredField) else out

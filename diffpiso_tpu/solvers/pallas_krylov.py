@@ -953,7 +953,9 @@ def spectral_eligible(shape, dtype) -> bool:
     if itemsize > 4:
         return False
     n0, n1 = shape
-    planes = n0 * n0 + n1 * n1 + 4 * n0 * n1
+    # residency: V0 + V1 bases, the full-plane safe symbol (an (n0,n1)
+    # operand since the _safe_symbol refactor), r, out, and ~2 h temps
+    planes = n0 * n0 + n1 * n1 + 5 * n0 * n1
     return planes * itemsize <= _VMEM_BUDGET_BYTES
 
 

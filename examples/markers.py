@@ -106,7 +106,8 @@ def main():
     os.makedirs(run, exist_ok=True)
     jitted = jax.jit(lambda v: jax.lax.scan(chunk, v, None, length=10)[0])
     t0 = time.time()
-    for i in range(max(1, args.steps // 10)):
+    n_chunks = max(1, round(args.steps / 10))
+    for i in range(n_chunks):
         values = jitted(values)
         dense = np.asarray(values["dense_marker"])
         pts = np.asarray(values["sparse_marker"].points)
@@ -120,7 +121,7 @@ def main():
             f"particle spread {pts.std(0).round(2)}", flush=True,
         )
     dt_wall = time.time() - t0
-    print(f"done: {args.steps} steps in {dt_wall:.1f}s -> {run}")
+    print(f"done: {10 * n_chunks} steps in {dt_wall:.1f}s -> {run}")
 
 
 if __name__ == "__main__":

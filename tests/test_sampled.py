@@ -96,6 +96,62 @@ def test_to_staggered_bins_faces():
     assert u[1, 3] == 7.0 and u.sum() == 7.0  # round(2.6) = 3
 
 
+def test_periodic_rasterization_wraps():
+    """On periodic domains escaped points bin into the WRAPPED cell (the
+    same convention velocity_at_points interpolates with), and staggered
+    components keep the unique-face layout (shape n, face n folds to 0)."""
+    box = Box.from_size((4.0, 4.0))
+    domain = Domain((4, 4), box, boundaries=PERIODIC)
+    pts = jnp.asarray(
+        [[-0.5, 1.5], [4.5, 1.5], [1.5, 9.5]], jnp.float32
+    )  # wrap to cells (3,1), (0,1), (1,1)
+    f = SampledField(pts, jnp.ones((3,), jnp.float32), mode="add")
+    got = np.asarray(f.to_centered(domain).data)
+    want = np.zeros((4, 4))
+    want[3, 1] = want[0, 1] = want[1, 1] = 1.0
+    np.testing.assert_allclose(got, want)
+
+    # staggered: unique faces only, face n == face 0
+    fv = SampledField(
+        jnp.asarray([[3.9, 1.5]], jnp.float32),  # y-face round(3.9)=4 -> 0
+        jnp.asarray([[2.0, 5.0]], jnp.float32),
+        mode="add",
+    )
+    st = fv.to_staggered(domain)
+    v, u = (np.asarray(c) for c in st.components)
+    assert v.shape == (4, 4) and u.shape == (4, 4)
+    assert v[0, 1] == 2.0 and v.sum() == 2.0
+    # shapes are binop-compatible with a real periodic velocity field
+    vel = domain.staggered_grid(0.0)
+    _ = st + vel
+
+
+def test_drift_conserve_gradient_finite_on_mean_zero_field():
+    """The conserve renormalization must not poison gradients when the
+    advected total is (near) zero — double-where regression."""
+    n = 8
+    box = Box.from_size((1.0, 1.0))
+    domain = Domain((n, n), box, boundaries=PERIODIC)
+    vel = StaggeredField(
+        (jnp.full((n, n), 0.2, jnp.float32),
+         jnp.full((n, n), 0.1, jnp.float32)),
+        periodic=(True, True),
+    )
+    drift = Drift(domain)
+    rng = np.random.RandomState(3)
+    marker = jnp.asarray(rng.randn(n, n), jnp.float32)
+    marker = marker - jnp.mean(marker)  # exactly mean-zero
+
+    def loss(m):
+        return jnp.sum(drift.step(m, dt=0.1, velocity=vel) ** 2)
+
+    g = jax.grad(loss)(marker)
+    assert np.isfinite(np.asarray(g)).all()
+    # zero field: gradient of sum(advected^2) is exactly zero, not NaN
+    g0 = jax.grad(loss)(jnp.zeros((n, n), jnp.float32))
+    np.testing.assert_allclose(np.asarray(g0), 0.0)
+
+
 def test_occupancy():
     box = Box.from_size((1.0, 1.0))
     domain = Domain((2, 2), box)
