@@ -472,12 +472,39 @@ def workload_dns(args, hrres=(128, 512)):
         f"[bench] dns {hrres}: {sps:.2f} steps/s (pressure iters/step {mean_iters})",
         file=sys.stderr,
     )
-    return {
+    out = {
         "workload": f"spatial mixing layer DNS {hrres[0]}x{hrres[1]}",
         "fwd_steps_per_sec": round(sps, 3),
         "fwd_pressure_iters_per_step": [round(float(x), 2) for x in mean_iters],
         "regime": _regime_label(mean_iters),
     }
+    if not args.fwd_only and not args.quick:
+        # adjoint-path scaling on the bounded DNS class: grad of a 30-step
+        # rollout loss w.r.t. a forcing field from the developed state,
+        # with the inflow perturbation frozen at the final spin-up time
+        # (the training loop differentiates exactly this step shape)
+        dv_frozen = setup.dirichlet_values(setup.perturbation(t))
+
+        def grad_step(v, p_, g1, g2, forcing):
+            return piso_step(
+                v, p_, setup.dt, setup.domain, setup.sim,
+                dirichlet_values=dv_frozen,
+                forcing_term=forcing,
+                pressure_inc1_guess=g1, pressure_inc2_guess=g2,
+                advection_tol=args.tol, pressure_tol=args.tol,
+            )
+
+        g_sps, g_iters = bench_grad(grad_step, vel, p, 30, 8)
+        out["grad30_steps_per_sec"] = round(g_sps, 3)
+        out["grad_pressure_iters_per_step"] = [
+            round(float(x), 2) for x in np.asarray(g_iters).reshape(-1)
+        ]
+        print(
+            f"[bench] dns {hrres} grad30: {g_sps:.2f} unrolled steps/s per "
+            f"grad eval",
+            file=sys.stderr,
+        )
+    return out
 
 
 def workload_training(args):

@@ -1,4 +1,4 @@
-"""Example-script smoke tests: the demo inventory (PARITY.md §2.4, 24
+"""Example-script smoke tests: the demo inventory (PARITY.md §2.4, 25
 examples) is part of the product surface, so a cheap subset runs each suite
 to guard import/API regressions. Subprocess execution keeps the examples in
 their native f32 config (conftest's x64-for-oracles setting breaks scan
@@ -38,6 +38,13 @@ def test_sample_patterns(tmp_path):
 def test_modular_plume(tmp_path):
     _run("modular_plume.py", ["--steps", "4", "--out", str(tmp_path)])
     assert (tmp_path / "modular_plume.npz").exists()
+
+
+def test_markers(tmp_path):
+    _run("markers.py", ["--steps", "10", "--out", str(tmp_path)])
+    import glob
+
+    assert glob.glob(str(tmp_path / "markers_*" / "frame_0000.npz"))
 
 
 def test_optimize_pressure():
