@@ -634,6 +634,39 @@ def pcg(
             fused_residual,
         )
 
+    # fully-fused rank-2 whole-solve spectral PCG (ONE launch for the
+    # entire solve incl. init residual, preconditioned loop, and
+    # verification) — see pallas_krylov.fused_pcg2_solve
+    if (
+        stencil is not None
+        and precond_mm is not None
+        and precond_zero_mean
+        and not isinstance(b, (tuple, list, dict))
+    ):
+        leaves2 = jax.tree_util.tree_leaves(b)
+        if len(leaves2) == 1 and getattr(leaves2[0], "ndim", 0) == 2:
+            from diffpiso_tpu.solvers.pallas_krylov import (
+                fused_pcg2_solve,
+                pcg2_eligible,
+            )
+
+            solver_mm2, w_mm2 = precond_mm
+            leaf2 = leaves2[0]
+            if (
+                len(solver_mm2.shape) == 2
+                and tuple(solver_mm2.shape) == tuple(leaf2.shape)
+                and pcg2_eligible(leaf2.shape, leaf2.dtype)
+            ):
+                x2, rn2, k2 = fused_pcg2_solve(
+                    stencil, leaf2, None if cold else x0, solver_mm2, w_mm2,
+                    tol, max_iter, deflate_mean=deflate_mean,
+                )
+                warn2 = (~jnp.isfinite(rn2)) | (rn2 > 100.0 * tol)
+                return SolveResult(
+                    x=x2, iterations=k2, residual_norm=rn2,
+                    converged=rn2 < tol, warn=warn2,
+                )
+
     # fully-fused rank-3 spectral-PCG loop (z-gridded launch kernels):
     # dispatches the whole solve when the stencil, preconditioner, and
     # shapes line up — see pallas_krylov.fused_pcg3_solve

@@ -917,6 +917,153 @@ def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
     return po, rz[0]
 
 
+# -- rank-2 fully-fused whole-solve spectral PCG (ONE launch) ---------------------
+#
+# The 2-D answer to the reference's fused CUDA CG loop
+# (pressure_solve_op.cu.cc:291-356, ~0 launches per iteration): the ENTIRE
+# preconditioned solve — initial residual, the while-loop (matvec, exact
+# mean deflation, MXU spectral preconditioner, updates, convergence test),
+# and the final verification residual — runs as one pallas launch with
+# every operand and carry VMEM-resident. The r3 trace (runs/trace2d.py)
+# shows the two pressure-solve conditionals cost 0.145 ms of the 0.341 ms
+# turb step at ~1.7 combined iterations: this kernel replaces their ~30
+# inter-dependent XLA kernels and HBM round trips per solve.
+# Semantics follow krylov.pcg with residual_reset=0 (the pcg3 precedent:
+# preconditioned pressure solves converge in 1-3 iterations, resets never
+# fire); the in-kernel preconditioner contracts at HIGHEST (Mosaic's only
+# fp32 mode) which at 512^2 costs ~4 us/iteration extra over XLA-HIGH —
+# negligible against the ~50 us of inter-kernel traffic it removes (the
+# opposite balance from the bare fused_spectral_apply, which lost because
+# it saved NO launches).
+
+
+def _pcg2_solve_kernel(deflate, max_iter, precision,
+                       c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
+                       out_x, out_rn, out_k):
+    shift, tol = sc[0], sc[1]
+    cv, lyv, hyv, lxv, hxv = c[:], ly[:], hy[:], lx[:], hx[:]
+    v0v, v1v, symv = v0[:], v1[:], sym[:]
+    bv = b[:]
+    eps = jnp.asarray(1e-30, bv.dtype)
+
+    def matvec(p):
+        q = cv * p
+        q = q + lyv * _roll(p, 1, 0)
+        q = q + hyv * _roll(p, -1, 0)
+        q = q + lxv * _roll(p, 1, 1)
+        q = q + hxv * _roll(p, -1, 1)
+        return q + shift * jnp.sum(p)
+
+    def minv(r):
+        h = _dot(v0v, r, ((1,), (0,)), precision)
+        h = _dot(h, v1v, ((1,), (1,)), precision)
+        h = h / symv
+        h = _dot(v0v, h, ((0,), (0,)), precision)
+        return _dot(h, v1v, ((1,), (0,)), precision)
+
+    def project(r):
+        return r - jnp.sum(r) / r.size if deflate else r
+
+    x = x0[:]
+    r = project(bv - matvec(x))
+    rnorm0 = jnp.max(jnp.abs(r))
+    z = minv(r)
+    rz0 = jnp.sum(r * z)
+
+    def cond(state):
+        rnorm, k = state[4], state[5]
+        return (rnorm >= tol) & jnp.isfinite(rnorm) & (k < max_iter)
+
+    def body(state):
+        x, r, p, rz, rnorm, k = state
+        q = matvec(p)
+        pq = jnp.sum(p * q)
+        alpha = jnp.where(jnp.abs(pq) > eps, rz / pq, 0.0)
+        x = x + alpha * p
+        r = project(r - alpha * q)
+        rnorm = jnp.max(jnp.abs(r))
+        zz = minv(r)
+        rz_new = jnp.sum(r * zz)
+        beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
+        return x, r, zz + beta * p, rz_new, rnorm, k + 1
+
+    x, r, p, rz, rnorm, k = jax.lax.while_loop(
+        cond, body, (x, r, z, rz0, rnorm0, jnp.zeros((), jnp.int32))
+    )
+    # final true residual (krylov.pcg's fused_residual verification; for a
+    # zero-iteration early exit this recomputes rnorm0 bit-identically)
+    rt = project(bv - matvec(x))
+    out_x[:] = x
+    out_rn[0] = jnp.max(jnp.abs(rt))
+    out_k[0] = k
+
+
+def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
+                     deflate_mean=True):
+    """Whole-solve rank-2 spectral PCG in one launch. Returns
+    (x, true_resid_norm, iterations); the caller derives warn. x0 None =
+    cold start (A@0 is exactly 0, so the uniform r0 path reproduces
+    krylov.pcg's cold r0 = project(b) bit-for-bit)."""
+    from diffpiso_tpu.solvers.fourier import _safe_symbol
+
+    dtype = b.dtype
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    v0, v1 = solver_mm._mats(dtype)
+    sym = _safe_symbol(solver_mm, weights, dtype)
+    prec = _mosaic_precision(solver_mm._precision())
+    sc = jnp.stack([jnp.asarray(lap.shift, dtype), jnp.asarray(tol, dtype)])
+    xo, rn, k = pl.pallas_call(
+        functools.partial(_pcg2_solve_kernel, deflate_mean, int(max_iter),
+                          prec),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(5),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1], sc,
+      v0, v1, sym, b, x0)
+    return xo, rn[0], k[0]
+
+
+def pcg2_eligible(shape, dtype) -> bool:
+    """Gate for the whole-solve rank-2 spectral PCG (DIFFPISO_FUSED_PCG2,
+    default OFF until TPU-validated + A/B'd — flip with the numbers).
+    Residency: 5 stencil planes + b/x0/sym + while carries (x, r, p) +
+    ~3 temps ≈ 14 planes, the two bases, and the HIGHEST-dot scratch
+    (~18 MB measured at 512^2) under the 96 MiB compiler ceiling."""
+    if os.environ.get("DIFFPISO_FUSED_PCG2", "never") == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    n0, n1 = shape
+    planes = n0 * n0 + n1 * n1 + 16 * n0 * n1
+    return planes * itemsize <= 24 * 1024 * 1024
+
+
 # -- fused spectral preconditioner apply (2-D eigenbasis contractions) ------------
 
 

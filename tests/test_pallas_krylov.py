@@ -462,6 +462,42 @@ def test_fused_pcg_mm_update_through_pressure_solver(monkeypatch):
     assert not bool(w2) and int(it2) <= 2
 
 
+def test_fused_pcg2_whole_solve_through_pressure_solver(monkeypatch):
+    """The whole-solve rank-2 spectral PCG (ONE launch: init residual,
+    preconditioned while-loop with exact in-kernel mean deflation, final
+    verification) must match the jnp pcg path through solve_pressure_system:
+    same solution up to the singular system's constant gauge, same
+    iteration count, immediate warm-start convergence."""
+    lap, rhs = _system(rank_deficient=True)
+    cfg = PressureSolver(
+        max_iterations=200, deflate_mean=True,
+        preconditioner="dct_mm", adjoint_preconditioner="dct_mm",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "pcg2_eligible", lambda *a, **k: True)
+    x_f, it_f, warn_f = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_f)
+    a = np.asarray(x_f) - np.asarray(x_f).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    assert abs(int(it_f) - int(it_ref)) <= 1
+    # warm start with the previous solution converges (near-)immediately,
+    # through the same single launch (the in-kernel while just never runs)
+    _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_f, 1e-5)
+    assert not bool(w2) and int(it2) <= 2
+    # under jit (the production trace context)
+    x_j, it_j, w_j = jax.jit(
+        lambda l, r: solve_pressure_system(cfg, l, r, None, 1e-6)
+    )(lap, rhs)
+    assert not bool(w_j)
+    np.testing.assert_allclose(
+        np.asarray(x_j) - np.asarray(x_j).mean(), b, atol=5e-5
+    )
+
+
 def _system3_periodic(res=(6, 8, 16), seed=2):
     """Rank-deficient all-periodic 3-D pressure system (the turb3d shape)."""
     nz, ny, nx = res
