@@ -937,6 +937,29 @@ def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
 # it saved NO launches).
 
 
+def _bf16x3_dot(a_hi, a_lo, h, dims, contract_a):
+    """3-pass bf16 contraction of an f32 `h` against a pre-split f32
+    operand (a = a_hi + a_lo in bf16): Mosaic only lowers DEFAULT (1 bf16
+    pass) and HIGHEST (fp32, ~6 passes) dot precision, so Precision.HIGH —
+    the XLA path's production setting — is reproduced manually: hi*hi +
+    hi*lo + lo*hi, each a DEFAULT bf16 dot accumulating to f32. This is
+    exactly XLA's HIGH decomposition, so the in-kernel preconditioner
+    matches the jnp path's precision AND pass count (3 vs HIGHEST's 6).
+    `contract_a` says whether `a` is the lhs (True) or rhs."""
+    h_hi = h.astype(jnp.bfloat16)
+    h_lo = (h - h_hi.astype(h.dtype)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        lhs, rhs = (u, v) if contract_a else (v, u)
+        return jax.lax.dot_general(
+            lhs, rhs, (dims, ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(a_hi, h_hi) + d(a_hi, h_lo) + d(a_lo, h_hi)
+
+
 def _pcg2_solve_kernel(deflate, max_iter, precision,
                        c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
                        out_x, out_rn, out_k):
@@ -954,12 +977,29 @@ def _pcg2_solve_kernel(deflate, max_iter, precision,
         q = q + hxv * _roll(p, -1, 1)
         return q + shift * jnp.sum(p)
 
-    def minv(r):
-        h = _dot(v0v, r, ((1,), (0,)), precision)
-        h = _dot(h, v1v, ((1,), (1,)), precision)
-        h = h / symv
-        h = _dot(v0v, h, ((0,), (0,)), precision)
-        return _dot(h, v1v, ((1,), (0,)), precision)
+    if precision == jax.lax.Precision.HIGH and not _INTERPRET:
+        # split the (static) bases once per solve; every iteration's four
+        # contractions then run as 3-pass bf16 (see _bf16x3_dot)
+        v0_hi = v0v.astype(jnp.bfloat16)
+        v0_lo = (v0v - v0_hi.astype(v0v.dtype)).astype(jnp.bfloat16)
+        v1_hi = v1v.astype(jnp.bfloat16)
+        v1_lo = (v1v - v1_hi.astype(v1v.dtype)).astype(jnp.bfloat16)
+
+        def minv(r):
+            h = _bf16x3_dot(v0_hi, v0_lo, r, ((1,), (0,)), True)
+            h = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (1,)), False)
+            h = h / symv
+            h = _bf16x3_dot(v0_hi, v0_lo, h, ((0,), (0,)), True)
+            return _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (0,)), False)
+    else:
+        mosaic_prec = _mosaic_precision(precision)
+
+        def minv(r):
+            h = _dot(v0v, r, ((1,), (0,)), mosaic_prec)
+            h = _dot(h, v1v, ((1,), (1,)), mosaic_prec)
+            h = h / symv
+            h = _dot(v0v, h, ((0,), (0,)), mosaic_prec)
+            return _dot(h, v1v, ((1,), (0,)), mosaic_prec)
 
     def project(r):
         return r - jnp.sum(r) / r.size if deflate else r
@@ -967,28 +1007,33 @@ def _pcg2_solve_kernel(deflate, max_iter, precision,
     x = x0[:]
     r = project(bv - matvec(x))
     rnorm0 = jnp.max(jnp.abs(r))
-    z = minv(r)
-    rz0 = jnp.sum(r * z)
 
+    # the preconditioner apply lives INSIDE the body (classic PCG
+    # restructure: beta_k = rz_k / rz_{k-1} with rz_0/p_0 seeded by the
+    # first body run via p=0, rz=1): warm-converged solves (the cavity
+    # class averages 0.01-0.5 iterations) run ZERO MXU contractions, which
+    # the first cut of this kernel paid on every call (A/B'd -12% cavity).
     def cond(state):
         rnorm, k = state[4], state[5]
         return (rnorm >= tol) & jnp.isfinite(rnorm) & (k < max_iter)
 
     def body(state):
         x, r, p, rz, rnorm, k = state
+        z = minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
+        p = z + beta * p
         q = matvec(p)
         pq = jnp.sum(p * q)
-        alpha = jnp.where(jnp.abs(pq) > eps, rz / pq, 0.0)
+        alpha = jnp.where(jnp.abs(pq) > eps, rz_new / pq, 0.0)
         x = x + alpha * p
         r = project(r - alpha * q)
-        rnorm = jnp.max(jnp.abs(r))
-        zz = minv(r)
-        rz_new = jnp.sum(r * zz)
-        beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
-        return x, r, zz + beta * p, rz_new, rnorm, k + 1
+        return x, r, p, rz_new, jnp.max(jnp.abs(r)), k + 1
 
     x, r, p, rz, rnorm, k = jax.lax.while_loop(
-        cond, body, (x, r, z, rz0, rnorm0, jnp.zeros((), jnp.int32))
+        cond, body,
+        (x, r, jnp.zeros_like(bv), jnp.asarray(1.0, bv.dtype), rnorm0,
+         jnp.zeros((), jnp.int32)),
     )
     # final true residual (krylov.pcg's fused_residual verification; for a
     # zero-iteration early exit this recomputes rnorm0 bit-identically)
@@ -1036,14 +1081,28 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     return xo, rn[0], k[0]
 
 
-def pcg2_eligible(shape, dtype) -> bool:
-    """Gate for the whole-solve rank-2 spectral PCG (DIFFPISO_FUSED_PCG2,
-    default OFF until TPU-validated + A/B'd — flip with the numbers).
+def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
+    """Gate for the whole-solve rank-2 spectral PCG (DIFFPISO_FUSED_PCG2).
+    Modes: never | fwd (forward solves only) | auto (forward solves always;
+    ADJOINT solves — early_exit=False, solvers/base.py:388 — only on
+    sublane/lane-aligned planes) | all (both, unconditionally). Default
+    auto by A/B (runs/ab_pcg2.log, 2 reps, restructured kernel): turb 512^2
+    fwd 3947 vs 2632 (+50%), grad30 1134 vs 1015 (+12%); cavity 513x512 fwd
+    +17%, but its grad30 lost 6-17% with the adjoint fused — the unaligned
+    513-row plane pays Mosaic padding on every in-loop matvec/contraction,
+    and only the adjoint's colder solves iterate enough to expose it —
+    hence the alignment condition instead of a blanket adjoint fuse.
     Residency: 5 stencil planes + b/x0/sym + while carries (x, r, p) +
     ~3 temps ≈ 14 planes, the two bases, and the HIGHEST-dot scratch
     (~18 MB measured at 512^2) under the 96 MiB compiler ceiling."""
-    if os.environ.get("DIFFPISO_FUSED_PCG2", "never") == "never":
+    mode = os.environ.get("DIFFPISO_FUSED_PCG2", "auto")
+    if mode == "never":
         return False
+    if not early_exit:  # adjoint solve
+        if mode == "fwd":
+            return False
+        if mode == "auto" and not (shape[0] % 8 == 0 and shape[1] % 128 == 0):
+            return False
     if not _PALLAS_AVAILABLE:
         return False
     from diffpiso_tpu.ops import pallas_stencil as _ps

@@ -544,3 +544,38 @@ def test_fused_pcg3_through_pressure_solver(monkeypatch):
     # warm start with the previous solution converges (near-)immediately
     _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_f, 1e-5)
     assert not bool(w2) and int(it2) <= 2
+
+
+def test_pcg2_eligibility_adjoint_gate(monkeypatch):
+    """DIFFPISO_FUSED_PCG2 mode semantics (pallas_krylov.pcg2_eligible):
+    auto fuses every forward solve but fuses ADJOINT solves
+    (early_exit=False, solvers/base.py adjoint channel) only on
+    sublane/lane-aligned planes — the measured win/loss boundary
+    (runs/ab_pcg2.log: aligned 512^2 turb grad +12%, unaligned 513x512
+    cavity grad -12%). fwd restricts to forward solves; all ignores
+    alignment; never disables."""
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)  # skip backend gate
+    elig = pallas_krylov.pcg2_eligible
+    aligned, unaligned = (512, 512), (513, 512)
+
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "auto")
+    assert elig(aligned, jnp.float32)
+    assert elig(unaligned, jnp.float32)
+    assert elig(aligned, jnp.float32, early_exit=False)
+    assert not elig(unaligned, jnp.float32, early_exit=False)
+
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "fwd")
+    assert elig(unaligned, jnp.float32)
+    assert not elig(aligned, jnp.float32, early_exit=False)
+
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "all")
+    assert elig(unaligned, jnp.float32, early_exit=False)
+
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "never")
+    assert not elig(aligned, jnp.float32)
+
+    # the VMEM-residency bound is mode-independent (1024^2 exceeds the
+    # 24 MiB plane budget; f64 always ineligible)
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "all")
+    assert not elig((1024, 1024), jnp.float32)
+    assert not elig(aligned, jnp.float64)
