@@ -322,6 +322,7 @@ def bicgstab(
     jac_mode = os.environ.get("DIFFPISO_ADV_JACOBI", "all")
     jac_on = jac_mode == "all" or (jac_mode == "adjoint" and transpose)
     jac3d = False
+    jac2 = False
     if (
         jac_on
         and not fused
@@ -337,8 +338,25 @@ def bicgstab(
             c.ndim == 3 and eligible_3d(c.shape, c.dtype)
             for c in stencil.center
         )
-    if (fused or jac3d) and jac_on:
+    if (
+        jac_on
+        and not jac3d
+        and stencil is not None
+        and inv_diag is not None
+        and hasattr(b, "components")
+    ):
+        from diffpiso_tpu.solvers.pallas_krylov import jac2_eligible
+
+        # whole-solve single-launch momentum kernel (covers both the fused
+        # 512^2 class AND larger 2-D shapes where the 12-plane fused-BiCGSTAB
+        # budget is exceeded but the 26-plane jac2 ceiling is not)
+        comps = list(stencil.center)
+        jac2 = all(c.ndim == 2 for c in comps) and jac2_eligible(
+            tuple(c.shape for c in comps), comps[0].dtype
+        )
+    if (fused or jac3d or jac2) and jac_on:
         from diffpiso_tpu.solvers.pallas_krylov import (
+            fused_jacobi2_solve,
             fused_jacobi_sweep_3d,
             fused_jacobi_sweeps,
         )
@@ -384,12 +402,23 @@ def bicgstab(
             return (tuple(o[0] for o in outs), n, j + 1)
 
         dtype = jax.tree_util.tree_leaves(b)[0].dtype
-        if jac3d:
+        if jac2:
+            # whole-solve: the ENTIRE sweep loop (init residual, per-sweep
+            # convergence test, true exit residual) runs as ONE launch for
+            # both components — replaces the probe pair + per-trip launch
+            # pairs below; same total sweep budget
+            xo0, xo1, jn = fused_jacobi2_solve(
+                st_cs, b_c, tuple(x0.components), sgn, transpose, tol,
+                1 + max_launches * sweeps_per_launch,
+            )
+            x_c = (xo0, xo1)
+        elif jac3d:
             # the 3-D sweep reports the PRE-update residual, so the first
             # trip's norm is x0's true residual: warm-converged solves exit
             # after one launch with no probe needed
             init = (tuple(x0.components), jnp.asarray(jnp.inf, dtype),
                     jnp.zeros((), jnp.int32))
+            x_c, jn, _ = jax.lax.while_loop(jcond, jbody, init)
         else:
             # k=1 probe launch (2 in-core matvecs): warm-started solves that
             # are already at tol exit as cheaply as the Krylov skip path did,
@@ -404,7 +433,7 @@ def bicgstab(
             for o in probe[1:]:
                 n0 = jnp.maximum(n0, o[1])
             init = (tuple(o[0] for o in probe), n0, jnp.zeros((), jnp.int32))
-        x_c, jn, _ = jax.lax.while_loop(jcond, jbody, init)
+            x_c, jn, _ = jax.lax.while_loop(jcond, jbody, init)
         x0 = type(b)(x_c, periodic=b.periodic)
         x, rnorm, k = jax.lax.cond(
             jn < tol,

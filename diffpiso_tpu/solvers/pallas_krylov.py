@@ -379,6 +379,132 @@ def fused_jacobi_sweeps(st_c, b, x, k, sgn, transpose):
     return xn, n[0]
 
 
+# -- whole-solve 2-D momentum Jacobi (ONE launch for BOTH components) ---------------
+# The pcg2 pattern applied to the momentum solve: today's accelerator costs
+# a k=1 probe launch per component plus a while-loop of k-sweep launches
+# (2 launches/trip) with scalar reductions rendezvousing in XLA between
+# them. This kernel runs the ENTIRE Jacobi-Richardson solve for both
+# velocity components as one launch: maintained residuals give one in-core
+# matvec per sweep (x += D^-1 r; r -= A D^-1 r), the convergence test runs
+# per sweep instead of per k sweeps, and the final TRUE residual is
+# recomputed for warn parity (the maintained r only drifts at the 1e-7
+# level over the <=33-sweep budget, but warn must gate on b - A x).
+# Warm-converged solves (cavity class) exit after the init residual — the
+# same 2-matvec cost as the old probe launch but without its launch pair.
+
+
+def _jacobi2_solve_kernel(transpose, max_sweeps,
+                          c0, ly0, hy0, lx0, hx0, b0, x0,
+                          c1, ly1, hy1, lx1, hx1, b1, x1,
+                          sc, out_x0, out_x1, out_n):
+    sgn, tol = sc[0], sc[1]
+    cv0, lyv0, hyv0, lxv0, hxv0 = c0[:], ly0[:], hy0[:], lx0[:], hx0[:]
+    cv1, lyv1, hyv1, lxv1, hxv1 = c1[:], ly1[:], hy1[:], lx1[:], hx1[:]
+    bv0, bv1 = b0[:], b1[:]
+    d0 = sgn * cv0
+    d1 = sgn * cv1
+    iv0 = jnp.where(jnp.abs(d0) > 1e-30, 1.0 / d0, 1.0)
+    iv1 = jnp.where(jnp.abs(d1) > 1e-30, 1.0 / d1, 1.0)
+
+    def mv0(p):
+        return _adv_matvec(cv0, lyv0, hyv0, lxv0, hxv0, p, transpose, sgn)
+
+    def mv1(p):
+        return _adv_matvec(cv1, lyv1, hyv1, lxv1, hxv1, p, transpose, sgn)
+
+    xv0, xv1 = x0[:], x1[:]
+    r0 = bv0 - mv0(xv0)
+    r1 = bv1 - mv1(xv1)
+    n0 = jnp.maximum(jnp.max(jnp.abs(r0)), jnp.max(jnp.abs(r1)))
+
+    def cond(state):
+        n, j = state[4], state[5]
+        return (n > tol) & (j < max_sweeps)
+
+    def body(state):
+        xv0, xv1, r0, r1, _, j = state
+        d0 = iv0 * r0
+        d1 = iv1 * r1
+        xv0 = xv0 + d0
+        xv1 = xv1 + d1
+        r0 = r0 - mv0(d0)
+        r1 = r1 - mv1(d1)
+        n = jnp.maximum(jnp.max(jnp.abs(r0)), jnp.max(jnp.abs(r1)))
+        return xv0, xv1, r0, r1, n, j + 1
+
+    xv0, xv1, r0, r1, n, j = jax.lax.while_loop(
+        cond, body, (xv0, xv1, r0, r1, n0, jnp.zeros((), jnp.int32)))
+    # true exit residual (the per-launch accelerator reports b - A x too)
+    nt0 = jnp.max(jnp.abs(bv0 - mv0(xv0)))
+    nt1 = jnp.max(jnp.abs(bv1 - mv1(xv1)))
+    out_x0[:] = xv0
+    out_x1[:] = xv1
+    out_n[0] = jnp.maximum(nt0, nt1)
+
+
+def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
+    """Whole-solve Jacobi-Richardson for a 2-component 2-D momentum system
+    in ONE launch. st_cs = [(c, lo, hi)] * 2, b_c/x_c = component tuples.
+    Returns (x0', x1', true max-residual over both components). The caller
+    keeps its BiCGSTAB fallback cond on the returned norm — failure/warn
+    semantics identical to the per-launch accelerator it replaces."""
+    (c0, lo0, hi0), (c1, lo1, hi1) = st_cs
+    b0, b1 = b_c
+    x0, x1 = x_c
+    s0 = jax.ShapeDtypeStruct(b0.shape, b0.dtype)
+    s1 = jax.ShapeDtypeStruct(b1.shape, b1.dtype)
+    sc = jnp.stack([jnp.asarray(sgn, b0.dtype), jnp.asarray(tol, b0.dtype)])
+    xo0, xo1, n = pl.pallas_call(
+        functools.partial(_jacobi2_solve_kernel, transpose, int(max_sweeps)),
+        out_shape=(s0, s1, jax.ShapeDtypeStruct((1,), b0.dtype)),
+        in_specs=_vmem_specs(7) + _vmem_specs(7) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # 14 input planes + 4 while carries + ~4 temps; the default
+            # 16 MiB scoped stack is short at 512^2 (22+ f32 planes)
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(c0, lo0[0], hi0[0], lo0[1], hi0[1], b0, x0,
+      c1, lo1[0], hi1[0], lo1[1], hi1[1], b1, x1, sc)
+    return xo0, xo1, n[0]
+
+
+def jac2_eligible(shapes, dtype) -> bool:
+    """Gate for the whole-solve momentum kernel (DIFFPISO_FUSED_JAC2:
+    never | auto). Requires exactly 2 rank-2 components whose ~26 resident
+    planes fit the compiler ceiling; rides the DIFFPISO_ADV_JACOBI mode for
+    the fwd/adjoint split (this kernel replaces the accelerator's launch
+    loop, not the BiCGSTAB fallback)."""
+    mode = os.environ.get("DIFFPISO_FUSED_JAC2", "auto")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shapes) != 2:
+        return False
+    if any(len(s) != 2 for s in shapes):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    planes = sum(s[0] * s[1] for s in shapes)
+    # 7 input planes + x/r/d carries + temps per component ~ 13x each
+    return 13 * planes * itemsize <= 72 * 1024 * 1024
+
+
 def eligible_3d(shape, dtype) -> bool:
     """3-D Jacobi-sweep eligibility: z-plane-gridded launch holding ~13
     (ny, nx) plane blocks per program (ops/pallas_stencil.py:271-322 is the
@@ -1056,7 +1182,10 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
         x0 = jnp.zeros_like(b)
     v0, v1 = solver_mm._mats(dtype)
     sym = _safe_symbol(solver_mm, weights, dtype)
-    prec = _mosaic_precision(solver_mm._precision())
+    # pass the RAW precision: the kernel itself lowers HIGH as the manual
+    # bf16x3 decomposition (3 DEFAULT passes, exactly XLA-HIGH) and only
+    # coerces to HIGHEST for everything else Mosaic can't lower
+    prec = solver_mm._precision()
     sc = jnp.stack([jnp.asarray(lap.shift, dtype), jnp.asarray(tol, dtype)])
     xo, rn, k = pl.pallas_call(
         functools.partial(_pcg2_solve_kernel, deflate_mean, int(max_iter),
@@ -1074,11 +1203,26 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
         ),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
+            # adaptive ceiling: the 512^2 production shape compiles in 96
+            # MiB; larger eligible shapes (env-raised budget) get headroom
+            # up to just under the 128 MiB v5e VMEM. Margin measured at
+            # 1024^2: the while-body stack needs plane_bytes + 29.3 MiB as
+            # a bare solve but + 37.3 MiB inside the full PISO step (the
+            # compile logs in runs/ab_pcg2_large.log), so 44 MiB.
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                max(96 * 1024 * 1024,
+                    _pcg2_plane_bytes(b.shape, dtype) + 44 * 1024 * 1024),
+            )
         ),
     )(lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1], sc,
       v0, v1, sym, b, x0)
     return xo, rn[0], k[0]
+
+
+def _pcg2_plane_bytes(shape, dtype):
+    n0, n1 = shape
+    return (n0 * n0 + n1 * n1 + 16 * n0 * n1) * jnp.dtype(dtype).itemsize
 
 
 def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
@@ -1115,12 +1259,18 @@ def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
         return False
     if len(shape) != 2:
         return False
-    itemsize = jnp.dtype(dtype).itemsize
-    if itemsize > 4:
+    if jnp.dtype(dtype).itemsize > 4:
         return False
-    n0, n1 = shape
-    planes = n0 * n0 + n1 * n1 + 16 * n0 * n1
-    return planes * itemsize <= 24 * 1024 * 1024
+    # DIFFPISO_PCG2_MIB raises the plane budget past the 512^2 class, but
+    # the 1024^2-class shapes (planes >= ~72 MiB) hit a hard Mosaic wall
+    # INSIDE the full PISO step: the kernel's scoped-vmem reservation
+    # tracks whatever ceiling it is given (measured at limits 96/108/116
+    # MiB — each compile OOMs exactly ~1.3 MiB over the limit, the
+    # enclosing cond's staging), so no ceiling under the 128 MiB VMEM
+    # converges. Negative result recorded runs/ab_pcg2_large.log; the
+    # bare solve DOES compile at 108 MiB (runs/check_pcg2_lowering.py).
+    budget_mib = int(os.environ.get("DIFFPISO_PCG2_MIB", "24"))
+    return _pcg2_plane_bytes(shape, dtype) <= budget_mib * 1024 * 1024
 
 
 # -- fused spectral preconditioner apply (2-D eigenbasis contractions) ------------

@@ -196,11 +196,14 @@ def _adv_system(n, center_mag, seed=11):
     return st, b, diag
 
 
+@pytest.mark.parametrize("jac2", ["auto", "never"])
 @pytest.mark.parametrize("transpose", [False, True])
-def test_jacobi_accelerator_matches_generic(transpose, monkeypatch):
+def test_jacobi_accelerator_matches_generic(transpose, jac2, monkeypatch):
     """The fused Jacobi-sweep accelerator must reach the same solution as
     the generic BiCGSTAB on a diagonally dominant system — and must
-    short-circuit the Krylov loop entirely (iterations == 0)."""
+    short-circuit the Krylov loop entirely (iterations == 0). jac2=auto
+    routes through the whole-solve single-launch kernel
+    (fused_jacobi2_solve); never keeps the per-launch sweep loop."""
     from diffpiso_tpu.ops.stencil import apply_stencil, apply_stencil_transpose
     from diffpiso_tpu.solvers import krylov
 
@@ -208,6 +211,7 @@ def test_jacobi_accelerator_matches_generic(transpose, monkeypatch):
     monkeypatch.setattr(pallas_krylov, "_roll",
                         lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC2", jac2)
     st, b, diag = _adv_system(24, center_mag=10.0)
     ap = apply_stencil_transpose if transpose else apply_stencil
     apply_A = lambda v: ap(st, v, negate=True)
@@ -228,7 +232,8 @@ def test_jacobi_accelerator_matches_generic(transpose, monkeypatch):
                                    atol=1e-5)
 
 
-def test_jacobi_accelerator_falls_back_when_not_dominant(monkeypatch):
+@pytest.mark.parametrize("jac2", ["auto", "never"])
+def test_jacobi_accelerator_falls_back_when_not_dominant(jac2, monkeypatch):
     """On a NON-dominant system the sweeps miss tol and BiCGSTAB must take
     over from wherever they stopped — same answer, no warn."""
     from diffpiso_tpu.ops.stencil import apply_stencil
@@ -238,6 +243,7 @@ def test_jacobi_accelerator_falls_back_when_not_dominant(monkeypatch):
     monkeypatch.setattr(pallas_krylov, "_roll",
                         lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC2", jac2)
     # |center| ~ 1.6 vs off-diagonal mass ~ 4*0.4: Jacobi diverges/stalls
     st, b, diag = _adv_system(16, center_mag=1.6, seed=3)
     apply_A = lambda v: apply_stencil(st, v, negate=True)
@@ -256,6 +262,49 @@ def test_jacobi_accelerator_falls_back_when_not_dominant(monkeypatch):
     for a, r in zip(out.x.components, ref.x.components):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3,
                                    atol=5e-4)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_jacobi2_whole_solve_mixed_shapes(transpose, monkeypatch):
+    """Direct kernel test on a STAGGERED-like system whose two components
+    have different plane shapes (the bounded-domain case): the whole-solve
+    launch must match running the per-component sweep kernels to the same
+    sweep budget, and its reported norm must be the true residual."""
+    from diffpiso_tpu.ops.stencil import AdvectionStencil
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(5)
+    shapes = [(24, 32), (25, 32)]
+
+    def mk(shape, scale):
+        return jnp.asarray(scale * rng.randn(*shape), jnp.float32)
+
+    comps = []
+    for shp in shapes:
+        comps.append((
+            jnp.asarray(-9.0 + 0.3 * rng.randn(*shp), jnp.float32),
+            (mk(shp, 0.4), mk(shp, 0.4)),
+            (mk(shp, 0.4), mk(shp, 0.4)),
+        ))
+    st_cs = [(c[0], c[1], c[2]) for c in comps]
+    b_c = tuple(mk(shp, 1.0) for shp in shapes)
+    x_c = tuple(jnp.zeros(shp, jnp.float32) for shp in shapes)
+
+    xo0, xo1, n = pallas_krylov.fused_jacobi2_solve(
+        st_cs, b_c, x_c, -1.0, transpose, 1e-6, 33)
+    assert float(n) < 1e-6
+
+    # reference: per-component sweep kernels run to convergence
+    for ci, (xo, shp) in enumerate(((xo0, shapes[0]), (xo1, shapes[1]))):
+        xr = jnp.zeros(shp, jnp.float32)
+        for _ in range(9):
+            xr, nr = pallas_krylov.fused_jacobi_sweeps(
+                st_cs[ci], b_c[ci], xr, 4, -1.0, transpose)
+        assert float(nr) < 1e-6
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(xr),
+                                   rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("transpose", [False, True])
