@@ -275,7 +275,7 @@ def bench_forward(step, vel, p, steps_per_call, reps, spinup_calls=1):
     return sps, mean_iters, (vel, p)
 
 
-def bench_grad(step, vel0, p0, unroll, reps):
+def bench_grad(step, vel0, p0, unroll, reps, remat=False):
     """Time one jax.grad of an `unroll`-step rollout loss w.r.t. a forcing
     field, starting FROM THE GIVEN (developed) state; returns (unrolled
     steps/s per grad eval, mean solver iters inside the rollout).
@@ -283,16 +283,24 @@ def bench_grad(step, vel0, p0, unroll, reps):
     reps must keep total timed wall >= ~0.5 s: one grad call is ~60-90 ms
     at 512^2 and the tunnel adds ~26 ms dispatch per call, so reps=2 was
     ~0.2 s and gave +-6% run-to-run scatter (measured r3, /tmp A/B with
-    interleaved modes); reps=8 brings scatter under ~2%."""
+    interleaved modes); reps=8 brings scatter under ~2%.
+
+    remat=True wraps the step in jax.checkpoint so the backward scan stores
+    only per-step carries and replays each step's forward (incl. its
+    solves): slower per step but the ONLY way the 256^3-class fits the
+    16 GB HBM (the un-remat'd step stores every intermediate field of
+    every unrolled step). Measured-and-rejected for SPEED at 512^2 (r2);
+    used here for MEMORY at scale."""
     import jax
     import jax.numpy as jnp
 
     forcing0 = jax.tree_util.tree_map(jnp.zeros_like, vel0)
+    step_fn = jax.checkpoint(step) if remat else step
 
     def loss_fn(forcing, vel, p):
         def body(carry, _):
             vel, p, g1, g2 = carry
-            out = step(vel, p, g1, g2, forcing)
+            out = step_fn(vel, p, g1, g2, forcing)
             return (
                 out.velocity, out.pressure, out.pressure_inc1, out.pressure_inc2,
             ), (out.p_iterations, out.warn)
@@ -382,10 +390,20 @@ def workload_turb3d(args):
     }
     if not args.fwd_only:
         # grad at scale (VERDICT r2 item 5: the adjoint path must be shown
-        # to scale); unroll shortened to bound the stored-residual memory
+        # to scale); unroll shortened to bound the stored-residual memory.
+        # Past 128^3 the un-remat'd unrolled storage exceeds HBM: remat
+        # (jax.checkpoint per step) trades forward replays for memory and
+        # is what makes 256^3 gradients POSSIBLE at all on one chip.
         unroll = 5 if args.quick else 10
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 4)
+        remat = n >= 192 and not args.quick
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 4,
+                                          remat=remat)
         out[f"grad{unroll}_steps_per_sec"] = round(grad_sps, 3)
+        if remat:
+            out["grad_protocol"] = (
+                "jax.checkpoint per step (remat): forward replayed in the "
+                "backward scan — required to fit HBM at this scale"
+            )
     return out
 
 
@@ -772,7 +790,8 @@ def main():
                 "DIFFPISO_FUSED_FV", "DIFFPISO_FUSED_SPECTRAL",
                 "DIFFPISO_FUSED_PCG3", "DIFFPISO_FUSED_ADV3",
                 "DIFFPISO_FUSED_ADVM", "DIFFPISO_FUSED_FVM",
-                "DIFFPISO_DISABLE_PALLAS",
+                "DIFFPISO_FUSED_PCG2", "DIFFPISO_PCG2_MIB",
+                "DIFFPISO_FUSED_JAC2", "DIFFPISO_DISABLE_PALLAS",
             )
         }
         detail["turb"] = workload_turbulence(args)

@@ -323,6 +323,7 @@ def bicgstab(
     jac_on = jac_mode == "all" or (jac_mode == "adjoint" and transpose)
     jac3d = False
     jac2 = False
+    jac1 = False
     if (
         jac_on
         and not fused
@@ -345,17 +346,26 @@ def bicgstab(
         and inv_diag is not None
         and hasattr(b, "components")
     ):
-        from diffpiso_tpu.solvers.pallas_krylov import jac2_eligible
+        from diffpiso_tpu.solvers.pallas_krylov import (
+            jac1_eligible,
+            jac2_eligible,
+        )
 
         # whole-solve single-launch momentum kernel (covers both the fused
         # 512^2 class AND larger 2-D shapes where the 12-plane fused-BiCGSTAB
-        # budget is exceeded but the 26-plane jac2 ceiling is not)
+        # budget is exceeded but the 26-plane jac2 ceiling is not); when the
+        # JOINT kernel is over budget, per-component whole-solve launches
+        # (jac1: 1024^2/dns-class) are the fallback tier
         comps = list(stencil.center)
-        jac2 = all(c.ndim == 2 for c in comps) and jac2_eligible(
-            tuple(c.shape for c in comps), comps[0].dtype
-        )
-    if (fused or jac3d or jac2) and jac_on:
+        if all(c.ndim == 2 for c in comps):
+            jac2 = jac2_eligible(tuple(c.shape for c in comps),
+                                 comps[0].dtype)
+            jac1 = not jac2 and all(
+                jac1_eligible(c.shape, c.dtype) for c in comps
+            )
+    if (fused or jac3d or jac2 or jac1) and jac_on:
         from diffpiso_tpu.solvers.pallas_krylov import (
+            fused_jacobi1_solve,
             fused_jacobi2_solve,
             fused_jacobi_sweep_3d,
             fused_jacobi_sweeps,
@@ -412,6 +422,20 @@ def bicgstab(
                 1 + max_launches * sweeps_per_launch,
             )
             x_c = (xo0, xo1)
+        elif jac1:
+            # per-component whole-solve launches (exact: the system is
+            # block-diagonal per component); jn = max over components
+            outs = [
+                fused_jacobi1_solve(
+                    st_cs[ci], b_c[ci], tuple(x0.components)[ci], sgn,
+                    transpose, tol, 1 + max_launches * sweeps_per_launch,
+                )
+                for ci in range(ncomp)
+            ]
+            jn = outs[0][1]
+            for o in outs[1:]:
+                jn = jnp.maximum(jn, o[1])
+            x_c = tuple(o[0] for o in outs)
         elif jac3d:
             # the 3-D sweep reports the PRE-update residual, so the first
             # trip's norm is x0's true residual: warm-converged solves exit

@@ -474,6 +474,100 @@ def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
     return xo0, xo1, n[0]
 
 
+def _jacobi1_solve_kernel(transpose, max_sweeps,
+                          c, ly, hy, lx, hx, b, x, sc, out_x, out_n):
+    sgn, tol = sc[0], sc[1]
+    cv, lyv, hyv, lxv, hxv = c[:], ly[:], hy[:], lx[:], hx[:]
+    bv = b[:]
+    d = sgn * cv
+    iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
+
+    def mv(p):
+        return _adv_matvec(cv, lyv, hyv, lxv, hxv, p, transpose, sgn)
+
+    xv = x[:]
+    r = bv - mv(xv)
+
+    def cond(state):
+        n, j = state[2], state[3]
+        return (n > tol) & (j < max_sweeps)
+
+    def body(state):
+        xv, r, _, j = state
+        dlt = iv * r
+        xv = xv + dlt
+        r = r - mv(dlt)
+        return xv, r, jnp.max(jnp.abs(r)), j + 1
+
+    xv, r, n, j = jax.lax.while_loop(
+        cond, body, (xv, r, jnp.max(jnp.abs(r)), jnp.zeros((), jnp.int32)))
+    out_x[:] = xv
+    out_n[0] = jnp.max(jnp.abs(bv - mv(xv)))
+
+
+def fused_jacobi1_solve(st_c, b, x, sgn, transpose, tol, max_sweeps):
+    """Single-COMPONENT whole-solve Jacobi-Richardson (the large-shape
+    sibling of fused_jacobi2_solve: the advection system is block-diagonal
+    per velocity component, so per-component launches are exact — only the
+    exit test decouples, which is convergence-neutral or better). Halves
+    the VMEM residency: covers 1024^2/dns-class planes where the joint
+    kernel exceeds its budget. Returns (x', true max-residual)."""
+    c, lo, hi = st_c
+    sc = jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)])
+    nbytes = b.size * jnp.dtype(b.dtype).itemsize
+    xo, n = pl.pallas_call(
+        functools.partial(_jacobi1_solve_kernel, transpose, int(max_sweeps)),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1,), b.dtype),
+        ),
+        in_specs=_vmem_specs(7) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # 7 inputs + x/r carries + stencil-roll temps; measured needs
+            # (runs/ab_jac1.log): 16.15 planes at 1024^2 adjoint, 18.2
+            # planes at the 513x2048 dns component — 20 planes gives
+            # margin without tripping the reservation-tracks-ceiling
+            # behavior (no MXU buffers in this kernel)
+            vmem_limit_bytes=min(120 * 1024 * 1024,
+                                 max(48 * 1024 * 1024, 20 * nbytes)),
+        ),
+    )(c, lo[0], hi[0], lo[1], hi[1], b, x, sc)
+    return xo, n[0]
+
+
+def jac1_eligible(shape, dtype) -> bool:
+    """Per-component whole-solve gate (DIFFPISO_FUSED_JAC1, default auto):
+    the fallback tier when the joint two-component kernel exceeds its
+    budget. The measured scoped-stack need is ~16-18.2 planes of one
+    component (adjoint context, runs/ab_jac1.log); eligibility mirrors the
+    20-plane compiler ceiling so a gated shape can never OOM
+    (1024^2 f32: 80 MiB OK; dns 513x2048: 80 MiB OK; 2048^2: out)."""
+    mode = os.environ.get("DIFFPISO_FUSED_JAC1", "auto")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shape) != 2:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    return 20 * shape[0] * shape[1] * itemsize <= 120 * 1024 * 1024
+
+
 def jac2_eligible(shapes, dtype) -> bool:
     """Gate for the whole-solve momentum kernel (DIFFPISO_FUSED_JAC2:
     never | auto). Requires exactly 2 rank-2 components whose ~26 resident

@@ -196,14 +196,19 @@ def _adv_system(n, center_mag, seed=11):
     return st, b, diag
 
 
-@pytest.mark.parametrize("jac2", ["auto", "never"])
+@pytest.mark.parametrize("jac2,jac1", [
+    ("auto", "auto"),    # joint whole-solve kernel (fused_jacobi2_solve)
+    ("never", "auto"),   # per-component whole-solve tier (fused_jacobi1_solve)
+    ("never", "never"),  # per-launch sweep loop (fused_jacobi_sweeps)
+])
 @pytest.mark.parametrize("transpose", [False, True])
-def test_jacobi_accelerator_matches_generic(transpose, jac2, monkeypatch):
+def test_jacobi_accelerator_matches_generic(transpose, jac2, jac1,
+                                            monkeypatch):
     """The fused Jacobi-sweep accelerator must reach the same solution as
     the generic BiCGSTAB on a diagonally dominant system — and must
-    short-circuit the Krylov loop entirely (iterations == 0). jac2=auto
-    routes through the whole-solve single-launch kernel
-    (fused_jacobi2_solve); never keeps the per-launch sweep loop."""
+    short-circuit the Krylov loop entirely (iterations == 0) — through all
+    three dispatch tiers (joint whole-solve, per-component whole-solve,
+    per-launch sweep loop)."""
     from diffpiso_tpu.ops.stencil import apply_stencil, apply_stencil_transpose
     from diffpiso_tpu.solvers import krylov
 
@@ -212,6 +217,7 @@ def test_jacobi_accelerator_matches_generic(transpose, jac2, monkeypatch):
                         lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
     monkeypatch.setenv("DIFFPISO_FUSED_JAC2", jac2)
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC1", jac1)
     st, b, diag = _adv_system(24, center_mag=10.0)
     ap = apply_stencil_transpose if transpose else apply_stencil
     apply_A = lambda v: ap(st, v, negate=True)
@@ -232,8 +238,11 @@ def test_jacobi_accelerator_matches_generic(transpose, jac2, monkeypatch):
                                    atol=1e-5)
 
 
-@pytest.mark.parametrize("jac2", ["auto", "never"])
-def test_jacobi_accelerator_falls_back_when_not_dominant(jac2, monkeypatch):
+@pytest.mark.parametrize("jac2,jac1", [
+    ("auto", "auto"), ("never", "auto"), ("never", "never"),
+])
+def test_jacobi_accelerator_falls_back_when_not_dominant(jac2, jac1,
+                                                         monkeypatch):
     """On a NON-dominant system the sweeps miss tol and BiCGSTAB must take
     over from wherever they stopped — same answer, no warn."""
     from diffpiso_tpu.ops.stencil import apply_stencil
@@ -244,6 +253,7 @@ def test_jacobi_accelerator_falls_back_when_not_dominant(jac2, monkeypatch):
                         lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")  # auto = adjoint-only
     monkeypatch.setenv("DIFFPISO_FUSED_JAC2", jac2)
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC1", jac1)
     # |center| ~ 1.6 vs off-diagonal mass ~ 4*0.4: Jacobi diverges/stalls
     st, b, diag = _adv_system(16, center_mag=1.6, seed=3)
     apply_A = lambda v: apply_stencil(st, v, negate=True)
