@@ -337,13 +337,29 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
             valid = jnp.logical_and(~warn, jnp.isfinite(loss) & g_finite)
             return loss, warn, parts, g, valid
 
-        # vmap and the fused Pallas kernels don't compose (batching the
-        # kernels' SMEM scalar blocks is unsupported), and vmap already
-        # amortizes the per-launch overhead the kernels exist to avoid —
-        # trace the batched rollouts through the XLA roll/reduction path
-        from diffpiso_tpu.ops.pallas_stencil import no_pallas
+        # The whole-solve kernels (fused_jacobi1/2_solve, fused_pcg2_solve)
+        # batch under vmap via explicit grid-over-batch custom_vmap rules
+        # (one program per sample, each with its own while-loop), and
+        # DIFFPISO_BATCHED_PALLAS=auto traces the batched rollout with them
+        # on (batched_safe_pallas keeps only rule-carrying kernels).
+        # Default NEVER by A/B (runs/ab_batched_pallas.log, 2 reps): batch-8
+        # at the 64x256 training shape measured 124 vs 134 samples/s — the
+        # grid serializes one small program per sample while the all-XLA
+        # batched formulation fuses across the batch, so the r2 rationale
+        # ('vmap already amortizes what the kernels avoid') still holds at
+        # this scale. Flip condition: a workload whose PER-SAMPLE planes
+        # are large enough that each program saturates the core (512^2+
+        # batched rollouts).
+        import os
 
-        with no_pallas():
+        from diffpiso_tpu.ops.pallas_stencil import (
+            batched_safe_pallas,
+            no_pallas,
+        )
+
+        batched_mode = os.environ.get("DIFFPISO_BATCHED_PALLAS", "never")
+        ctx = batched_safe_pallas() if batched_mode == "auto" else no_pallas()
+        with ctx:
             losses, warns, parts, grads, valids = jax.vmap(one)(
                 vel0, p0, targets, perts
             )

@@ -65,6 +65,33 @@ def no_pallas():
     return _ctx()
 
 
+# batched_safe_pallas() nesting depth: jax.vmap batches pallas_call by
+# prepending a grid dim, which Mosaic rejects for kernels with SMEM scalar
+# outputs. The whole-solve kernels (fused_jacobi1/2_solve,
+# fused_pcg2_solve) carry explicit grid-over-batch custom_vmap rules and
+# stay ON; gates of kernels WITHOUT rules consult this depth and bow out.
+_BATCHED_SAFE_DEPTH = 0
+
+
+def batched_safe_pallas():
+    """Context manager for vmapped traces (make_batched_train_step):
+    keep only the pallas kernels with explicit custom_vmap batching rules
+    (plus plane-output kernels that batch natively); disable the SMEM
+    -scalar-output iteration kernels vmap cannot batch."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _BATCHED_SAFE_DEPTH
+        _BATCHED_SAFE_DEPTH += 1
+        try:
+            yield
+        finally:
+            _BATCHED_SAFE_DEPTH -= 1
+
+    return _ctx()
+
+
 def _roll(x, shift, axis):
     # pltpu.roll requires a non-negative shift; jnp.roll semantics otherwise
     return pltpu.roll(x, shift % x.shape[axis], axis)

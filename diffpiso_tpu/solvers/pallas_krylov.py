@@ -71,6 +71,8 @@ def eligible(shape, dtype) -> bool:
 
     if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
         return False
+    if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule here
+        return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False
     if jax.default_backend() not in ("tpu",):
@@ -393,14 +395,9 @@ def fused_jacobi_sweeps(st_c, b, x, k, sgn, transpose):
 # same 2-matvec cost as the old probe launch but without its launch pair.
 
 
-def _jacobi2_solve_kernel(transpose, max_sweeps,
-                          c0, ly0, hy0, lx0, hx0, b0, x0,
-                          c1, ly1, hy1, lx1, hx1, b1, x1,
-                          sc, out_x0, out_x1, out_n):
-    sgn, tol = sc[0], sc[1]
-    cv0, lyv0, hyv0, lxv0, hxv0 = c0[:], ly0[:], hy0[:], lx0[:], hx0[:]
-    cv1, lyv1, hyv1, lxv1, hxv1 = c1[:], ly1[:], hy1[:], lx1[:], hx1[:]
-    bv0, bv1 = b0[:], b1[:]
+def _jacobi2_core(transpose, max_sweeps,
+                  cv0, lyv0, hyv0, lxv0, hxv0, bv0, xv0,
+                  cv1, lyv1, hyv1, lxv1, hxv1, bv1, xv1, sgn, tol):
     d0 = sgn * cv0
     d1 = sgn * cv1
     iv0 = jnp.where(jnp.abs(d0) > 1e-30, 1.0 / d0, 1.0)
@@ -412,7 +409,6 @@ def _jacobi2_solve_kernel(transpose, max_sweeps,
     def mv1(p):
         return _adv_matvec(cv1, lyv1, hyv1, lxv1, hxv1, p, transpose, sgn)
 
-    xv0, xv1 = x0[:], x1[:]
     r0 = bv0 - mv0(xv0)
     r1 = bv1 - mv1(xv1)
     n0 = jnp.maximum(jnp.max(jnp.abs(r0)), jnp.max(jnp.abs(r1)))
@@ -437,9 +433,37 @@ def _jacobi2_solve_kernel(transpose, max_sweeps,
     # true exit residual (the per-launch accelerator reports b - A x too)
     nt0 = jnp.max(jnp.abs(bv0 - mv0(xv0)))
     nt1 = jnp.max(jnp.abs(bv1 - mv1(xv1)))
+    return xv0, xv1, jnp.maximum(nt0, nt1)
+
+
+def _jacobi2_solve_kernel(transpose, max_sweeps,
+                          c0, ly0, hy0, lx0, hx0, b0, x0,
+                          c1, ly1, hy1, lx1, hx1, b1, x1,
+                          sc, out_x0, out_x1, out_n):
+    xv0, xv1, n = _jacobi2_core(
+        transpose, max_sweeps,
+        c0[:], ly0[:], hy0[:], lx0[:], hx0[:], b0[:], x0[:],
+        c1[:], ly1[:], hy1[:], lx1[:], hx1[:], b1[:], x1[:],
+        sc[0], sc[1])
     out_x0[:] = xv0
     out_x1[:] = xv1
-    out_n[0] = jnp.maximum(nt0, nt1)
+    out_n[0] = n
+
+
+def _jacobi2_solve_kernel_b(transpose, max_sweeps, sc_batched,
+                            c0, ly0, hy0, lx0, hx0, b0, x0,
+                            c1, ly1, hy1, lx1, hx1, b1, x1,
+                            sc, out_x0, out_x1, out_n):
+    i = pl.program_id(0)
+    sgn, tol = (sc[i, 0], sc[i, 1]) if sc_batched else (sc[0], sc[1])
+    xv0, xv1, n = _jacobi2_core(
+        transpose, max_sweeps,
+        c0[0], ly0[0], hy0[0], lx0[0], hx0[0], b0[0], x0[0],
+        c1[0], ly1[0], hy1[0], lx1[0], hx1[0], b1[0], x1[0],
+        sgn, tol)
+    out_x0[0] = xv0
+    out_x1[0] = xv1
+    out_n[i, 0] = n
 
 
 def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
@@ -447,45 +471,83 @@ def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
     in ONE launch. st_cs = [(c, lo, hi)] * 2, b_c/x_c = component tuples.
     Returns (x0', x1', true max-residual over both components). The caller
     keeps its BiCGSTAB fallback cond on the returned norm — failure/warn
-    semantics identical to the per-launch accelerator it replaces."""
+    semantics identical to the per-launch accelerator it replaces.
+    Batches under jax.vmap via a grid-over-batch custom_vmap rule (see
+    fused_jacobi1_solve)."""
     (c0, lo0, hi0), (c1, lo1, hi1) = st_cs
     b0, b1 = b_c
     x0, x1 = x_c
-    s0 = jax.ShapeDtypeStruct(b0.shape, b0.dtype)
-    s1 = jax.ShapeDtypeStruct(b1.shape, b1.dtype)
     sc = jnp.stack([jnp.asarray(sgn, b0.dtype), jnp.asarray(tol, b0.dtype)])
-    xo0, xo1, n = pl.pallas_call(
-        functools.partial(_jacobi2_solve_kernel, transpose, int(max_sweeps)),
-        out_shape=(s0, s1, jax.ShapeDtypeStruct((1,), b0.dtype)),
-        in_specs=_vmem_specs(7) + _vmem_specs(7) + _smem_specs(1),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=_INTERPRET,
-        compiler_params=pltpu.CompilerParams(
-            # 14 input planes + 4 while carries + ~4 temps; the default
-            # 16 MiB scoped stack is short at 512^2 (22+ f32 planes)
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-    )(c0, lo0[0], hi0[0], lo0[1], hi0[1], b0, x0,
-      c1, lo1[0], hi1[0], lo1[1], hi1[1], b1, x1, sc)
-    return xo0, xo1, n[0]
+
+    @jax.custom_batching.custom_vmap
+    def _solve(c0, ly0, hy0, lx0, hx0, b0, x0,
+               c1, ly1, hy1, lx1, hx1, b1, x1, sc):
+        s0 = jax.ShapeDtypeStruct(b0.shape, b0.dtype)
+        s1 = jax.ShapeDtypeStruct(b1.shape, b1.dtype)
+        return pl.pallas_call(
+            functools.partial(_jacobi2_solve_kernel, transpose,
+                              int(max_sweeps)),
+            out_shape=(s0, s1, jax.ShapeDtypeStruct((1,), b0.dtype)),
+            in_specs=_vmem_specs(7) + _vmem_specs(7) + _smem_specs(1),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                # 14 input planes + 4 while carries + ~4 temps; the default
+                # 16 MiB scoped stack is short at 512^2 (22+ f32 planes)
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(c0, ly0, hy0, lx0, hx0, b0, x0,
+          c1, ly1, hy1, lx1, hx1, b1, x1, sc)
+
+    @_solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        sc_ = args[14]
+        planes = _broadcast_batch(axis_size, args[:14], in_batched[:14])
+        sh0 = planes[5].shape[1:]
+        sh1 = planes[12].shape[1:]
+        pspec = lambda sh: pl.BlockSpec(
+            (1,) + tuple(sh), lambda i: (i,) + (0,) * len(sh),
+            memory_space=pltpu.VMEM)
+        xo0, xo1, n = pl.pallas_call(
+            functools.partial(_jacobi2_solve_kernel_b, transpose,
+                              int(max_sweeps), bool(in_batched[14])),
+            grid=(axis_size,),
+            out_shape=(
+                jax.ShapeDtypeStruct(planes[5].shape, b0.dtype),
+                jax.ShapeDtypeStruct(planes[12].shape, b1.dtype),
+                jax.ShapeDtypeStruct((axis_size, 1), b0.dtype),
+            ),
+            in_specs=_batched_plane_specs(7, sh0)
+            + _batched_plane_specs(7, sh1)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pspec(sh0), pspec(sh1), _batched_scalar_out_spec()),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(*planes, sc_)
+        return (xo0, xo1, n), (True, True, True)
+
+    xo0, xo1, n = _solve(c0, lo0[0], hi0[0], lo0[1], hi0[1], b0, x0,
+                         c1, lo1[0], hi1[0], lo1[1], hi1[1], b1, x1, sc)
+    return xo0, xo1, n[..., 0]
 
 
-def _jacobi1_solve_kernel(transpose, max_sweeps,
-                          c, ly, hy, lx, hx, b, x, sc, out_x, out_n):
-    sgn, tol = sc[0], sc[1]
-    cv, lyv, hyv, lxv, hxv = c[:], ly[:], hy[:], lx[:], hx[:]
-    bv = b[:]
+def _jacobi1_core(transpose, max_sweeps, cv, lyv, hyv, lxv, hxv, bv, xv,
+                  sgn, tol):
+    """Whole-solve Jacobi-Richardson on plain arrays: shared by the
+    unbatched single-program kernel and the grid-over-batch variant
+    (custom_vmap). Returns (x, true max-residual)."""
     d = sgn * cv
     iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
 
     def mv(p):
         return _adv_matvec(cv, lyv, hyv, lxv, hxv, p, transpose, sgn)
 
-    xv = x[:]
     r = bv - mv(xv)
 
     def cond(state):
@@ -501,8 +563,60 @@ def _jacobi1_solve_kernel(transpose, max_sweeps,
 
     xv, r, n, j = jax.lax.while_loop(
         cond, body, (xv, r, jnp.max(jnp.abs(r)), jnp.zeros((), jnp.int32)))
+    return xv, jnp.max(jnp.abs(bv - mv(xv)))
+
+
+def _jacobi1_solve_kernel(transpose, max_sweeps,
+                          c, ly, hy, lx, hx, b, x, sc, out_x, out_n):
+    xv, n = _jacobi1_core(transpose, max_sweeps, c[:], ly[:], hy[:], lx[:],
+                          hx[:], b[:], x[:], sc[0], sc[1])
     out_x[:] = xv
-    out_n[0] = jnp.max(jnp.abs(bv - mv(xv)))
+    out_n[0] = n
+
+
+def _jacobi1_solve_kernel_b(transpose, max_sweeps, sc_batched,
+                            c, ly, hy, lx, hx, b, x, sc, out_x, out_n):
+    # grid-over-batch program: every ref is a (1, n0, n1) block of its
+    # sample; the scalar lands in a (1, 1) SMEM accumulator block (the
+    # pattern Mosaic accepts where vmap's squeezed rank-1 block fails)
+    i = pl.program_id(0)
+    sgn, tol = (sc[i, 0], sc[i, 1]) if sc_batched else (sc[0], sc[1])
+    xv, n = _jacobi1_core(transpose, max_sweeps, c[0], ly[0], hy[0], lx[0],
+                          hx[0], b[0], x[0], sgn, tol)
+    out_x[0] = xv
+    out_n[i, 0] = n
+
+
+def _batched_plane_specs(n_planes, shape):
+    """Grid-over-batch VMEM specs: each program sees a (1, *shape) block
+    of its sample."""
+    blk = (1,) + tuple(shape)
+    idx = lambda i: (i,) + (0,) * len(shape)
+    return [pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)] * n_planes
+
+
+def _batched_scalar_out_spec():
+    # full (B, 1) SMEM array visible to every program; program i writes row
+    # i via pl.program_id. Mosaic's block-mapping check rejects BOTH
+    # vmap's squeezed rank-1 block AND a (1,1) block over (B,1) (block
+    # dims must equal array dims or be 8/128-divisible), but a full-array
+    # SMEM spec passes — the same shape contract as SMEM scalar inputs.
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _broadcast_batch(axis_size, args, batched):
+    return tuple(
+        a if bb else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, bb in zip(args, batched)
+    )
+
+
+def _jac1_vmem_limit(nbytes):
+    # 7 inputs + x/r carries + stencil-roll temps; measured needs
+    # (runs/ab_jac1.log): 16.15 planes at 1024^2 adjoint, 18.2 planes at
+    # the 513x2048 dns component — 20 planes gives margin without
+    # tripping the reservation-tracks-ceiling behavior (no MXU buffers)
+    return min(120 * 1024 * 1024, max(48 * 1024 * 1024, 20 * nbytes))
 
 
 def fused_jacobi1_solve(st_c, b, x, sgn, transpose, tol, max_sweeps):
@@ -511,33 +625,66 @@ def fused_jacobi1_solve(st_c, b, x, sgn, transpose, tol, max_sweeps):
     per velocity component, so per-component launches are exact — only the
     exit test decouples, which is convergence-neutral or better). Halves
     the VMEM residency: covers 1024^2/dns-class planes where the joint
-    kernel exceeds its budget. Returns (x', true max-residual)."""
+    kernel exceeds its budget. Returns (x', true max-residual).
+
+    Batches under jax.vmap via a custom_vmap rule: the batched launch grids
+    over the batch dim (one program per sample, each running its own
+    while-loop) — what makes the fused solve usable inside
+    make_batched_train_step's vmapped rollouts."""
     c, lo, hi = st_c
     sc = jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)])
     nbytes = b.size * jnp.dtype(b.dtype).itemsize
-    xo, n = pl.pallas_call(
-        functools.partial(_jacobi1_solve_kernel, transpose, int(max_sweeps)),
-        out_shape=(
-            jax.ShapeDtypeStruct(b.shape, b.dtype),
-            jax.ShapeDtypeStruct((1,), b.dtype),
-        ),
-        in_specs=_vmem_specs(7) + _smem_specs(1),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=_INTERPRET,
-        compiler_params=pltpu.CompilerParams(
-            # 7 inputs + x/r carries + stencil-roll temps; measured needs
-            # (runs/ab_jac1.log): 16.15 planes at 1024^2 adjoint, 18.2
-            # planes at the 513x2048 dns component — 20 planes gives
-            # margin without tripping the reservation-tracks-ceiling
-            # behavior (no MXU buffers in this kernel)
-            vmem_limit_bytes=min(120 * 1024 * 1024,
-                                 max(48 * 1024 * 1024, 20 * nbytes)),
-        ),
-    )(c, lo[0], hi[0], lo[1], hi[1], b, x, sc)
-    return xo, n[0]
+
+    @jax.custom_batching.custom_vmap
+    def _solve(c, ly, hy, lx, hx, b, x, sc):
+        return pl.pallas_call(
+            functools.partial(_jacobi1_solve_kernel, transpose,
+                              int(max_sweeps)),
+            out_shape=(
+                jax.ShapeDtypeStruct(b.shape, b.dtype),
+                jax.ShapeDtypeStruct((1,), b.dtype),
+            ),
+            in_specs=_vmem_specs(7) + _smem_specs(1),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_jac1_vmem_limit(nbytes),
+            ),
+        )(c, ly, hy, lx, hx, b, x, sc)
+
+    @_solve.def_vmap
+    def _rule(axis_size, in_batched, c, ly, hy, lx, hx, b, x, sc):
+        planes = _broadcast_batch(axis_size, (c, ly, hy, lx, hx, b, x),
+                                  in_batched[:7])
+        shape = planes[5].shape[1:]
+        xo, n = pl.pallas_call(
+            functools.partial(_jacobi1_solve_kernel_b, transpose,
+                              int(max_sweeps), bool(in_batched[7])),
+            grid=(axis_size,),
+            out_shape=(
+                jax.ShapeDtypeStruct(planes[5].shape, b.dtype),
+                jax.ShapeDtypeStruct((axis_size, 1), b.dtype),
+            ),
+            in_specs=_batched_plane_specs(7, shape)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(
+                pl.BlockSpec((1,) + tuple(shape),
+                             lambda i: (i,) + (0,) * len(shape),
+                             memory_space=pltpu.VMEM),
+                _batched_scalar_out_spec(),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_jac1_vmem_limit(nbytes),
+            ),
+        )(*planes, sc)
+        return (xo, n), (True, True)
+
+    xo, n = _solve(c, lo[0], hi[0], lo[1], hi[1], b, x, sc)
+    return xo, n[..., 0]
 
 
 def jac1_eligible(shape, dtype) -> bool:
@@ -609,6 +756,8 @@ def eligible_3d(shape, dtype) -> bool:
     from diffpiso_tpu.ops import pallas_stencil as _ps
 
     if _ps._DISABLED_DEPTH > 0 or os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule here
         return False
     if jax.default_backend() not in ("tpu",) and not _INTERPRET:
         return False
@@ -812,6 +961,8 @@ def pcg3_eligible(shape, dtype) -> bool:
     from diffpiso_tpu.ops import pallas_stencil as _ps
 
     if _ps._DISABLED_DEPTH > 0:
+        return False
+    if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule here
         return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False
@@ -1180,13 +1331,8 @@ def _bf16x3_dot(a_hi, a_lo, h, dims, contract_a):
     return d(a_hi, h_hi) + d(a_hi, h_lo) + d(a_lo, h_hi)
 
 
-def _pcg2_solve_kernel(deflate, max_iter, precision,
-                       c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
-                       out_x, out_rn, out_k):
-    shift, tol = sc[0], sc[1]
-    cv, lyv, hyv, lxv, hxv = c[:], ly[:], hy[:], lx[:], hx[:]
-    v0v, v1v, symv = v0[:], v1[:], sym[:]
-    bv = b[:]
+def _pcg2_core(deflate, max_iter, precision,
+               cv, lyv, hyv, lxv, hxv, shift, tol, v0v, v1v, symv, bv, x0v):
     eps = jnp.asarray(1e-30, bv.dtype)
 
     def matvec(p):
@@ -1224,7 +1370,7 @@ def _pcg2_solve_kernel(deflate, max_iter, precision,
     def project(r):
         return r - jnp.sum(r) / r.size if deflate else r
 
-    x = x0[:]
+    x = x0v
     r = project(bv - matvec(x))
     rnorm0 = jnp.max(jnp.abs(r))
 
@@ -1258,9 +1404,41 @@ def _pcg2_solve_kernel(deflate, max_iter, precision,
     # final true residual (krylov.pcg's fused_residual verification; for a
     # zero-iteration early exit this recomputes rnorm0 bit-identically)
     rt = project(bv - matvec(x))
+    return x, jnp.max(jnp.abs(rt)), k
+
+
+def _pcg2_solve_kernel(deflate, max_iter, precision,
+                       c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
+                       out_x, out_rn, out_k):
+    x, rn, k = _pcg2_core(deflate, max_iter, precision,
+                          c[:], ly[:], hy[:], lx[:], hx[:], sc[0], sc[1],
+                          v0[:], v1[:], sym[:], b[:], x0[:])
     out_x[:] = x
-    out_rn[0] = jnp.max(jnp.abs(rt))
+    out_rn[0] = rn
     out_k[0] = k
+
+
+def _pcg2_solve_kernel_b(deflate, max_iter, precision, batched, sc_batched,
+                         c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
+                         out_x, out_rn, out_k):
+    # grid-over-batch program (see fused_jacobi1_solve): batched plane refs
+    # are (1, n0, n1) sample blocks; unbatched operands (typically the
+    # eigenbases/symbol/Laplacian — solver constants) are shared full
+    # blocks, selected by the static `batched` flag tuple
+    def rd(ref, bb):
+        return ref[0] if bb else ref[:]
+
+    i = pl.program_id(0)
+    shift, tol = (sc[i, 0], sc[i, 1]) if sc_batched else (sc[0], sc[1])
+    args = [rd(r, bb) for r, bb in zip((c, ly, hy, lx, hx), batched[:5])]
+    v0v, v1v, symv, bv, x0v = (
+        rd(r, bb) for r, bb in zip((v0, v1, sym, b, x0), batched[5:])
+    )
+    x, rn, k = _pcg2_core(deflate, max_iter, precision,
+                          *args, shift, tol, v0v, v1v, symv, bv, x0v)
+    out_x[0] = x
+    out_rn[i, 0] = rn
+    out_k[i, 0] = k
 
 
 def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
@@ -1281,37 +1459,91 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     # coerces to HIGHEST for everything else Mosaic can't lower
     prec = solver_mm._precision()
     sc = jnp.stack([jnp.asarray(lap.shift, dtype), jnp.asarray(tol, dtype)])
-    xo, rn, k = pl.pallas_call(
-        functools.partial(_pcg2_solve_kernel, deflate_mean, int(max_iter),
-                          prec),
-        out_shape=(
-            jax.ShapeDtypeStruct(b.shape, dtype),
-            jax.ShapeDtypeStruct((1,), dtype),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ),
-        in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(5),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=_INTERPRET,
-        compiler_params=pltpu.CompilerParams(
-            # adaptive ceiling: the 512^2 production shape compiles in 96
-            # MiB; larger eligible shapes (env-raised budget) get headroom
-            # up to just under the 128 MiB v5e VMEM. Margin measured at
-            # 1024^2: the while-body stack needs plane_bytes + 29.3 MiB as
-            # a bare solve but + 37.3 MiB inside the full PISO step (the
-            # compile logs in runs/ab_pcg2_large.log), so 44 MiB.
-            vmem_limit_bytes=min(
-                127 * 1024 * 1024,
-                max(96 * 1024 * 1024,
-                    _pcg2_plane_bytes(b.shape, dtype) + 44 * 1024 * 1024),
-            )
-        ),
-    )(lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1], sc,
-      v0, v1, sym, b, x0)
-    return xo, rn[0], k[0]
+    # adaptive ceiling: the 512^2 production shape compiles in 96 MiB;
+    # larger eligible shapes (env-raised budget) get headroom up to just
+    # under the 128 MiB v5e VMEM. Margin measured at 1024^2: the
+    # while-body stack needs plane_bytes + 29.3 MiB as a bare solve but
+    # + 37.3 MiB inside the full PISO step (compile logs in
+    # runs/ab_pcg2_large.log), so 44 MiB.
+    vmem_limit = min(
+        127 * 1024 * 1024,
+        max(96 * 1024 * 1024,
+            _pcg2_plane_bytes(b.shape, dtype) + 44 * 1024 * 1024),
+    )
+
+    @jax.custom_batching.custom_vmap
+    def _solve(c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0):
+        return pl.pallas_call(
+            functools.partial(_pcg2_solve_kernel, deflate_mean,
+                              int(max_iter), prec),
+            out_shape=(
+                jax.ShapeDtypeStruct(b.shape, dtype),
+                jax.ShapeDtypeStruct((1,), dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ),
+            in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(5),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit,
+            ),
+        )(c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0)
+
+    @_solve.def_vmap
+    def _rule(axis_size, in_batched, c, ly, hy, lx, hx, sc, v0, v1, sym,
+              b, x0):
+        # grid over the batch: batched planes become (1, n0, n1) sample
+        # blocks; unbatched solver constants stay shared full blocks (no
+        # broadcast copies of the eigenbases)
+        sc_batched = bool(in_batched[5])
+        sc_ = sc
+        planes = (c, ly, hy, lx, hx, v0, v1, sym, b, x0)
+        flags = tuple(in_batched[:5]) + tuple(in_batched[6:])
+
+        def spec(a, bb):
+            sh = a.shape[1:] if bb else a.shape
+            if bb:
+                return pl.BlockSpec((1,) + tuple(sh),
+                                    lambda i: (i,) + (0,) * len(sh),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(tuple(sh), lambda i: (0,) * len(sh),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [spec(a, bb) for a, bb in zip(planes[:5], flags[:5])]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs += [spec(a, bb) for a, bb in zip(planes[5:], flags[5:])]
+        bshape = (axis_size,) + (b.shape[1:] if in_batched[9] else b.shape)
+        xo, rn, k = pl.pallas_call(
+            functools.partial(_pcg2_solve_kernel_b, deflate_mean,
+                              int(max_iter), prec, flags, sc_batched),
+            grid=(axis_size,),
+            out_shape=(
+                jax.ShapeDtypeStruct(bshape, dtype),
+                jax.ShapeDtypeStruct((axis_size, 1), dtype),
+                jax.ShapeDtypeStruct((axis_size, 1), jnp.int32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1,) + tuple(bshape[1:]),
+                             lambda i: (i,) + (0,) * (len(bshape) - 1),
+                             memory_space=pltpu.VMEM),
+                _batched_scalar_out_spec(),
+                _batched_scalar_out_spec(),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit,
+            ),
+        )(*planes[:5], sc_, *planes[5:])
+        return (xo, rn, k), (True, True, True)
+
+    xo, rn, k = _solve(lap.center, lap.lo[0], lap.hi[0], lap.lo[1],
+                       lap.hi[1], sc, v0, v1, sym, b, x0)
+    return xo, rn[..., 0], k[..., 0]
 
 
 def _pcg2_plane_bytes(shape, dtype):
@@ -1393,6 +1625,8 @@ def spectral_eligible(shape, dtype) -> bool:
 
     if _ps._DISABLED_DEPTH > 0:  # no_pallas() — sharded traces
         return False
+    if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule here
+        return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False
     if jax.default_backend() not in ("tpu",):
@@ -1427,6 +1661,8 @@ def spectral_eligible_3d(shape, dtype) -> bool:
     from diffpiso_tpu.ops import pallas_stencil as _ps
 
     if _ps._DISABLED_DEPTH > 0:
+        return False
+    if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule here
         return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False

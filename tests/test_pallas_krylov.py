@@ -557,6 +557,87 @@ def test_fused_pcg2_whole_solve_through_pressure_solver(monkeypatch):
     )
 
 
+def test_fused_pcg2_whole_solve_vmap_batches(monkeypatch):
+    """jax.vmap over the whole-solve pcg2 must dispatch the grid-over-batch
+    custom_vmap rule (one program per sample, each with its own while-loop
+    and (1,1) SMEM scalar block) and match per-sample solves — the property
+    that lets make_batched_train_step keep the fused pressure solve."""
+    lap, rhs0 = _system(rank_deficient=True)
+    rng = np.random.RandomState(7)
+    rhs = jnp.stack([
+        rhs0,
+        jnp.asarray(rng.randn(*rhs0.shape), jnp.float32)
+        - jnp.mean(jnp.asarray(rng.randn(*rhs0.shape), jnp.float32)),
+        jnp.zeros_like(rhs0),
+    ])
+    rhs = rhs - jnp.mean(rhs, axis=(1, 2), keepdims=True)
+    cfg = PressureSolver(
+        max_iterations=200, deflate_mean=True,
+        preconditioner="dct_mm", adjoint_preconditioner="dct_mm",
+    )
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "pcg2_eligible", lambda *a, **k: True)
+
+    solve = lambda r: solve_pressure_system(cfg, lap, r, None, 1e-6)
+    xb, itb, warnb = jax.vmap(solve)(rhs)
+    assert not bool(jnp.any(warnb))
+    for i in range(rhs.shape[0]):
+        xi, iti, warni = solve(rhs[i])
+        a = np.asarray(xb[i]) - np.asarray(xb[i]).mean()
+        bexp = np.asarray(xi) - np.asarray(xi).mean()
+        np.testing.assert_allclose(a, bexp, atol=5e-5)
+        assert int(itb[i]) == int(iti)
+
+
+def test_jacobi_whole_solve_vmap_batches(monkeypatch):
+    """vmap over the whole-solve momentum kernels (jac1 + jac2) must match
+    per-sample execution — grid-over-batch custom_vmap rules."""
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    rng = np.random.RandomState(3)
+    B, n = 3, 16
+
+    def mk(scale, shp=(B, n, n)):
+        return jnp.asarray(scale * rng.randn(*shp), jnp.float32)
+
+    c = jnp.asarray(-8.0 + 0.2 * rng.randn(B, n, n), jnp.float32)
+    ly, hy, lx, hx = mk(0.3), mk(0.3), mk(0.3), mk(0.3)
+    b = mk(1.0)
+    x = jnp.zeros((B, n, n), jnp.float32)
+
+    def solve1(c, ly, hy, lx, hx, b, x):
+        return pallas_krylov.fused_jacobi1_solve(
+            (c, (ly, hy), (lx, hx)), b, x, -1.0, False, 1e-6, 33)
+
+    xo, nrm = jax.vmap(solve1)(c, ly, hy, lx, hx, b, x)
+    for i in range(B):
+        xr, nr = solve1(c[i], ly[i], hy[i], lx[i], hx[i], b[i], x[i])
+        np.testing.assert_allclose(np.asarray(xo[i]), np.asarray(xr),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(nrm[i]) < 1e-6
+
+    c2 = jnp.asarray(-8.0 + 0.2 * rng.randn(B, n, n), jnp.float32)
+    args = (c, ly, hy, lx, hx, b, x,
+            c2, mk(0.3), mk(0.3), mk(0.3), mk(0.3), mk(1.0), x)
+
+    def solve2(args):
+        (c0, ly0, hy0, lx0, hx0, b0, x0,
+         c1, ly1, hy1, lx1, hx1, b1, x1) = args
+        return pallas_krylov.fused_jacobi2_solve(
+            [(c0, (ly0, hy0), (lx0, hx0)), (c1, (ly1, hy1), (lx1, hx1))],
+            (b0, b1), (x0, x1), -1.0, True, 1e-6, 33)
+
+    xo0, xo1, nrm2 = jax.vmap(solve2)(args)
+    for i in range(B):
+        r0, r1, nr = solve2(jax.tree_util.tree_map(lambda a: a[i], args))
+        np.testing.assert_allclose(np.asarray(xo0[i]), np.asarray(r0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xo1[i]), np.asarray(r1),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(nrm2[i]) < 1e-6
+
+
 def _system3_periodic(res=(6, 8, 16), seed=2):
     """Rank-deficient all-periodic 3-D pressure system (the turb3d shape)."""
     nz, ny, nx = res
