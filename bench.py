@@ -290,12 +290,29 @@ def bench_grad(step, vel0, p0, unroll, reps, remat=False):
     solves): slower per step but the ONLY way the 256^3-class fits the
     16 GB HBM (the un-remat'd step stores every intermediate field of
     every unrolled step). Measured-and-rejected for SPEED at 512^2 (r2);
-    used here for MEMORY at scale."""
+    used here for MEMORY at scale. remat='solves' keeps ONLY the tagged
+    solve residuals (solvers/base.py _name_solve_res) and replays the
+    cheap linear chains — the solves themselves are never re-run (their
+    adjoints need only the saved operator coefficients). Measured
+    (runs/ab_remat2.log, ab_remat_1024.log, 2 reps each): 512^2 grad30
+    1512 vs 1486 (+1.8%) but 1024^2 259 vs 270 (-4%) — the replayed
+    full-plane chains turn bandwidth-bound at scale — so the default
+    stays False; 'solves' also cuts the stash to the residual planes
+    (an HBM-pressure escape hatch below the full-remat tier)."""
     import jax
     import jax.numpy as jnp
 
     forcing0 = jax.tree_util.tree_map(jnp.zeros_like, vel0)
-    step_fn = jax.checkpoint(step) if remat else step
+    if remat == "solves":
+        step_fn = jax.checkpoint(
+            step,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "diffpiso_solve_res"),
+        )
+    elif remat:
+        step_fn = jax.checkpoint(step)
+    else:
+        step_fn = step
 
     def loss_fn(forcing, vel, p):
         def body(carry, _):

@@ -158,6 +158,21 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
     return x, result
 
 
+def _name_solve_res(res):
+    """Tag custom_vjp residuals for remat policies: under
+    jax.checkpoint(step, policy=save_only_these_names('diffpiso_solve_res'))
+    the backward scan keeps EXACTLY these (the operator coefficients the
+    adjoint solves need) and replays the cheap linear chains — without the
+    tag, a remat'd backward would re-run the whole forward INCLUDING the
+    solves to reconstruct them (the reason plain per-step remat measured
+    -10% at 512^2, runs/ab_remat.log). No-op outside jax.checkpoint."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return jax.tree_util.tree_map(
+        lambda a: checkpoint_name(jnp.asarray(a), "diffpiso_solve_res"), res
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def solve_advection_system(cfg: AdvectionSolver, stencil, rhs, guess, tol):
     """Solve (-M) v = rhs for the velocity predictor. Returns (v, warn)."""
@@ -167,7 +182,8 @@ def solve_advection_system(cfg: AdvectionSolver, stencil, rhs, guess, tol):
 
 def _adv_fwd(cfg, stencil, rhs, guess, tol):
     x, result = _adv_solve_impl(cfg, stencil, rhs, guess, tol, transpose=False)
-    return (x, result.warn), (stencil, guess, result.warn, tol)
+    return (x, result.warn), _name_solve_res(
+        (stencil, guess, result.warn, tol))
 
 
 def _adv_bwd(cfg, residuals, cotangents):
@@ -210,7 +226,7 @@ def _adv_ws_fwd(cfg, stencil, rhs, guess, tol, adj_channel):
     x, result = _adv_solve_impl(cfg, stencil, rhs, guess, tol, transpose=False)
     return (
         (x, result.warn, _zeros_like_tree(rhs)),
-        (stencil, guess, result.warn, tol),
+        _name_solve_res((stencil, guess, result.warn, tol)),
     )
 
 
@@ -412,7 +428,8 @@ def solve_pressure_system(cfg: PressureSolver, laplacian, rhs, guess, tol):
 
 def _pressure_fwd(cfg, laplacian, rhs, guess, tol):
     x, result = _pressure_solve_impl(cfg, laplacian, rhs, guess, tol)
-    return (x, result.iterations, result.warn), (laplacian, guess, result.warn, tol)
+    return (x, result.iterations, result.warn), _name_solve_res(
+        (laplacian, guess, result.warn, tol))
 
 
 def _pressure_bwd(cfg, residuals, cotangents):
@@ -484,7 +501,7 @@ def _pressure_ws_fwd(cfg, laplacian, rhs, guess, tol, adj_channel):
     x, result = _pressure_solve_impl(cfg, laplacian, rhs, guess, tol)
     return (
         (x, result.iterations, result.warn, jnp.zeros_like(rhs)),
-        (laplacian, guess, result.warn, tol),
+        _name_solve_res((laplacian, guess, result.warn, tol)),
     )
 
 

@@ -31,7 +31,7 @@ def measure(remat, n=512):
 
 results = {}
 for rep in range(2):
-    for remat in (False, True):
+    for remat in (False, "solves", True):
         g = measure(remat)
         results.setdefault(remat, []).append(round(g, 1))
         print(f"[ab] rep{rep} remat={remat}: grad30 {g:.1f}",
