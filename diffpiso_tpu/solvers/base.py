@@ -462,12 +462,16 @@ solve_pressure_system.defvjp(_pressure_fwd, _pressure_bwd)
 
 # -- adjoint warm-start channel (VERDICT r2 item 8) ---------------------------------
 # MEASURED RESULT (r3, 512^2 turb grad30 on the TPU, within-process A/B):
-# 0.996x — no win at the flagship config, because the dct-preconditioned
-# adjoint solves already converge in ~1 iteration from cold starts (the
-# spectral inverse IS the warm start). The channels are kept: they are
-# exact (gradient-equality tested), cost only zeros in the primal, and pay
-# off whenever the adjoint solver is NOT spectrally preconditioned or runs
-# at tolerances where cold Krylov counts are high.
+# 0.996x pre-whole-solve kernels; RE-MEASURED r3b after the whole-solve
+# kernels exposed the adjoint solves as 0.139 ms/ustep vs the forward's
+# 0.051 (runs/trace2d_grad.py): 1510 vs 1501 grad30 (+0.6%, parity 9e-7,
+# runs/ab_adjoint_ws.log) — the cold spectral-preconditioned adjoints
+# already sit at ~1-2 iterations, so the channel shaves little; the
+# fwd/adjoint cost gap is iteration count the preconditioner cannot
+# remove (consecutive cotangents correlate less than consecutive
+# pressure increments). The channels are kept: they are exact, cost only
+# zeros in the primal, and pay off whenever the adjoint solver is NOT
+# spectrally preconditioned or runs at tolerances with high cold counts.
 # The backward scan of an unrolled rollout solves one pressure adjoint per
 # corrector per step from a COLD start (the forward's p_inc warm starts,
 # linear_solver.py:149, have no backward analog in the reference).

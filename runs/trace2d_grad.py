@@ -65,27 +65,52 @@ assert paths, "no xplane written"
 xs = xplane_pb2.XSpace()
 xs.ParseFromString(open(paths[0], "rb").read())
 
-totals = {}
-count = {}
-device_total = 0.0
+for plane in xs.planes:
+    if "TPU" not in plane.name and "Device" not in plane.name:
+        continue
+    print(f"== plane: {plane.name}")
+    for line in plane.lines:
+        tot = sum(ev.duration_ps for ev in line.events) / 1e9
+        print(f"   line '{line.name}': {len(line.events)} events, "
+              f"{tot/UNROLL:.4f} ms/ustep total")
+
+# exclusive per-op attribution: use ONLY the op-level line (deepest,
+# usually 'XLA Ops') — module/step lines double-count their children
+for plane in xs.planes:
+    if "TPU" not in plane.name and "Device" not in plane.name:
+        continue
+    oplines = [l for l in plane.lines if "op" in l.name.lower()]
+    for line in oplines:
+        totals, count = {}, {}
+        for ev in line.events:
+            name = plane.event_metadata[ev.metadata_id].name
+            # bucket by op family for a readable split
+            base = name.split(".")[0].lstrip("%")
+            totals[base] = totals.get(base, 0.0) + ev.duration_ps / 1e9
+            count[base] = count.get(base, 0) + 1
+        ttotal = sum(totals.values())
+        print(f"-- op line '{line.name}' exclusive total: "
+              f"{ttotal/UNROLL:.4f} ms/ustep")
+        for nm, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"{ms/UNROLL:8.4f} ms/ustep  x{count[nm]/UNROLL:<7.2f} {nm}")
+
+# per-kernel split of the pallas custom-calls (full instruction identity;
+# the output signature identifies the kernel: (plane, plane, scalar) =
+# jac2, (plane, scalar-f32, scalar-s32) = pcg2, single plane = matvec/FV)
 for plane in xs.planes:
     if "TPU" not in plane.name and "Device" not in plane.name:
         continue
     for line in plane.lines:
-        lname = line.name.lower()
-        if "step" in lname and "xla" not in lname:
+        if line.name != "XLA Ops":
             continue
+        tot, cnt = {}, {}
         for ev in line.events:
-            meta = plane.event_metadata[ev.metadata_id]
-            name = meta.name
-            dur = ev.duration_ps / 1e9  # ms
-            totals[name] = totals.get(name, 0.0) + dur
-            count[name] = count.get(name, 0) + 1
-            device_total += dur
-
-print(f"grad eval: {UNROLL}-step unrolled loss; planes from {paths[0]}")
-top = sorted(totals.items(), key=lambda kv: -kv[1])[:50]
-for name, ms in top:
-    print(f"{ms/UNROLL:8.4f} ms/ustep  x{count[name]/UNROLL:<6.1f} {name[:110]}")
-print(f"device total (all lines, may double-count): "
-      f"{device_total/UNROLL:.3f} ms/unrolled-step")
+            name = plane.event_metadata[ev.metadata_id].name
+            if "closed_call" not in name and "custom-call" not in name:
+                continue
+            key = name[:160]
+            tot[key] = tot.get(key, 0.0) + ev.duration_ps / 1e9
+            cnt[key] = cnt.get(key, 0) + 1
+        print("-- pallas calls by instruction:")
+        for nm, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{ms/UNROLL:8.4f} ms/ustep x{cnt[nm]/UNROLL:<5.2f} {nm}")
