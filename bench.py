@@ -808,7 +808,8 @@ def main():
                 "DIFFPISO_FUSED_PCG3", "DIFFPISO_FUSED_ADV3",
                 "DIFFPISO_FUSED_ADVM", "DIFFPISO_FUSED_FVM",
                 "DIFFPISO_FUSED_PCG2", "DIFFPISO_PCG2_MIB",
-                "DIFFPISO_FUSED_JAC2", "DIFFPISO_DISABLE_PALLAS",
+                "DIFFPISO_FUSED_JAC2", "DIFFPISO_FUSED_JAC1",
+                "DIFFPISO_FUSED_JAC13D", "DIFFPISO_DISABLE_PALLAS",
             )
         }
         detail["turb"] = workload_turbulence(args)

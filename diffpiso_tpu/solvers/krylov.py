@@ -322,6 +322,7 @@ def bicgstab(
     jac_mode = os.environ.get("DIFFPISO_ADV_JACOBI", "all")
     jac_on = jac_mode == "all" or (jac_mode == "adjoint" and transpose)
     jac3d = False
+    jac13d = False
     jac2 = False
     jac1 = False
     if (
@@ -331,11 +332,19 @@ def bicgstab(
         and inv_diag is not None
         and hasattr(b, "components")
     ):
-        from diffpiso_tpu.solvers.pallas_krylov import eligible_3d
+        from diffpiso_tpu.solvers.pallas_krylov import (
+            eligible_3d,
+            jac13d_eligible,
+        )
 
-        # 3-D: the z-plane-gridded single-sweep launch (the fused BiCGSTAB
-        # phases stay 2-D-only; the generic loop is the 3-D fallback)
-        jac3d = all(
+        # 3-D: prefer the single-program WHOLE-SOLVE per-component kernel
+        # (128^3-class volumes fit VMEM outright); fall back to the
+        # z-plane-gridded k-sweep launches past its budget (256^3)
+        jac13d = all(
+            c.ndim == 3 and jac13d_eligible(c.shape, c.dtype)
+            for c in stencil.center
+        )
+        jac3d = not jac13d and all(
             c.ndim == 3 and eligible_3d(c.shape, c.dtype)
             for c in stencil.center
         )
@@ -363,9 +372,10 @@ def bicgstab(
             jac1 = not jac2 and all(
                 jac1_eligible(c.shape, c.dtype) for c in comps
             )
-    if (fused or jac3d or jac2 or jac1) and jac_on:
+    if (fused or jac3d or jac13d or jac2 or jac1) and jac_on:
         from diffpiso_tpu.solvers.pallas_krylov import (
             fused_jacobi1_solve,
+            fused_jacobi1_solve_3d,
             fused_jacobi2_solve,
             fused_jacobi_sweep_3d,
             fused_jacobi_sweeps,
@@ -422,11 +432,12 @@ def bicgstab(
                 1 + max_launches * sweeps_per_launch,
             )
             x_c = (xo0, xo1)
-        elif jac1:
+        elif jac1 or jac13d:
             # per-component whole-solve launches (exact: the system is
             # block-diagonal per component); jn = max over components
+            solve1 = fused_jacobi1_solve_3d if jac13d else fused_jacobi1_solve
             outs = [
-                fused_jacobi1_solve(
+                solve1(
                     st_cs[ci], b_c[ci], tuple(x0.components)[ci], sgn,
                     transpose, tol, 1 + max_launches * sweeps_per_launch,
                 )

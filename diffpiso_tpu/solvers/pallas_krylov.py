@@ -746,6 +746,127 @@ def jac2_eligible(shapes, dtype) -> bool:
     return 13 * planes * itemsize <= 72 * 1024 * 1024
 
 
+# -- 3-D whole-solve momentum Jacobi (ONE single-program launch per component) ------
+# At 128^3 a full f32 volume is 8 MiB, so the ENTIRE 7-point
+# Jacobi-Richardson solve fits VMEM as one program (~14 volumes): this
+# replaces the z-plane-gridded sweep launches (which re-read the 12
+# coefficient volumes from HBM every launch AND lag the z-coupling at the
+# launch boundary — block-Jacobi by plane) with true Jacobi sweeps, a
+# per-sweep convergence test, and exactly ONE HBM read of each operand.
+
+
+def _jacobi1_3d_kernel(transpose, max_sweeps,
+                       c, lz, hz, ly, hy, lx, hx, b, x, sc,
+                       out_x, out_n, r_ref):
+    sgn, tol = sc[0], sc[1]
+
+    # Coefficients are read from their VMEM input windows INSIDE each
+    # matvec (never hoisted into values): the first cut of this kernel
+    # kept all 8 volumes live across the while_loop and the register
+    # allocator spilled 128 MiB of stack at 128^3 (runs/ab_jac13d.log)
+    # — peak live values must stay ~4 volumes (p, q, one roll temp, one
+    # coefficient load).
+    def mv(p):
+        if not transpose:
+            q = c[:] * p
+            q = q + lz[:] * _roll(p, 1, 0)
+            q = q + hz[:] * _roll(p, -1, 0)
+            q = q + ly[:] * _roll(p, 1, 1)
+            q = q + hy[:] * _roll(p, -1, 1)
+            q = q + lx[:] * _roll(p, 1, 2)
+            q = q + hx[:] * _roll(p, -1, 2)
+        else:
+            q = c[:] * p
+            q = q + _roll(lz[:] * p, -1, 0)
+            q = q + _roll(hz[:] * p, 1, 0)
+            q = q + _roll(ly[:] * p, -1, 1)
+            q = q + _roll(hy[:] * p, 1, 1)
+            q = q + _roll(lx[:] * p, -1, 2)
+            q = q + _roll(hx[:] * p, 1, 2)
+        return sgn * q
+
+    def inv_diag_apply(r):
+        d = sgn * c[:]
+        return jnp.where(jnp.abs(d) > 1e-30, r / d, r)
+
+    # x accumulates in the OUTPUT window; r lives in a VMEM scratch — the
+    # while_loop carries only scalars.
+    out_x[:] = x[:]
+    r_ref[:] = b[:] - mv(out_x[:])
+
+    def cond(state):
+        n, j = state
+        return (n > tol) & (j < max_sweeps)
+
+    def body(state):
+        _, j = state
+        dlt = inv_diag_apply(r_ref[:])
+        out_x[:] = out_x[:] + dlt
+        rn = r_ref[:] - mv(dlt)
+        r_ref[:] = rn
+        return jnp.max(jnp.abs(rn)), j + 1
+
+    n, j = jax.lax.while_loop(
+        cond, body,
+        (jnp.max(jnp.abs(r_ref[:])), jnp.zeros((), jnp.int32)))
+    out_n[0] = jnp.max(jnp.abs(b[:] - mv(out_x[:])))
+
+
+def fused_jacobi1_solve_3d(st_c, b, x, sgn, transpose, tol, max_sweeps):
+    """Whole-solve 3-D Jacobi-Richardson for one velocity component in ONE
+    single-program launch (everything VMEM-resident; per-sweep exit; true
+    exit residual). st_c = (c, (lz, ly, lx), (hz, hy, hx))."""
+    c, lo, hi = st_c
+    sc = jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)])
+    xo, n = pl.pallas_call(
+        functools.partial(_jacobi1_3d_kernel, transpose, int(max_sweeps)),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1,), b.dtype),
+        ),
+        in_specs=_vmem_specs(9) + _smem_specs(1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM(b.shape, b.dtype)],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # 10 windows (9 in + x out) + r scratch + ~4 live-value volumes
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+    )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], b, x, sc)
+    return xo, n[0]
+
+
+def jac13d_eligible(shape, dtype) -> bool:
+    """Gate for the 3-D whole-solve momentum tier (DIFFPISO_FUSED_JAC13D,
+    default auto): 10 single-buffered operand windows + the residual
+    scratch + ~4 live-value volumes must fit the 128 MiB VMEM (measured:
+    the value-hoisting variant needed 25 volumes at 128^3 and OOM'd,
+    runs/ab_jac13d.log; the ref-resident rewrite is validated both sides
+    of this boundary in runs/check_jac13d_lowering.py)."""
+    mode = os.environ.get("DIFFPISO_FUSED_JAC13D", "auto")
+    if mode == "never":
+        return False
+    if not _PALLAS_AVAILABLE:
+        return False
+    from diffpiso_tpu.ops import pallas_stencil as _ps
+
+    if _ps._DISABLED_DEPTH > 0 or _ps._BATCHED_SAFE_DEPTH > 0:
+        return False
+    if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu",) and not _INTERPRET:
+        return False
+    if len(shape) != 3:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    return 15 * shape[0] * shape[1] * shape[2] * itemsize <= 120 * 1024 * 1024
+
+
 def eligible_3d(shape, dtype) -> bool:
     """3-D Jacobi-sweep eligibility: z-plane-gridded launch holding ~13
     (ny, nx) plane blocks per program (ops/pallas_stencil.py:271-322 is the

@@ -317,11 +317,13 @@ def test_jacobi2_whole_solve_mixed_shapes(transpose, monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("jac13d", ["auto", "never"])
 @pytest.mark.parametrize("transpose", [False, True])
-def test_jacobi_accelerator_3d(transpose, monkeypatch):
-    """3-D: the z-plane-gridded single-sweep launches must solve the
-    dominant 7-point system to the generic loop's answer and short-circuit
-    the (unfused in 3-D) Krylov loop."""
+def test_jacobi_accelerator_3d(transpose, jac13d, monkeypatch):
+    """3-D: both momentum tiers — the single-program WHOLE-SOLVE kernel
+    (jac13d=auto: fused_jacobi1_solve_3d) and the z-plane-gridded sweep
+    launches (never) — must solve the dominant 7-point system to the
+    generic loop's answer and short-circuit the Krylov loop."""
     from diffpiso_tpu.ops.stencil import AdvectionStencil, apply_stencil, apply_stencil_transpose
     from diffpiso_tpu.solvers import krylov
 
@@ -329,6 +331,7 @@ def test_jacobi_accelerator_3d(transpose, monkeypatch):
     monkeypatch.setattr(pallas_krylov, "_roll",
                         lambda a, s, ax: jnp.roll(a, s, ax))
     monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC13D", jac13d)
     rng = np.random.RandomState(7)
     shape = (6, 12, 16)
 
