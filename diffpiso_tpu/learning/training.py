@@ -297,6 +297,26 @@ def make_chunked_train_step(loss_fn, optimizer, chunk: int):
     return train_chunk
 
 
+def _batched_pallas_mode(vel0, threshold=512 * 512):
+    """Trace-time gate for the batched-vmap pallas kernels
+    (DIFFPISO_BATCHED_PALLAS: auto | never | size [default]).
+
+    'size' resolves from the per-sample plane size of the batched velocity
+    (leaves carry a leading batch axis): 'auto' once the largest component
+    plane reaches the measured winning scale (512^2 — batch-4 A/B fwd
+    +13-32%, grad10 +18%, runs/ab_batched_512.log), 'never' below it
+    (batch-8 64x256 measured -7%, runs/ab_batched_pallas.log)."""
+    mode = os.environ.get("DIFFPISO_BATCHED_PALLAS", "size")
+    if mode != "size":
+        return mode
+    elems = 0
+    for a in jax.tree_util.tree_leaves(vel0):
+        shape = getattr(a, "shape", ())
+        if len(shape) >= 2:
+            elems = max(elems, int(np.prod(shape[1:])))
+    return "auto" if elems >= threshold else "never"
+
+
 def make_batched_train_step(loss_fn, optimizer, mesh=None):
     """Data-parallel training step over a leading batch axis — the designed
     -in fix for the reference's batch_size=1 limitation (SURVEY.md par.2.5:
@@ -342,22 +362,22 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
         # (one program per sample, each with its own while-loop), and
         # DIFFPISO_BATCHED_PALLAS=auto traces the batched rollout with them
         # on (batched_safe_pallas keeps only rule-carrying kernels).
-        # Default NEVER by A/B (runs/ab_batched_pallas.log, 2 reps): batch-8
-        # at the 64x256 training shape measured 124 vs 134 samples/s — the
-        # grid serializes one small program per sample while the all-XLA
-        # batched formulation fuses across the batch, so the r2 rationale
-        # ('vmap already amortizes what the kernels avoid') still holds at
-        # this scale. Flip condition: a workload whose PER-SAMPLE planes
-        # are large enough that each program saturates the core (512^2+
-        # batched rollouts).
-        import os
-
+        # Default: SIZE-gated, both regimes measured (2 interleaved reps
+        # each). Small per-sample planes lose (batch-8 64x256: 124 vs 134
+        # samples/s, runs/ab_batched_pallas.log) — the grid serializes one
+        # small program per sample while the all-XLA formulation fuses
+        # across the batch. Production-scale planes win (batch-4 512^2:
+        # fwd 1768-2155 vs 1561-1626, grad10 757 vs 629-643 sample-steps/s,
+        # runs/ab_batched_512.log) — each program saturates the core, so
+        # grid serialization costs nothing and the whole-solve kernels'
+        # launch/HBM savings carry over. Threshold = the measured winning
+        # scale (512^2 per-sample component planes).
         from diffpiso_tpu.ops.pallas_stencil import (
             batched_safe_pallas,
             no_pallas,
         )
 
-        batched_mode = os.environ.get("DIFFPISO_BATCHED_PALLAS", "never")
+        batched_mode = _batched_pallas_mode(vel0)
         ctx = batched_safe_pallas() if batched_mode == "auto" else no_pallas()
         with ctx:
             losses, warns, parts, grads, valids = jax.vmap(one)(

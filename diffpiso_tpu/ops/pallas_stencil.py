@@ -77,7 +77,16 @@ def batched_safe_pallas():
     """Context manager for vmapped traces (make_batched_train_step):
     keep only the pallas kernels with explicit custom_vmap batching rules
     (plus plane-output kernels that batch natively); disable the SMEM
-    -scalar-output iteration kernels vmap cannot batch."""
+    -scalar-output iteration kernels vmap cannot batch.
+
+    TRACE-TIME, not definition-time: the depth flag is consulted while the
+    gates run, i.e. while jax traces the wrapped computation. Wrapping a
+    `jax.jit` *definition* is a silent no-op (tracing is deferred to the
+    first call, by which time the context has exited) — enter the context
+    INSIDE the jitted function body, around the vmap/grad region, the way
+    learning/training.py does. Misuse surfaces as a Mosaic lowering error
+    on a vmapped SMEM block (e.g. `_bicg_p_kernel ... block shape
+    (Squeezed(), Blocked(3))`), see runs/ab_batched_512.py."""
     import contextlib
 
     @contextlib.contextmanager

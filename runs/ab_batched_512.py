@@ -46,11 +46,13 @@ def one_step(vel, p, g1, g2):
 
 
 def make_fwd(mode):
-    ctx = batched_safe_pallas() if mode == "auto" else no_pallas()
-    with ctx:
-
-        @jax.jit
-        def run(vel, p):
+    # the gate context must be active at TRACE time (inside the jit body),
+    # matching make_batched_train_step — wrapping the jit *definition* is a
+    # no-op because tracing is deferred to the first call
+    @jax.jit
+    def run(vel, p):
+        ctx = batched_safe_pallas() if mode == "auto" else no_pallas()
+        with ctx:
             def body(carry, _):
                 vel, p, g1, g2 = carry
                 return jax.vmap(one_step)(vel, p, g1, g2), ()
@@ -59,27 +61,31 @@ def make_fwd(mode):
                 body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)),
                 None, length=args.steps_per_call,
             )
-            return vel, p
+        return vel, p
 
     return run
 
 
 def make_grad(mode):
-    ctx = batched_safe_pallas() if mode == "auto" else no_pallas()
-    with ctx:
+    def loss_fn(vel, p):
+        def body(carry, _):
+            vel, p, g1, g2 = carry
+            return jax.vmap(one_step)(vel, p, g1, g2), ()
 
-        def loss_fn(vel, p):
-            def body(carry, _):
-                vel, p, g1, g2 = carry
-                return jax.vmap(one_step)(vel, p, g1, g2), ()
+        (vel, _, _, _), _ = jax.lax.scan(
+            body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)),
+            None, length=args.unroll,
+        )
+        return sum(jnp.mean(c**2) for c in vel.components)
 
-            (vel, _, _, _), _ = jax.lax.scan(
-                body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)),
-                None, length=args.unroll,
-            )
-            return sum(jnp.mean(c**2) for c in vel.components)
+    @jax.jit
+    def run(vel, p):
+        # ctx active across the WHOLE grad trace (fwd + transpose), like
+        # make_batched_train_step's `with ctx: vmap(value_and_grad(...))`
+        ctx = batched_safe_pallas() if mode == "auto" else no_pallas()
+        with ctx:
+            return jax.value_and_grad(loss_fn)(vel, p)
 
-        run = jax.jit(jax.value_and_grad(loss_fn))
     return run
 
 

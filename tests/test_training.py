@@ -368,3 +368,27 @@ def test_training_run_scan_chunk_matches(tiny_setup, tiny_dataset, tmp_path):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_batched_pallas_mode_size_gate(monkeypatch):
+    """The batched-vmap pallas gate resolves by per-sample plane size:
+    'auto' at the measured winning scale (512^2 component planes,
+    runs/ab_batched_512.log), 'never' below (runs/ab_batched_pallas.log);
+    the env var still overrides both ways."""
+    from diffpiso_tpu.learning.training import _batched_pallas_mode
+
+    big = (
+        jax.ShapeDtypeStruct((4, 512, 512), jnp.float32),
+        jax.ShapeDtypeStruct((4, 512, 512), jnp.float32),
+    )
+    small = (
+        jax.ShapeDtypeStruct((8, 64, 257), jnp.float32),
+        jax.ShapeDtypeStruct((8, 65, 256), jnp.float32),
+    )
+    monkeypatch.delenv("DIFFPISO_BATCHED_PALLAS", raising=False)
+    assert _batched_pallas_mode(big) == "auto"
+    assert _batched_pallas_mode(small) == "never"
+    monkeypatch.setenv("DIFFPISO_BATCHED_PALLAS", "never")
+    assert _batched_pallas_mode(big) == "never"
+    monkeypatch.setenv("DIFFPISO_BATCHED_PALLAS", "auto")
+    assert _batched_pallas_mode(small) == "auto"
