@@ -301,23 +301,30 @@ def _batched_pallas_mode(vel0, threshold=512 * 512):
     """Trace-time gate for the batched-vmap pallas kernels
     (DIFFPISO_BATCHED_PALLAS: auto | never | size [default]).
 
-    'size' resolves from the per-sample plane size of the batched velocity
-    (leaves carry a leading batch axis): 'auto' once the largest component
-    plane reaches the measured winning scale (512^2 — batch-4 A/B fwd
-    +13-32%, grad10 +18%, runs/ab_batched_512.log), 'never' below it
-    (batch-8 64x256 measured -7%, runs/ab_batched_pallas.log)."""
+    'size' resolves from the per-sample PLANE size of the batched velocity
+    (leaves carry a leading batch axis, so a 2-D sample is a rank-3 leaf):
+    'auto' once the largest component plane reaches the measured winning
+    scale (512^2 — batch-4 A/B fwd +13-32%, grad10 +18% on the re-measured
+    interleaved protocol, runs/ab_batched_512.log), 'never' below it
+    (batch-8 64x256 measured -7%, runs/ab_batched_pallas.log). Rank-4
+    leaves (batched 3-D volumes) resolve to 'never': no 3-D batched A/B
+    exists, and the trailing-two-axes product would misclassify a 64^3
+    volume as a 512^2 plane."""
     mode = os.environ.get("DIFFPISO_BATCHED_PALLAS", "size")
     if mode != "size":
         return mode
     elems = 0
     for a in jax.tree_util.tree_leaves(vel0):
         shape = getattr(a, "shape", ())
-        if len(shape) >= 2:
-            elems = max(elems, int(np.prod(shape[1:])))
+        if len(shape) > 3:
+            return "never"
+        if len(shape) == 3:
+            elems = max(elems, int(np.prod(shape[-2:])))
     return "auto" if elems >= threshold else "never"
 
 
-def make_batched_train_step(loss_fn, optimizer, mesh=None):
+def make_batched_train_step(loss_fn, optimizer, mesh=None,
+                            force_no_pallas=False):
     """Data-parallel training step over a leading batch axis — the designed
     -in fix for the reference's batch_size=1 limitation (SURVEY.md par.2.5:
     solvers declare supports_batch=False, combined_training_integrated.py
@@ -326,7 +333,14 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
     batch mean (the batched generalization of the reference's skip-update
     policy) instead of poisoning the whole step. With `mesh`, the batch axis
     is sharded over mesh axis 'data' (pjit DP: gradients all-reduce
-    automatically)."""
+    automatically).
+
+    force_no_pallas (set automatically when `mesh` is given, and by
+    make_sharded_train_step) overrides the batched-pallas size gate: a
+    GSPMD-sharded trace cannot partition pallas_call
+    (ops/pallas_stencil.py no_pallas), so sharded steps always trace the
+    roll/reduction formulation regardless of per-sample plane size."""
+    force_no_pallas = force_no_pallas or (mesh is not None)
 
     @jax.jit
     def train_step(params, opt_state, vel0, p0, targets, perts):
@@ -362,8 +376,10 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
         # (one program per sample, each with its own while-loop), and
         # DIFFPISO_BATCHED_PALLAS=auto traces the batched rollout with them
         # on (batched_safe_pallas keeps only rule-carrying kernels).
-        # Default: SIZE-gated, both regimes measured (2 interleaved reps
-        # each). Small per-sample planes lose (batch-8 64x256: 124 vs 134
+        # Default: SIZE-gated, both regimes measured (fwd: 2 interleaved
+        # reps each; grad10 auto: one rep in the r3 log, see
+        # runs/ab_batched_512.log). Small per-sample planes lose (batch-8
+        # 64x256: 124 vs 134
         # samples/s, runs/ab_batched_pallas.log) — the grid serializes one
         # small program per sample while the all-XLA formulation fuses
         # across the batch. Production-scale planes win (batch-4 512^2:
@@ -377,7 +393,7 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None):
             no_pallas,
         )
 
-        batched_mode = _batched_pallas_mode(vel0)
+        batched_mode = "never" if force_no_pallas else _batched_pallas_mode(vel0)
         ctx = batched_safe_pallas() if batched_mode == "auto" else no_pallas()
         with ctx:
             losses, warns, parts, grads, valids = jax.vmap(one)(
@@ -417,8 +433,10 @@ def make_sharded_train_step(loss_fn, optimizer, mesh, example_batch,
     layout: `padded = layout.put(layout.pad(batch))`; the step unpads
     inside the jit, runs the batched per-sample-masked update (same
     semantics as make_batched_train_step), and GSPMD inserts the halo
-    collective-permutes / gradient psums. Trace runs under no_pallas()
-    (GSPMD cannot partition pallas_call).
+    collective-permutes / gradient psums. The inner step is built with
+    force_no_pallas=True so the trace always takes the roll/reduction
+    formulation (GSPMD cannot partition pallas_call) — the batched-pallas
+    size gate never applies to sharded traces.
 
     Returns (train_step, layout); train_step(params, opt_state,
     padded_batch) -> (params, opt_state, loss, parts, warns)."""
@@ -427,7 +445,7 @@ def make_sharded_train_step(loss_fn, optimizer, mesh, example_batch,
     layout = PaddedSpatialLayout(
         mesh, spatial_axes=spatial_axes, leading_axes=leading_axes
     )
-    inner = make_batched_train_step(loss_fn, optimizer)
+    inner = make_batched_train_step(loss_fn, optimizer, force_no_pallas=True)
 
     @jax.jit
     def train_step(params, opt_state, padded_batch):
