@@ -25,9 +25,11 @@ from diffpiso_tpu.fields.noise import noise, noise_staggered, random_solenoidal
 from diffpiso_tpu.fields.sampled import (
     SampledField,
     advect_points,
+    distribute_points,
     regular_points,
     velocity_at_points,
 )
+from diffpiso_tpu.fields.extrapolate import create_surface_mask, extrapolate
 from diffpiso_tpu.fields.angular_velocity import AngularVelocity, gaussian_falloff
 from diffpiso_tpu.fields import struct
 
@@ -59,6 +61,9 @@ __all__ = [
     "gaussian_falloff",
     "SampledField",
     "advect_points",
+    "create_surface_mask",
+    "distribute_points",
+    "extrapolate",
     "regular_points",
     "velocity_at_points",
 ]

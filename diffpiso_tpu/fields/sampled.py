@@ -4,9 +4,13 @@ Covers the reference's SampledField (PhiFlow/phi/physics/field/sampled.py:
 15-151): a collection of sample points carrying values, rasterizable onto
 centered grids (`_grid_sample`, sampled.py:37-55: nearest-cell scatter with
 'mean' / 'add' / 'any' duplicate handling) and staggered grids
-(`_stagger_sample`, sampled.py:57-110: per-component face binning), and
-passively advected by a velocity field (advect.advect → points move with
-the interpolated velocity, PhiFlow/phi/physics/field/advect.py).
+(`_stagger_sample`, sampled.py:57-110: per-component face binning, with the
+optional occupancy-mask extrapolation post-pass via
+fields/extrapolate.extrapolate — sampled.py:98-105), passively advected by
+a velocity field (advect.advect → points move with the interpolated
+velocity, PhiFlow/phi/physics/field/advect.py), and seedable from a binary
+density mask (`distribute_points` <- `_distribute_points`,
+sampled.py:185-212).
 
 TPU-first redesign:
   * static point count N — points/values are fixed-shape arrays, so every
@@ -36,6 +40,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffpiso_tpu.fields.box import Box
 from diffpiso_tpu.fields.grid import CenteredField, StaggeredField
@@ -91,11 +96,17 @@ class SampledField:
         flat = _scatter(lin, vals, n_cells, self.mode)
         return CenteredField(flat.reshape(tuple(res) + ch))
 
-    def to_staggered(self, domain) -> StaggeredField:
+    def to_staggered(self, domain, extrapolation_distance: int = 0) -> StaggeredField:
         """Scatter vector values (N, rank) onto the face grids of `domain`
-        (sampled.py:57-110 `_stagger_sample`, without its occupancy-mask
-        extrapolation pass — that pass exists to seed FLIP solvers and is
-        orthogonal to rasterization)."""
+        (sampled.py:57-110 `_stagger_sample`).
+
+        extrapolation_distance > 0 runs the reference's occupancy-mask
+        post-pass (sampled.py:98-105: `extrapolate(grid_values,
+        active_mask, voxel_distance=2)`): the occupancy mask is eroded so
+        only cells whose axis neighbors are all occupied count as valid
+        (sampled.py:98-99), then faces outside get values propagated from
+        the liquid — what FLIP-style solvers need at liquid boundaries,
+        where half-covered faces would otherwise read 0."""
         if self.values.ndim != 2 or self.values.shape[-1] != self.rank:
             raise ValueError(
                 "staggered rasterization needs (N, rank) vector values, got "
@@ -133,7 +144,26 @@ class SampledField:
             flat = _scatter(_linearize(idx, shape), self.values[:, d], size,
                             self.mode)
             comps.append(flat.reshape(tuple(shape)))
-        return StaggeredField(tuple(comps), periodic=periodic)
+        grid = StaggeredField(tuple(comps), periodic=periodic)
+        if extrapolation_distance > 0:
+            from diffpiso_tpu.fields.extrapolate import extrapolate
+
+            occ = self.occupancy(domain).data
+            # erode: valid iff the cell AND its +-1 axis neighbors are all
+            # occupied (out-of-domain counts empty) — sampled.py:98-99
+            active = occ
+            for d in range(self.rank):
+                pads = [(0, 0)] * self.rank
+                pads[d] = (1, 1)
+                padded = jnp.pad(occ, pads)
+                lo = jax.lax.slice_in_dim(padded, 0, occ.shape[d], axis=d)
+                hi = jax.lax.slice_in_dim(padded, 2, occ.shape[d] + 2, axis=d)
+                active = jnp.minimum(active, jnp.minimum(lo, hi))
+            grid, _ = extrapolate(
+                grid, active, voxel_distance=extrapolation_distance,
+                dx=domain.dx,
+            )
+        return grid
 
     def occupancy(self, domain) -> CenteredField:
         """1.0 in every cell containing at least one point ('any' mode,
@@ -226,6 +256,50 @@ def advect_points(
         upper = jnp.asarray(box.upper, pts.dtype)
         pts = jnp.clip(pts, lower, upper)
     return dataclasses.replace(field, points=pts)
+
+
+def distribute_points(
+    density,
+    particles_per_cell: int = 1,
+    distribution: str = "uniform",
+    key=None,
+    box: Optional[Box] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Seed `particles_per_cell` points in every active cell of a binary
+    density mask (the reference's `_distribute_points`,
+    phi/physics/field/sampled.py:185-212). 'center' places points at cell
+    centers, 'uniform' jitters them uniformly inside the cell
+    (deterministically, via counter-based `key`; default PRNGKey(0) — the
+    reference uses an unseeded math.random_uniform).
+
+    Host-side seeding utility (the point count is data-dependent, so this
+    cannot run under jit — the reference has the same restriction, raising
+    on ragged batches at sampled.py:208-211; batch by calling per sample).
+    Returns (n_active * particles_per_cell, rank) points in INDEX
+    coordinates like the reference (cell i spans [i, i+1)), or in world
+    coordinates when `box` is given (the SampledField convention here)."""
+    if distribution not in ("center", "uniform"):
+        raise ValueError(f"unknown distribution {distribution!r}")
+    dens = np.asarray(density)
+    idx = np.argwhere(dens > 0).astype(np.float64)  # (M, rank)
+    reps = np.tile(idx, (particles_per_cell, 1))
+    if distribution == "center":
+        pts = reps + 0.5
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        pts = reps + np.asarray(
+            jax.random.uniform(key, reps.shape, jnp.float32), np.float64
+        )
+    pts = jnp.asarray(pts, dtype)
+    if box is not None:
+        res = jnp.asarray(dens.shape, dtype)
+        pts = (
+            jnp.asarray(box.lower, dtype)
+            + pts / res * jnp.asarray(box.size, dtype)
+        )
+    return pts
 
 
 def regular_points(box: Box, count: int, dtype=jnp.float32) -> jax.Array:

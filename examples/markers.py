@@ -43,7 +43,8 @@ def main():
 
     from diffpiso_tpu.core.chorin import FlowState
     from diffpiso_tpu.fields import (
-        Box, CLOSED, Domain, SampledField, StaggeredField, regular_points,
+        Box, CLOSED, Domain, SampledField, StaggeredField,
+        distribute_points, regular_points, velocity_at_points,
     )
     from diffpiso_tpu.fields.geometry import Sphere
     from diffpiso_tpu.physics import Drift, IncompressibleFlow, World
@@ -95,6 +96,24 @@ def main():
         physics=Drift(domain),  # marker.py:29 SampledField + Drift
     )
 
+    # FLIP-style seeding (reference sampled.py:185-212 _distribute_points +
+    # the occupancy-extrapolation rasterization pass, sampled.py:98-105):
+    # particles fill a disk density mask 2-per-cell with uniform jitter,
+    # ride the flow, and each snapshot re-rasterizes their sampled
+    # velocities onto a staggered grid with 2-cell boundary extrapolation —
+    # the seeding step of a FLIP solver
+    blob = np.zeros((ny, nx), np.float32)
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    blob[(yy - 40.0) ** 2 + (xx - 63.0) ** 2 < 12.0 ** 2] = 1.0
+    flip_pts = distribute_points(blob, particles_per_cell=2, box=box,
+                                 key=jax.random.PRNGKey(3))
+    world.add(
+        "flip_marker",
+        SampledField(flip_pts,
+                     jnp.zeros((flip_pts.shape[0], 2), jnp.float32)),
+        physics=Drift(domain),
+    )
+
     step = world.make_step_fn(dt=args.dt)
 
     def chunk(values, _):
@@ -112,9 +131,19 @@ def main():
         dense = np.asarray(values["dense_marker"])
         pts = np.asarray(values["sparse_marker"].points)
         dens = np.asarray(values["velocity"].density)
+        flip = values["flip_marker"]
+        flip_vel = velocity_at_points(
+            values["velocity"].velocity, flip.points, box
+        )
+        seeded = flip.with_values(flip_vel).to_staggered(
+            domain, extrapolation_distance=2
+        )
         np.savez_compressed(
             os.path.join(run, f"frame_{i:04d}.npz"),
             dense_marker=dense, particles=pts, density=dens,
+            flip_particles=np.asarray(flip.points),
+            flip_v=np.asarray(seeded.components[0]),
+            flip_u=np.asarray(seeded.components[1]),
         )
         print(
             f"step {10 * (i + 1):4d}  marker mass {dense.sum():.1f}  "

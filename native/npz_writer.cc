@@ -195,45 +195,59 @@ struct Job {
   int level;
 };
 
-std::mutex g_mu;
-std::condition_variable g_cv;
-std::queue<Job> g_jobs;
-int g_active = 0;
-int g_errors = 0;
-std::vector<std::thread> g_pool;
-bool g_stop = false;
+// The pool state is heap-allocated and INTENTIONALLY LEAKED: with static
+// globals, C++ exit-time destructors would destroy the condition_variable
+// while detached workers are blocked in wait() on it — glibc's
+// pthread_cond_destroy then blocks until there are no waiters, hanging the
+// whole process at interpreter shutdown (observed: examples/smoke_datagen.py
+// completed, printed its summary, and never exited). Leaking the state means
+// no destructor ever runs; the detached threads die with the process.
+struct PoolState {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::queue<Job> jobs;
+  int active = 0;
+  int errors = 0;
+  std::vector<std::thread> pool;
+};
+
+PoolState& pool_state() {
+  static PoolState* s = new PoolState();  // never deleted (see above)
+  return *s;
+}
 
 void worker() {
+  PoolState& s = pool_state();
   for (;;) {
     Job job;
     {
-      std::unique_lock<std::mutex> lk(g_mu);
-      g_cv.wait(lk, [] { return g_stop || !g_jobs.empty(); });
-      if (g_stop && g_jobs.empty()) return;
-      job = std::move(g_jobs.front());
-      g_jobs.pop();
-      g_active++;
+      std::unique_lock<std::mutex> lk(s.mu);
+      s.cv.wait(lk, [&s] { return !s.jobs.empty(); });
+      job = std::move(s.jobs.front());
+      s.jobs.pop();
+      s.active++;
     }
     int rc = write_npz_file(job.path, job.names, job.npys, job.level);
     {
-      std::unique_lock<std::mutex> lk(g_mu);
-      g_active--;
-      if (rc != 0) g_errors++;
+      std::unique_lock<std::mutex> lk(s.mu);
+      s.active--;
+      if (rc != 0) s.errors++;
     }
-    g_cv.notify_all();
+    s.cv.notify_all();
   }
 }
 
 void ensure_pool() {
-  if (!g_pool.empty()) return;
+  PoolState& s = pool_state();
+  if (!s.pool.empty()) return;
   unsigned n = std::thread::hardware_concurrency();
   if (n < 2) n = 2;
   if (n > 8) n = 8;
   for (unsigned i = 0; i < n; i++) {
-    g_pool.emplace_back(worker);
+    s.pool.emplace_back(worker);
     // detached: the pool lives for the process; joinable std::thread
     // destructors at exit would call std::terminate
-    g_pool.back().detach();
+    s.pool.back().detach();
   }
 }
 
@@ -271,21 +285,23 @@ int npz_write_async(const char* path, int n, const char** names,
                     const int64_t* nbytes, int level) {
   Job job = build_job(path, n, names, descrs, ndims, shapes, datas, nbytes,
                       level);
+  PoolState& s = pool_state();
   {
-    std::unique_lock<std::mutex> lk(g_mu);
+    std::unique_lock<std::mutex> lk(s.mu);
     ensure_pool();
-    g_jobs.push(std::move(job));
+    s.jobs.push(std::move(job));
   }
-  g_cv.notify_one();
+  s.cv.notify_one();
   return 0;
 }
 
 // blocks until every queued write lands; returns (and resets) the error count
 int npz_write_wait() {
-  std::unique_lock<std::mutex> lk(g_mu);
-  g_cv.wait(lk, [] { return g_jobs.empty() && g_active == 0; });
-  int e = g_errors;
-  g_errors = 0;
+  PoolState& s = pool_state();
+  std::unique_lock<std::mutex> lk(s.mu);
+  s.cv.wait(lk, [&s] { return s.jobs.empty() && s.active == 0; });
+  int e = s.errors;
+  s.errors = 0;
   return e;
 }
 

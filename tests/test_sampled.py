@@ -256,3 +256,111 @@ def test_drift_world_markers():
     np.testing.assert_allclose(out_dense.sum(), float(dense.sum()), rtol=1e-4)
     # particles moved
     assert float(jnp.max(jnp.abs(out_pts.points - particles.points))) > 0
+
+
+# -- occupancy-mask extrapolation (util.py:68-200) + point distribution -------------
+
+
+def test_create_surface_mask_inner_contour():
+    """Surface = liquid cells with at least one empty neighbor (incl.
+    diagonals; out-of-domain counts empty) — create_surface_mask,
+    phi/physics/field/util.py:174-200."""
+    from diffpiso_tpu.fields.extrapolate import create_surface_mask
+
+    mask = np.zeros((6, 6), np.float32)
+    mask[1:5, 1:5] = 1.0
+    got = np.asarray(create_surface_mask(jnp.asarray(mask)))
+    want = mask.copy()
+    want[2:4, 2:4] = 0.0  # interior 2x2 has all-liquid neighborhoods
+    np.testing.assert_array_equal(got, want)
+    # a fully-liquid domain: only the boundary ring is surface (zero-padded
+    # out-of-domain neighbors count empty — the reference's constant pad,
+    # util.py:181)
+    full = np.asarray(create_surface_mask(jnp.ones((4, 4), jnp.float32)))
+    ring = np.ones((4, 4))
+    ring[1:3, 1:3] = 0.0
+    np.testing.assert_array_equal(full, ring)
+
+
+def test_extrapolate_centered_stripe():
+    """Values propagate outward from the liquid surface: a stripe with
+    f = x inside carries the surface column's value into the empty cells,
+    one cell per sweep; the signed distance is negative inside, ~0 on the
+    contour, positive outside, clamped past the horizon."""
+    from diffpiso_tpu.fields.extrapolate import extrapolate
+
+    ny, nx, k, vd = 8, 8, 4, 3
+    mask = np.zeros((ny, nx), np.float32)
+    mask[:, :k] = 1.0
+    f = np.tile(np.arange(nx, dtype=np.float32), (ny, 1))
+    ext, sdist = extrapolate(jnp.asarray(f), jnp.asarray(mask), vd)
+    ext, sdist = np.asarray(ext), np.asarray(sdist)
+    # liquid values unchanged
+    np.testing.assert_array_equal(ext[:, :k], f[:, :k])
+    # empty cells within the horizon take the surface column's value (the
+    # nearest liquid cell along -x); interior rows avoid the domain-edge
+    # surface rows
+    np.testing.assert_array_equal(ext[1:-1, k], np.full(ny - 2, k - 1.0))
+    np.testing.assert_array_equal(ext[1:-1, k + 1], np.full(ny - 2, k - 1.0))
+    # signed distance: 0 at the inner contour, graded positive outside
+    assert np.all(sdist[:, :k] <= 0.0)
+    np.testing.assert_allclose(sdist[1:-1, k - 1], 0.0)
+    np.testing.assert_allclose(sdist[1:-1, k], 1.0)
+    np.testing.assert_allclose(sdist[1:-1, k + 1], 2.0)
+    # past the horizon: clamped to +voxel_distance (util.py:161-163)
+    np.testing.assert_allclose(sdist[:, k + vd:], vd)
+
+
+def test_to_staggered_extrapolation_seeds_boundary_faces():
+    """The reference's _stagger_sample post-pass (sampled.py:98-105): with
+    extrapolation_distance=2, faces just outside the occupied region carry
+    values propagated from inside the liquid instead of zeros."""
+    box = Box.from_size((8.0, 8.0))
+    domain = Domain((8, 8), box, boundaries=CLOSED)
+    # fill cells [2..5]^2 with one particle each (off-center to avoid
+    # round-half ties), uniform velocity (0.5, 1.0)
+    ys, xs = np.meshgrid(np.arange(2, 6) + 0.4, np.arange(2, 6) + 0.4,
+                         indexing="ij")
+    pts = jnp.asarray(np.stack([ys.ravel(), xs.ravel()], -1), jnp.float32)
+    vals = jnp.asarray(np.tile([0.5, 1.0], (pts.shape[0], 1)), jnp.float32)
+    f = SampledField(pts, vals, mode="mean")
+
+    plain = f.to_staggered(domain)
+    seeded = f.to_staggered(domain, extrapolation_distance=2)
+    v0, u0 = (np.asarray(c) for c in plain.components)
+    v1, u1 = (np.asarray(c) for c in seeded.components)
+    # the eroded active mask is cells [3..4]^2; faces 1-2 cells outside it
+    # were zero without the pass and carry the liquid value with it
+    assert u0[3, 7] == 0.0 and v0[7, 3] == 0.0
+    np.testing.assert_allclose(u1[3, 7], 1.0)
+    np.testing.assert_allclose(v1[7, 3], 0.5)
+    # rasterized faces deep inside the liquid are untouched by the pass
+    np.testing.assert_allclose(u1[3, 4], u0[3, 4])
+    np.testing.assert_allclose(v1[4, 3], v0[4, 3])
+
+
+def test_distribute_points_modes():
+    """_distribute_points parity (sampled.py:185-212): one point per active
+    cell at the center (or uniformly jittered inside it), particles_per_cell
+    replication, and optional world-coordinate mapping via a Box."""
+    from diffpiso_tpu.fields.sampled import distribute_points
+
+    dens = np.zeros((4, 4), np.float32)
+    dens[1, 2] = 1.0
+    dens[3, 0] = 1.0
+    pts = np.asarray(distribute_points(dens, distribution="center"))
+    want = {(1.5, 2.5), (3.5, 0.5)}
+    assert {tuple(p) for p in pts} == want
+
+    pts3 = np.asarray(
+        distribute_points(dens, particles_per_cell=3, distribution="uniform",
+                          key=jax.random.PRNGKey(1))
+    )
+    assert pts3.shape == (6, 2)
+    # each jittered point stays strictly inside its source cell
+    cells = {tuple(np.floor(p).astype(int)) for p in pts3}
+    assert cells == {(1, 2), (3, 0)}
+
+    box = Box.from_size((8.0, 8.0))  # 2x cell size
+    ptsw = np.asarray(distribute_points(dens, distribution="center", box=box))
+    assert {tuple(p) for p in ptsw} == {(3.0, 5.0), (7.0, 1.0)}
