@@ -1,0 +1,644 @@
+"""Per-shard Pallas solver kernels under shard_map — multi-chip keeps the
+whole-solve speedups.
+
+Until r3, every spatially-sharded trace ran all-XLA (`no_pallas()`): GSPMD
+cannot partition an opaque `pallas_call`, so the whole-solve kernels that
+took single-chip 512^2 from 2634 to 6395 fwd steps/s simply did not exist
+on a mesh. This module restores them the way SURVEY.md par.5 prescribes:
+the solver loops live in ONE `jax.shard_map` region per solve, where
+collectives are explicit —
+
+  * halo traffic: one `lax.ppermute` edge sliver per sharded axis per
+    direction between kernel launches (ICI nearest-neighbor),
+  * scalar rendezvous: `psum`/`pmax` for dot products and convergence
+    norms (the distributed replacement for the reference's cuBLAS global
+    dots, pressure_solve_op.cu.cc:291-356),
+
+and the per-shard compute runs as Pallas kernels with the local block and
+all stencil planes VMEM-resident — the shard-local twin of the single-chip
+whole-solve family (solvers/pallas_krylov.py).
+
+Momentum (advection) solve: the system is diagonally dominant by
+beta = prod(dx)/dt, so each outer trip runs ONE launch per component that
+(a) measures the true residual against fresh halo slivers and (b) chains k
+Jacobi sweeps with the halo FROZEN at the exchanged value — additive
+block-Jacobi across shards, which inherits plain Jacobi's contraction on
+the dominant interior and lags only the shard-boundary error by one trip.
+Exit tests ride the measured entry residual (conservative by one trip); a
+closing measure-only launch reports the exact final residual so warn
+semantics match the single-chip kernels bit-for-bit in spirit (same
+max|b - A x| criterion).
+
+Pressure solve: distributed PCG with the matvec phase (q = A p without the
+rank-one shift + partial p.q / sum(p) reductions) and the update phase
+(x/r updates + partial max|r| / sum(r)) as one kernel launch each; the
+rank-one all-Neumann shift closes through scalars (S = psum(sum p), with
+p.q corrected by shift*S^2 and r by alpha*shift*S), mean deflation is
+LAGGED one iteration exactly like the fused rank-3 kernel documents
+(pallas_krylov._pcg3_xr_kernel), and the matmul-eigenbasis preconditioner
+runs as the proven distributed contractions + psum_scatter
+(parallel/halo.py _local_spectral_precond) — jnp on the MXU, which XLA
+already schedules well.
+
+Shapes: shard_map needs mesh-divisible global dims. Staggered momentum
+components carry +1 faces on bounded axes; they are ZERO-padded to
+divisible here — a zero stencil row with zero rhs has residual identically
+0 and never couples (boundary rows' roll-wrap coefficients are zero by
+construction), so padding is exact, not approximate. The pressure path
+requires divisible planes outright (the rank-one shift and deflation sums
+would need in-kernel index masks under padding); non-divisible pressure
+shapes fall back to the GSPMD jnp path, as does everything when the
+context below is not active.
+
+Usage: trace the step inside `sharded_solvers(mesh, axis_names)`; the
+solver impls in solvers/base.py consult `current()` and dispatch here.
+The context also enters `no_pallas()` for the REST of the trace (assembly,
+FV, correctors stay GSPMD-partitioned jnp).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+# tests flip this to run the exact production kernels on the CPU mesh
+_INTERPRET = False
+
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+# -- context -------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSolveCtx:
+    mesh: Mesh
+    # mesh-axis name per trailing spatial dim (None = that dim is local)
+    axis_names: Tuple[Optional[str], ...]
+    # momentum accelerator knobs (mirror DIFFPISO_ADV_JACOBI_K / max_launches)
+    k_sweeps: int = 4
+    max_trips: int = 9
+
+    @property
+    def extents(self):
+        return tuple(
+            self.mesh.shape[a] if a is not None else 1 for a in self.axis_names
+        )
+
+
+_CTX: list = []
+
+
+@contextlib.contextmanager
+def sharded_solvers(mesh: Mesh, axis_names: Sequence[Optional[str]],
+                    k_sweeps: int = 4, max_trips: int = 9):
+    """Trace-time context: PISO solves dispatch to the per-shard kernel
+    solvers in this module; everything else traces under no_pallas() (the
+    GSPMD-partitionable roll/reduction formulation). Enter INSIDE the jit
+    body, around the region being traced — same trace-time discipline as
+    no_pallas()/batched_safe_pallas() (ops/pallas_stencil.py)."""
+    from diffpiso_tpu.ops.pallas_stencil import no_pallas
+
+    ctx = ShardedSolveCtx(mesh, tuple(axis_names), k_sweeps, max_trips)
+    _CTX.append(ctx)
+    try:
+        with no_pallas():
+            yield ctx
+    finally:
+        _CTX.pop()
+
+
+def current() -> Optional[ShardedSolveCtx]:
+    return _CTX[-1] if _CTX else None
+
+
+def kernels_available() -> bool:
+    """The per-shard kernels lower on TPU and run in interpret mode on the
+    CPU test mesh (with the _roll monkeypatch, like every kernel suite)."""
+    if not _PALLAS_AVAILABLE:
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+# -- halo sliver exchange -------------------------------------------------------------
+
+
+def _perm(n: int, forward: bool):
+    if forward:
+        return [(i, (i + 1) % n) for i in range(n)]
+    return [((i + 1) % n, i) for i in range(n)]
+
+
+def _exchange(x, axis: int, name: str):
+    """(up, dn) halo slivers for a block-sharded axis: `up` is the
+    up-neighbor's LAST plane (feeds roll(x, +1)), `dn` the down-neighbor's
+    FIRST plane (feeds roll(x, -1)). Cyclic — the global wrap edge carries
+    either true periodic data or data that multiplies a zero boundary
+    coefficient (bounded axes), exactly like the single-chip roll trick."""
+    n = jax.lax.psum(1, name)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    up = jax.lax.ppermute(last, name, _perm(n, True))
+    dn = jax.lax.ppermute(first, name, _perm(n, False))
+    return up, dn
+
+
+# -- in-kernel halo-aware 5-point matvec ----------------------------------------------
+# sliver layout per sharded axis ax (in axis order):
+#   forward:   [up_x, dn_x]
+#   transpose: [up_x, dn_x, up_hi, dn_lo]   (hi/lo coefficient slivers:
+#              roll(lo*x, -1, ax) needs the dn-neighbor's first lo*x row,
+#              roll(hi*x, +1, ax) the up-neighbor's last hi*x row)
+
+
+def _mk_mv(sharded: Tuple[bool, bool], transpose: bool):
+    """Returns mv(c, ly, hy, lx, hx, x, slv, frozen) computing S x (or
+    S^T x) on a local block; slv is the flat sliver list; frozen=False
+    zeroes the sliver contributions (the delta matvec of maintained
+    -residual sweeps: a local update has no neighbor component)."""
+
+    def take(slv, i, frozen):
+        s = slv[i]
+        return s if frozen else jnp.zeros_like(s)
+
+    def mv(c, ly, hy, lx, hx, x, slv, frozen):
+        i = 0
+        if not transpose:
+            if sharded[0]:
+                up = take(slv, i, frozen)
+                dn = take(slv, i + 1, frozen)
+                i += 2
+                xm0 = jnp.concatenate([up, x[:-1, :]], 0)
+                xp0 = jnp.concatenate([x[1:, :], dn], 0)
+            else:
+                xm0 = _roll(x, 1, 0)
+                xp0 = _roll(x, -1, 0)
+            if sharded[1]:
+                lf = take(slv, i, frozen)
+                rt = take(slv, i + 1, frozen)
+                i += 2
+                xm1 = jnp.concatenate([lf, x[:, :-1]], 1)
+                xp1 = jnp.concatenate([x[:, 1:], rt], 1)
+            else:
+                xm1 = _roll(x, 1, 1)
+                xp1 = _roll(x, -1, 1)
+            return c * x + ly * xm0 + hy * xp0 + lx * xm1 + hx * xp1
+        # transpose: z = c x + roll(ly x, -1, 0) + roll(hy x, +1, 0) + ...
+        z = c * x
+        a0 = ly * x
+        b0 = hy * x
+        if sharded[0]:
+            up_x = take(slv, i, frozen)
+            dn_x = take(slv, i + 1, frozen)
+            up_hy = slv[i + 2]
+            dn_ly = slv[i + 3]
+            i += 4
+            z = z + jnp.concatenate([a0[1:, :], dn_ly * dn_x], 0)
+            z = z + jnp.concatenate([up_hy * up_x, b0[:-1, :]], 0)
+        else:
+            z = z + _roll(a0, -1, 0) + _roll(b0, 1, 0)
+        a1 = lx * x
+        b1 = hx * x
+        if sharded[1]:
+            lf_x = take(slv, i, frozen)
+            rt_x = take(slv, i + 1, frozen)
+            lf_hx = slv[i + 2]
+            rt_lx = slv[i + 3]
+            i += 4
+            z = z + jnp.concatenate([a1[:, 1:], rt_lx * rt_x], 1)
+            z = z + jnp.concatenate([lf_hx * lf_x, b1[:, :-1]], 1)
+        else:
+            z = z + _roll(a1, -1, 1) + _roll(b1, 1, 1)
+        return z
+
+    return mv
+
+
+def _n_slivers(sharded, transpose):
+    per_axis = 4 if transpose else 2
+    return per_axis * sum(sharded)
+
+
+def _sliver_values(x, stencil_planes, axis_names, transpose):
+    """Exchanged sliver list matching _mk_mv's layout. stencil_planes =
+    (c, ly, hy, lx, hx); coefficient slivers are loop-invariant but cheap
+    (one edge row each), so they ride the same exchange for simplicity."""
+    _, ly, hy, lx, hx = stencil_planes
+    lo = (ly, lx)
+    hi = (hy, hx)
+    slv = []
+    for ax, name in enumerate(axis_names):
+        if name is None:
+            continue
+        up_x, dn_x = _exchange(x, ax, name)
+        slv += [up_x, dn_x]
+        if transpose:
+            up_hi, _ = _exchange(hi[ax], ax, name)
+            _, dn_lo = _exchange(lo[ax], ax, name)
+            slv += [up_hi, dn_lo]
+    return slv
+
+
+# -- momentum: measure + k frozen-halo Jacobi sweeps (one launch) --------------------
+
+
+def _mk_momentum_kernel(transpose, sharded, k):
+    mv = _mk_mv(sharded, transpose)
+    ns = _n_slivers(sharded, transpose)
+
+    def kernel(*refs):
+        c, ly, hy, lx, hx, b, x = (r[:] for r in refs[:7])
+        slv = [r[:] for r in refs[7:7 + ns]]
+        sgn = refs[7 + ns][0]
+        out_x, out_n = refs[8 + ns], refs[9 + ns]
+
+        def A(v, frozen):
+            return sgn * mv(c, ly, hy, lx, hx, v, slv, frozen)
+
+        r = b - A(x, True)
+        out_n[0] = jnp.max(jnp.abs(r))
+        d = sgn * c
+        iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
+        xv = x
+        rv = r
+        for _ in range(k):
+            dlt = iv * rv
+            xv = xv + dlt
+            rv = rv - A(dlt, False)
+        out_x[:] = xv
+
+    return kernel
+
+
+def _momentum_launch(stencil_planes, b, x, slv, sgn, transpose, sharded, k):
+    c = stencil_planes[0]
+    nops = 7 + len(slv) + 1
+    kernel = _mk_momentum_kernel(transpose, sharded, k)
+    vmem = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(slv))
+    nbytes = b.size * jnp.dtype(b.dtype).itemsize
+    xo, n = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1,), b.dtype),
+        ),
+        in_specs=vmem + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # 7 planes + slivers + x/r/delta temps; mirror the jac1 ceiling
+            vmem_limit_bytes=min(120 * 1024 * 1024,
+                                 max(48 * 1024 * 1024, 20 * nbytes)),
+        ),
+    )(*stencil_planes, b, x, *slv, jnp.stack([jnp.asarray(sgn, b.dtype)]))
+    del c, nops
+    return xo, n[0]
+
+
+def _pad_to(a, extents):
+    pads = [(0, (-s) % e) for s, e in zip(a.shape, extents)]
+    return jnp.pad(a, pads) if any(p != (0, 0) for p in pads) else a
+
+
+def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
+                           transpose, tol):
+    """Whole momentum Jacobi-Richardson solve on the mesh: per component,
+    one shard_map region runs [halo exchange -> measure+k-sweep launch]
+    trips until the measured entry residual passes tol, then a closing
+    measure-only launch reports the exact residual of the returned iterate.
+    st_cs = [(c, lo, hi)] per component (GLOBAL planes), b_c/x_c global
+    component arrays. Returns (x_components, joint_true_residual_norm).
+
+    Bounded +1 faces are zero-padded to mesh-divisible shapes (exact: zero
+    stencil rows with zero rhs stay at residual 0 and decouple)."""
+    axis_names = ctx.axis_names
+    sharded = tuple(a is not None for a in axis_names)
+    mesh_axes = tuple(a for a in axis_names if a is not None)
+    spec = P(*axis_names)
+    k = ctx.k_sweeps
+    max_trips = ctx.max_trips
+
+    def body(c, ly, hy, lx, hx, b, x, sc):
+        planes = (c, ly, hy, lx, hx)
+        sgn_, tol_ = sc[0], sc[1]
+
+        def pmax(v):
+            for name in mesh_axes:
+                v = jax.lax.pmax(v, name)
+            return v
+
+        def cond(state):
+            _, n, t = state
+            return (n > tol_) & (t < max_trips)
+
+        def trip(state):
+            x, _, t = state
+            slv = _sliver_values(x, planes, axis_names, transpose)
+            x, n_entry = _momentum_launch(
+                planes, b, x, slv, sgn_, transpose, sharded, k
+            )
+            return x, pmax(n_entry), t + 1
+
+        dtype = b.dtype
+        x, _, _ = jax.lax.while_loop(
+            cond, trip, (x, jnp.asarray(jnp.inf, dtype),
+                         jnp.zeros((), jnp.int32)))
+        # closing measure-only launch: exact residual of the returned x
+        slv = _sliver_values(x, planes, axis_names, transpose)
+        x, n = _momentum_launch(planes, b, x, slv, sgn_, transpose, sharded, 0)
+        return x, pmax(n)
+
+    shard_fn = jax.shard_map(
+        body, mesh=ctx.mesh,
+        in_specs=(spec,) * 7 + (P(),),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+
+    outs = []
+    norm = None
+    for (c, lo, hi), b, x in zip(st_cs, b_c, x_c):
+        true_shape = b.shape
+        ext = ctx.extents
+        args = [
+            _pad_to(a, ext) for a in (c, lo[0], hi[0], lo[1], hi[1], b, x)
+        ]
+        sc = jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)])
+        xo, n = shard_fn(*args, sc)
+        xo = xo[tuple(slice(0, s) for s in true_shape)]
+        outs.append(xo)
+        norm = n if norm is None else jnp.maximum(norm, n)
+    return tuple(outs), norm
+
+
+def momentum_eligible(ctx: ShardedSolveCtx, shapes, dtype) -> bool:
+    """Per-shard momentum kernel gate: rank-2 f32 components whose padded
+    per-shard blocks fit the jac1-style 20-plane ceiling."""
+    import os
+
+    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") == "never":
+        return False
+    if not kernels_available():
+        return False
+    if len(ctx.axis_names) != 2:
+        return False
+    if any(len(s) != 2 for s in shapes):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return False
+    for s in shapes:
+        padded = [si + ((-si) % e) for si, e in zip(s, ctx.extents)]
+        local = padded[0] // ctx.extents[0] * (padded[1] // ctx.extents[1])
+        if 20 * local * itemsize > 120 * 1024 * 1024:
+            return False
+    return True
+
+
+# -- pressure: distributed PCG with per-shard kernel phases --------------------------
+
+
+def _mk_pcg_matvec_kernel(sharded):
+    mv = _mk_mv(sharded, transpose=False)
+    ns = _n_slivers(sharded, False)
+
+    def kernel(*refs):
+        c, ly, hy, lx, hx, p = (r[:] for r in refs[:6])
+        slv = [r[:] for r in refs[6:6 + ns]]
+        out_q, out_pq, out_sp = refs[6 + ns:9 + ns]
+        q0 = mv(c, ly, hy, lx, hx, p, slv, True)
+        out_q[:] = q0
+        out_pq[0] = jnp.sum(p * q0)
+        out_sp[0] = jnp.sum(p)
+
+    return kernel
+
+
+def _mk_pcg_update_kernel():
+    def kernel(x, r, p, q0, sc, out_x, out_r, out_n, out_sr):
+        # sc = (alpha, cs, cbar): cs = alpha*shift*S (the rank-one shift's
+        # contribution to q), cbar = LAGGED deflation constant (previous
+        # iteration's measured mean of r — pallas_krylov._pcg3_xr_kernel's
+        # documented treatment)
+        alpha, cs, cbar = sc[0], sc[1], sc[2]
+        xn = x[:] + alpha * p[:]
+        rn = r[:] - alpha * q0[:] - cs - cbar
+        out_x[:] = xn
+        out_r[:] = rn
+        out_n[0] = jnp.max(jnp.abs(rn))
+        out_sr[0] = jnp.sum(rn)
+
+    return kernel
+
+
+def _pcg_matvec_launch(planes, p, slv, sharded):
+    vmem = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(slv))
+    q, pq, sp = pl.pallas_call(
+        _mk_pcg_matvec_kernel(sharded),
+        out_shape=(
+            jax.ShapeDtypeStruct(p.shape, p.dtype),
+            jax.ShapeDtypeStruct((1,), p.dtype),
+            jax.ShapeDtypeStruct((1,), p.dtype),
+        ),
+        in_specs=vmem,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(*planes, p, *slv)
+    return q, pq[0], sp[0]
+
+
+def _pcg_update_launch(x, r, p, q0, alpha, cs, cbar):
+    sc = jnp.stack([jnp.asarray(v, x.dtype) for v in (alpha, cs, cbar)])
+    s = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    one = jax.ShapeDtypeStruct((1,), x.dtype)
+    xo, ro, n, sr = pl.pallas_call(
+        _mk_pcg_update_kernel(),
+        out_shape=(s, s, one, one),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+    )(x, r, p, q0, sc)
+    return xo, ro, n[0], sr[0]
+
+
+def pressure_eligible(ctx: ShardedSolveCtx, shape, dtype,
+                      precond_kind) -> bool:
+    """Per-shard pressure PCG gate: rank-2 f32 planes exactly divisible by
+    the mesh (the rank-one shift / deflation sums would need in-kernel
+    index masks under padding — non-divisible shapes keep the GSPMD path)
+    and a preconditioner the distributed contractions cover (None or the
+    matmul-eigenbasis family)."""
+    import os
+
+    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") == "never":
+        return False
+    if not kernels_available():
+        return False
+    if len(ctx.axis_names) != 2 or len(shape) != 2:
+        return False
+    if jnp.dtype(dtype).itemsize > 4:
+        return False
+    if precond_kind not in (None, "dct_mm", "fft_mm", "channel_mm"):
+        return False
+    return all(s % e == 0 for s, e in zip(shape, ctx.extents))
+
+
+def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
+                         deflate_mean, mm_solver=None, weights=None,
+                         residual_reset: int = 0):
+    """Distributed spectral PCG with per-shard Pallas phases. Semantics
+    follow krylov.pcg with residual_reset=0 and LAGGED in-loop deflation
+    (exact deflation on entry and at the final verification, like
+    fused_pcg3_solve). Returns (x, iterations, true_resid_norm)."""
+    axis_names = ctx.axis_names
+    sharded = tuple(a is not None for a in axis_names)
+    mesh_axes = tuple(a for a in axis_names if a is not None)
+    spec = P(*axis_names)
+    ay, ax = axis_names
+    dtype = b.dtype
+    n_total = float(np.prod(b.shape))
+    shift = jnp.asarray(lap.shift, dtype)
+    cold = x0 is None
+    if cold:
+        x0 = jnp.zeros_like(b)
+
+    pc_args, pc_specs = (), ()
+    if mm_solver is not None:
+        from diffpiso_tpu.parallel.halo import _spectral_constants
+
+        mats, eigs = _spectral_constants(mm_solver.kinds, b.shape, dtype)
+        Vy, Vx = mats
+        ey, ex = eigs
+        w0 = jnp.asarray(weights[0], dtype)
+        w1 = jnp.asarray(weights[1], dtype)
+        pc_args = (Vy, Vy, Vx, Vx, ey, ex, w0, w1)
+        pc_specs = (
+            P(None, ay), P(ay, None), P(None, ax), P(ax, None),
+            P(ay), P(ax), P(), P(),
+        )
+
+    def inner(c, ly, hy, lx, hx, b, x0, sc, *pc):
+        from diffpiso_tpu.parallel.halo import _local_spectral_precond
+
+        planes = (c, ly, hy, lx, hx)
+        shift_, tol_ = sc[0], sc[1]
+        eps = jnp.asarray(1e-30, dtype)
+
+        def gsum(v):
+            for name in mesh_axes:
+                v = jax.lax.psum(v, name)
+            return v
+
+        def gmax(v):
+            for name in mesh_axes:
+                v = jax.lax.pmax(v, name)
+            return v
+
+        def precondition(r):
+            if mm_solver is None:
+                return r
+            Vyc, Vyr, Vxc, Vxr, ey_, ex_, w0_, w1_ = pc
+            return _local_spectral_precond(
+                r, Vyc, Vyr, Vxc, Vxr, ey_, ex_, w0_, w1_, ay, ax
+            )
+
+        def matvec_jnp(p):
+            # one-time entry/verification matvec (kernel phases carry the
+            # loop); slivers + local stencil, exact shift via psum
+            slv = _sliver_values(p, planes, axis_names, False)
+            q0, pq0, sp = _pcg_matvec_launch(planes, p, slv, sharded)
+            S = gsum(sp)
+            return q0 + shift_ * S
+
+        def project(r):
+            if not deflate_mean:
+                return r
+            return r - gsum(jnp.sum(r)) / n_total
+
+        r0 = project(b - matvec_jnp(x0))
+        rnorm0 = gmax(jnp.max(jnp.abs(r0)))
+
+        def cond(state):
+            _, _, _, _, rnorm, _, k, done = state
+            return (~done) & (k < max_iter)
+
+        def body(state):
+            x, r, p, rz, rnorm, cbar, k, done = state
+            # z = M^-1 (r - cbar): the lagged mean keeps the max|r| exit
+            # test honest at the f32 reduction-leak level (pcg3 treatment)
+            z = precondition(r - cbar)
+            rz_new = gsum(jnp.sum(r * z))
+            beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
+            p = z + beta * p
+            slv = _sliver_values(p, planes, axis_names, False)
+            q0, pq0, sp = _pcg_matvec_launch(planes, p, slv, sharded)
+            S = gsum(sp)
+            pq = gsum(pq0) + shift_ * S * S
+            alpha = jnp.where(jnp.abs(pq) > eps, rz_new / pq, 0.0)
+            cs = alpha * shift_ * S
+            x, r, n_part, sr = _pcg_update_launch(x, r, p, q0, alpha, cs,
+                                                  cbar)
+            rnorm = gmax(n_part)
+            defl = jnp.asarray(1.0 if deflate_mean else 0.0, dtype)
+            cbar = defl * gsum(sr) / n_total
+            done = (rnorm < tol_) | ~jnp.isfinite(rnorm)
+            return (x, r, p, rz_new, rnorm, cbar, k + 1, done)
+
+        def run(_):
+            init = (
+                x0, r0, jnp.zeros_like(b), jnp.asarray(1.0, dtype), rnorm0,
+                jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+            )
+            x, r, p, rz, rnorm, cbar, k, _ = jax.lax.while_loop(
+                cond, body, init)
+            rt = project(b - matvec_jnp(x))
+            return x, gmax(jnp.max(jnp.abs(rt))), k
+
+        def skip(_):
+            return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+        return jax.lax.cond(rnorm0 < tol_, skip, run, None)
+
+    shard_fn = jax.shard_map(
+        inner, mesh=ctx.mesh,
+        in_specs=(spec,) * 7 + (P(),) + pc_specs,
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    sc = jnp.stack([shift, jnp.asarray(tol, dtype)])
+    x, rnorm, k = shard_fn(
+        lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1], b, x0, sc,
+        *pc_args,
+    )
+    return x, k, rnorm
