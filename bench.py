@@ -226,35 +226,44 @@ def build_turbulence_3d(n, tol, viscosity=1e-3, p_tol=None):
 # -- measurement helpers -------------------------------------------------------------
 
 
-def _make_runner(step, steps_per_call):
+def _make_runner(step, steps_per_call, trace_ctx=None):
+    """trace_ctx — optional zero-arg callable returning a context manager
+    entered INSIDE the jit body around the whole traced region (the
+    trace-time dispatch contexts: no_pallas, sharded_solvers)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
+    ctx = trace_ctx if trace_ctx is not None else contextlib.nullcontext
+
     @jax.jit
     def run(vel, p):
-        def body(carry, _):
-            vel, p, g1, g2 = carry
-            out = step(vel, p, g1, g2, None)
-            return (
-                out.velocity, out.pressure, out.pressure_inc1, out.pressure_inc2,
-            ), (out.p_iterations, out.warn)
+        with ctx():
+            def body(carry, _):
+                vel, p, g1, g2 = carry
+                out = step(vel, p, g1, g2, None)
+                return (
+                    out.velocity, out.pressure, out.pressure_inc1, out.pressure_inc2,
+                ), (out.p_iterations, out.warn)
 
-        (vel, p, _, _), (iters, warns) = jax.lax.scan(
-            body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)), None,
-            length=steps_per_call,
-        )
-        return vel, p, iters, warns
+            (vel, p, _, _), (iters, warns) = jax.lax.scan(
+                body, (vel, p, jnp.zeros_like(p), jnp.zeros_like(p)), None,
+                length=steps_per_call,
+            )
+            return vel, p, iters, warns
 
     return run
 
 
-def bench_forward(step, vel, p, steps_per_call, reps, spinup_calls=1):
+def bench_forward(step, vel, p, steps_per_call, reps, spinup_calls=1,
+                  trace_ctx=None):
     """Spin the state up with `spinup_calls` untimed chunks, then time
     `reps` chunks of `steps_per_call` steps. Returns (steps/s, mean iters,
     developed state)."""
     import jax
 
-    run = _make_runner(step, steps_per_call)
+    run = _make_runner(step, steps_per_call, trace_ctx=trace_ctx)
     for _ in range(max(1, spinup_calls)):
         vel, p, iters, warns = run(vel, p)
     jax.block_until_ready(p)
@@ -275,7 +284,7 @@ def bench_forward(step, vel, p, steps_per_call, reps, spinup_calls=1):
     return sps, mean_iters, (vel, p)
 
 
-def bench_grad(step, vel0, p0, unroll, reps, remat=False):
+def bench_grad(step, vel0, p0, unroll, reps, remat=False, trace_ctx=None):
     """Time one jax.grad of an `unroll`-step rollout loss w.r.t. a forcing
     field, starting FROM THE GIVEN (developed) state; returns (unrolled
     steps/s per grad eval, mean solver iters inside the rollout).
@@ -327,7 +336,18 @@ def bench_grad(step, vel0, p0, unroll, reps, remat=False):
         )
         return sum(jnp.sum(c**2) for c in vel.components), (iters, warns)
 
-    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    import contextlib
+
+    ctx = trace_ctx if trace_ctx is not None else contextlib.nullcontext
+
+    def graded(forcing, vel, p):
+        # trace_ctx wraps the WHOLE grad trace: custom_vjp bwd rules are
+        # traced after the forward python returns, so a ctx around only the
+        # forward would leave the adjoint solves on the default path
+        with ctx():
+            return jax.grad(loss_fn, has_aux=True)(forcing, vel, p)
+
+    grad_fn = jax.jit(graded)
     g, (iters, warns) = grad_fn(forcing0, vel0, p0)
     jax.block_until_ready(g)
     t0 = time.perf_counter()

@@ -20,14 +20,14 @@ whole-solve family (solvers/pallas_krylov.py).
 
 Momentum (advection) solve: the system is diagonally dominant by
 beta = prod(dx)/dt, so each outer trip runs ONE launch per component that
-(a) measures the true residual against fresh halo slivers and (b) chains k
-Jacobi sweeps with the halo FROZEN at the exchanged value — additive
-block-Jacobi across shards, which inherits plain Jacobi's contraction on
-the dominant interior and lags only the shard-boundary error by one trip.
-Exit tests ride the measured entry residual (conservative by one trip); a
-closing measure-only launch reports the exact final residual so warn
-semantics match the single-chip kernels bit-for-bit in spirit (same
-max|b - A x| criterion).
+(a) measures the true residual against fresh halo slivers and (b) chains
+up to k Jacobi sweeps with PER-SWEEP exit and the halo FROZEN at the
+exchanged value — additive block-Jacobi across shards, which inherits
+plain Jacobi's contraction on the dominant interior and lags only the
+shard-boundary error by one trip. The outer loop exits on the measured
+entry residual: the converged trip ran zero sweeps, so its measurement is
+the EXACT max|b - A x| of the returned iterate (warm-started solves cost
+ONE measure-only launch per component).
 
 Pressure solve: distributed PCG with the matvec phase (q = A p without the
 rank-one shift + partial p.q / sum(p) reductions) and the update phase
@@ -266,30 +266,51 @@ def _mk_momentum_kernel(transpose, sharded, k):
     def kernel(*refs):
         c, ly, hy, lx, hx, b, x = (r[:] for r in refs[:7])
         slv = [r[:] for r in refs[7:7 + ns]]
-        sgn = refs[7 + ns][0]
-        out_x, out_n = refs[8 + ns], refs[9 + ns]
+        sgn, tol = refs[7 + ns][0], refs[7 + ns][1]
+        out_x, out_n, r_s = refs[8 + ns], refs[9 + ns], refs[10 + ns]
 
         def A(v, frozen):
             return sgn * mv(c, ly, hy, lx, hx, v, slv, frozen)
 
-        r = b - A(x, True)
-        out_n[0] = jnp.max(jnp.abs(r))
+        out_x[:] = x
+        r_s[:] = b - A(x, True)
+        n0 = jnp.max(jnp.abs(r_s[:]))
+        out_n[0] = n0
         d = sgn * c
         iv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
-        xv = x
-        rv = r
-        for _ in range(k):
-            dlt = iv * rv
-            xv = xv + dlt
-            rv = rv - A(dlt, False)
-        out_x[:] = xv
+
+        # maintained-residual sweeps with PER-SWEEP exit (jac2's
+        # discipline): a trip whose ENTRY measure already passes tol runs
+        # ZERO sweeps (the n0 >= tol guard), so its launch is measure-only
+        # and the reported norm is EXACT — the outer trip loop exits on it
+        # without a closing launch. Trips that do sweep drive the
+        # maintained norm an order PAST tol: the frozen-halo maintained
+        # residual UNDERESTIMATES the true boundary error by the sliver
+        # lag, and exiting exactly at tol limit-cycles one trip above it
+        # (caught by runs/check_shard_kernels.py). x rides the output
+        # window, r a VMEM scratch (jac13d's ref-resident-state lesson:
+        # scalar-only while carries).
+        tol_in = 0.1 * tol
+
+        def cond(carry):
+            j, n = carry
+            return (j < k) & (n >= tol_in) & (n0 >= tol)
+
+        def body(carry):
+            j, n = carry
+            dlt = iv * r_s[:]
+            out_x[:] = out_x[:] + dlt
+            rn = r_s[:] - A(dlt, False)
+            r_s[:] = rn
+            return j + 1, jnp.max(jnp.abs(rn))
+
+        jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), n0))
 
     return kernel
 
 
-def _momentum_launch(stencil_planes, b, x, slv, sgn, transpose, sharded, k):
-    c = stencil_planes[0]
-    nops = 7 + len(slv) + 1
+def _momentum_launch(stencil_planes, b, x, slv, sgn, tol, transpose, sharded,
+                     k):
     kernel = _mk_momentum_kernel(transpose, sharded, k)
     vmem = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(slv))
     nbytes = b.size * jnp.dtype(b.dtype).itemsize
@@ -304,14 +325,15 @@ def _momentum_launch(stencil_planes, b, x, slv, sgn, transpose, sharded, k):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[pltpu.VMEM(b.shape, b.dtype)],
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             # 7 planes + slivers + x/r/delta temps; mirror the jac1 ceiling
             vmem_limit_bytes=min(120 * 1024 * 1024,
                                  max(48 * 1024 * 1024, 20 * nbytes)),
         ),
-    )(*stencil_planes, b, x, *slv, jnp.stack([jnp.asarray(sgn, b.dtype)]))
-    del c, nops
+    )(*stencil_planes, b, x, *slv,
+      jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)]))
     return xo, n[0]
 
 
@@ -324,8 +346,9 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
                            transpose, tol):
     """Whole momentum Jacobi-Richardson solve on the mesh: per component,
     one shard_map region runs [halo exchange -> measure+k-sweep launch]
-    trips until the measured entry residual passes tol, then a closing
-    measure-only launch reports the exact residual of the returned iterate.
+    trips until the measured entry residual passes tol (the converged trip
+    ran zero sweeps, so that measurement is exact for the returned
+    iterate).
     st_cs = [(c, lo, hi)] per component (GLOBAL planes), b_c/x_c global
     component arrays. Returns (x_components, joint_true_residual_norm).
 
@@ -355,18 +378,21 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
             x, _, t = state
             slv = _sliver_values(x, planes, axis_names, transpose)
             x, n_entry = _momentum_launch(
-                planes, b, x, slv, sgn_, transpose, sharded, k
+                planes, b, x, slv, sgn_, tol_, transpose, sharded, k
             )
             return x, pmax(n_entry), t + 1
 
         dtype = b.dtype
-        x, _, _ = jax.lax.while_loop(
+        # exit-by-convergence returns an EXACT norm: the converged trip
+        # measured n0 <= tol with fresh slivers and ran zero sweeps (per
+        # -sweep in-kernel exit), so x is unchanged by it — no closing
+        # launch needed. Exit-by-max_trips reports the (stale-high) entry
+        # norm of the last trip, which conservatively routes to the
+        # BiCGSTAB fallback in solvers/base.py.
+        x, n, _ = jax.lax.while_loop(
             cond, trip, (x, jnp.asarray(jnp.inf, dtype),
                          jnp.zeros((), jnp.int32)))
-        # closing measure-only launch: exact residual of the returned x
-        slv = _sliver_values(x, planes, axis_names, transpose)
-        x, n = _momentum_launch(planes, b, x, slv, sgn_, transpose, sharded, 0)
-        return x, pmax(n)
+        return x, n
 
     shard_fn = jax.shard_map(
         body, mesh=ctx.mesh,
@@ -393,10 +419,14 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
 
 def momentum_eligible(ctx: ShardedSolveCtx, shapes, dtype) -> bool:
     """Per-shard momentum kernel gate: rank-2 f32 components whose padded
-    per-shard blocks fit the jac1-style 20-plane ceiling."""
+    per-shard blocks fit the jac1-style 20-plane ceiling.
+    DIFFPISO_SHARDED_KERNELS: auto | never | momentum | pressure (the last
+    two enable ONE family — attribution A/Bs)."""
     import os
 
-    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") == "never":
+    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") not in (
+        "auto", "momentum",
+    ):
         return False
     if not kernels_available():
         return False
@@ -500,7 +530,9 @@ def pressure_eligible(ctx: ShardedSolveCtx, shape, dtype,
     matmul-eigenbasis family)."""
     import os
 
-    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") == "never":
+    if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") not in (
+        "auto", "pressure",
+    ):
         return False
     if not kernels_available():
         return False
@@ -517,9 +549,14 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
                          deflate_mean, mm_solver=None, weights=None,
                          residual_reset: int = 0):
     """Distributed spectral PCG with per-shard Pallas phases. Semantics
-    follow krylov.pcg with residual_reset=0 and LAGGED in-loop deflation
-    (exact deflation on entry and at the final verification, like
-    fused_pcg3_solve). Returns (x, iterations, true_resid_norm)."""
+    follow krylov.pcg with LAGGED in-loop deflation (exact deflation on
+    entry and at each verification, like fused_pcg3_solve) plus
+    fused_pcg2_solve's verify-and-resume rounds: the in-loop exit rides the
+    recurrence residual, and each round re-measures the TRUE residual and
+    restarts the recurrence from it (f32 recurrence drift exceeds tight
+    tolerances on 256^2-class planes — measured on TPU,
+    runs/check_shard_kernels_tpu.py). Returns (x, iterations,
+    true_resid_norm)."""
     axis_names = ctx.axis_names
     sharded = tuple(a is not None for a in axis_names)
     mesh_axes = tuple(a for a in axis_names if a is not None)
@@ -615,15 +652,34 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
             return (x, r, p, rz_new, rnorm, cbar, k + 1, done)
 
         def run(_):
-            init = (
-                x0, r0, jnp.zeros_like(b), jnp.asarray(1.0, dtype), rnorm0,
-                jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool),
+            # verify-and-resume rounds (fused_pcg2_solve's treatment): the
+            # in-loop exit test rides the RECURRENCE residual, which drifts
+            # from the true residual at f32 on large planes; each round
+            # re-measures b - A x and restarts the recurrence from it until
+            # the TRUE residual passes (or iterations/rounds run out)
+            def round_cond(carry):
+                _, _, rnorm, k, rounds = carry
+                return (
+                    (rnorm > tol_) & (k < max_iter) & (rounds < 4)
+                    & jnp.isfinite(rnorm)
+                )
+
+            def round_body(carry):
+                x, r, rnorm, k, rounds = carry
+                init = (
+                    x, r, jnp.zeros_like(b), jnp.asarray(1.0, dtype), rnorm,
+                    jnp.zeros((), dtype), k, jnp.zeros((), bool),
+                )
+                x, _, _, _, _, _, k, _ = jax.lax.while_loop(cond, body, init)
+                rt = project(b - matvec_jnp(x))
+                return x, rt, gmax(jnp.max(jnp.abs(rt))), k, rounds + 1
+
+            x, _, rnorm, k, _ = jax.lax.while_loop(
+                round_cond, round_body,
+                (x0, r0, rnorm0, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32)),
             )
-            x, r, p, rz, rnorm, cbar, k, _ = jax.lax.while_loop(
-                cond, body, init)
-            rt = project(b - matvec_jnp(x))
-            return x, gmax(jnp.max(jnp.abs(rt))), k
+            return x, rnorm, k
 
         def skip(_):
             return x0, rnorm0, jnp.zeros((), jnp.int32)

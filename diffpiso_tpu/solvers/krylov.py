@@ -780,10 +780,15 @@ def pcg(
         ):
             from diffpiso_tpu.solvers.pallas_krylov import (
                 fused_pcg_mm_update,
+                mm_update_large_eligible,
                 spectral_eligible,
             )
 
-            if spectral_eligible(leaf.shape, leaf.dtype):
+            # small planes: spectral_eligible (measured-never default —
+            # pcg2 owns the whole solve there anyway); LARGE planes (past
+            # pcg2's Mosaic wall): the bf16x3 mm-update vs the XLA loop
+            if spectral_eligible(leaf.shape, leaf.dtype) or \
+                    mm_update_large_eligible(leaf.shape, leaf.dtype):
                 from diffpiso_tpu.solvers.fourier import _safe_symbol
 
                 v0m, v1m = solver_mm._mats(leaf.dtype)

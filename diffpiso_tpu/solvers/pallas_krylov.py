@@ -28,6 +28,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -53,18 +54,8 @@ def _mxu_compiler_params():
 _INTERPRET = False
 
 
-def eligible(shape, dtype) -> bool:
-    """Measured trade-off (tunneled v5e): the fused iteration wins wherever
-    the 12 resident planes fit VMEM. Small grids (257x256): 7.1 vs 11.4
-    us/iter. 512^2 (remeasured r2, back-to-back bench A/B after the
-    kernel-count and warm-start work changed the baseline): fwd 988.6 vs
-    944.0 steps/s, grad30 453.5 vs 432.3 — the r1 crossover where the
-    monolithic kernel lost at 512^2 no longer exists. Default: on up to the
-    VMEM budget; DIFFPISO_FUSED_KRYLOV=always forces it past nothing extra,
-    =never disables."""
-    mode = os.environ.get("DIFFPISO_FUSED_KRYLOV", "auto")
-    if mode == "never":
-        return False
+def _krylov_plumbing_ok(shape, dtype, rank=2) -> bool:
+    """Shared non-size conditions for the fused iteration kernels."""
     if not _PALLAS_AVAILABLE:
         return False
     from diffpiso_tpu.ops import pallas_stencil as _ps
@@ -77,13 +68,68 @@ def eligible(shape, dtype) -> bool:
         return False
     if jax.default_backend() not in ("tpu",):
         return False
-    if len(shape) != 2:
+    if len(shape) != rank:
+        return False
+    return jnp.dtype(dtype).itemsize <= 4
+
+
+# the large-plane tier ceiling: 8 MiB f32 planes (1024^2 / 512x2048 /
+# 1024x2048) — ~12 resident planes is 96 MiB, inside the 128 MiB VMEM with
+# the explicit per-kernel ceilings from _auto_compiler_params
+_LARGE_PLANE_BYTES = 8 * 1024 * 1024
+
+
+def _large_mode() -> str:
+    return os.environ.get("DIFFPISO_FUSED_KRYLOV_LARGE", "auto")
+
+
+def eligible(shape, dtype) -> bool:
+    """Measured trade-off (tunneled v5e): the fused iteration wins wherever
+    the 12 resident planes fit VMEM. Small grids (257x256): 7.1 vs 11.4
+    us/iter. 512^2 (remeasured r2, back-to-back bench A/B after the
+    kernel-count and warm-start work changed the baseline): fwd 988.6 vs
+    944.0 steps/s, grad30 453.5 vs 432.3 — the r1 crossover where the
+    monolithic kernel lost at 512^2 no longer exists. Default: on up to the
+    VMEM budget; DIFFPISO_FUSED_KRYLOV=always forces it past nothing extra,
+    =never disables.
+
+    LARGE tier (r4): planes past the default budget up to 8 MiB (1024^2,
+    512x2048 — the shapes where the whole-solve pcg2 kernel hits its hard
+    Mosaic wall, so the pressure loop was pure XLA) run the same phase
+    kernels with explicitly sized compiler ceilings
+    (_auto_compiler_params). Gate DIFFPISO_FUSED_KRYLOV_LARGE, default
+    auto by A/B (runs/ab_phase_large.log)."""
+    mode = os.environ.get("DIFFPISO_FUSED_KRYLOV", "auto")
+    if mode == "never":
+        return False
+    if not _krylov_plumbing_ok(shape, dtype):
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    if itemsize > 4:
-        return False
+    plane = shape[0] * shape[1] * itemsize
     # worst case resident planes: 5 coeffs + p + r + x + z + out x3
-    return 12 * shape[0] * shape[1] * itemsize <= _VMEM_BUDGET_BYTES
+    if 12 * plane <= _VMEM_BUDGET_BYTES:
+        return True
+    return _large_mode() != "never" and plane <= _LARGE_PLANE_BYTES
+
+
+def _auto_compiler_params(*operands, extra_planes=4):
+    """Explicit scoped-vmem ceiling sized from the ACTUAL operands: their
+    bytes + `extra_planes` largest-plane temporaries + 2 MiB margin. The
+    default 16 MiB Mosaic scope only fits the small-plane tier; returns
+    None there so the small-tier compiles (and their measured A/Bs) stay
+    byte-identical."""
+    total = 0
+    big = 0
+    for a in operands:
+        nb = int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize
+        total += nb
+        big = max(big, nb)
+    limit = total + extra_planes * big + 2 * 1024 * 1024
+    if limit <= 14 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(127 * 1024 * 1024, limit)
+    )
 
 
 def _roll(x, shift, axis):
@@ -137,6 +183,10 @@ def fused_residual(stencil, b, x, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+            stencil.hi[1], b, x, extra_planes=4,
+        ),
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, b.dtype), (1,)),
@@ -186,6 +236,10 @@ def fused_cg_iteration(stencil, x, r, p, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+            stencil.hi[1], x, r, p, extra_planes=6,
+        ),
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
@@ -283,6 +337,10 @@ def fused_bicg_phase_p(st_c, invd, r, p, v, rhat, beta, omega, sgn,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            c, lo[0], hi[0], lo[1], hi[1], invd, r, p, v, rhat,
+            extra_planes=5,
+        ),
     )(c, lo[0], hi[0], lo[1], hi[1], invd, r, p, v, rhat,
       _scal(r, beta, omega, sgn))
     return pn, vn, d[0]
@@ -304,6 +362,9 @@ def fused_bicg_phase_s(st_c, invd, r, v, alpha, sgn, transpose):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            c, lo[0], hi[0], lo[1], hi[1], invd, r, v, extra_planes=5,
+        ),
     )(c, lo[0], hi[0], lo[1], hi[1], invd, r, v, _scal(r, alpha, sgn))
     return sv, tv, tt[0], ts[0]
 
@@ -323,6 +384,9 @@ def fused_bicg_phase_x(invd, p, s, t, x, rhat, alpha, omega):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            invd, p, s, t, x, rhat, extra_planes=4,
+        ),
     )(invd, p, s, t, x, rhat, _scal(x, alpha, omega))
     return xn, rn, n[0], rho[0]
 
@@ -377,6 +441,9 @@ def fused_jacobi_sweeps(st_c, b, x, k, sgn, transpose):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            c, lo[0], hi[0], lo[1], hi[1], b, x, extra_planes=5,
+        ),
     )(c, lo[0], hi[0], lo[1], hi[1], b, x, _scal(x, sgn))
     return xn, n[0]
 
@@ -1013,6 +1080,10 @@ def fused_pcg_apply(stencil, rz, x, r, p, deflate: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(
+            stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+            stencil.hi[1], x, r, p, extra_planes=5,
+        ),
     )(
         stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
         stencil.hi[1], jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
@@ -1044,6 +1115,7 @@ def fused_pcg_update(rz_old, r, z, p):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
+        compiler_params=_auto_compiler_params(r, z, p, extra_planes=3),
     )(jnp.reshape(rz_old, (1,)), r, z, p)
     return po, rz[0]
 
@@ -1376,11 +1448,29 @@ def _pcg_mm_update_kernel(precision, v0, v1, symbol, rz_old, r, p,
     # VMEM note); rz' = r.z; beta = rz'/rz_old; p' = z + beta p — one
     # launch, z never round-trips HBM
     rv = r[:]
-    h = _dot(v0[:], rv, ((1,), (0,)), precision)
-    h = _dot(h, v1[:], ((1,), (1,)), precision)
-    h = h / symbol[:]
-    h = _dot(v0[:], h, ((0,), (0,)), precision)
-    z = _dot(h, v1[:], ((1,), (0,)), precision)
+    if precision == jax.lax.Precision.HIGH and not _INTERPRET:
+        # the pcg2 treatment: Mosaic only lowers DEFAULT/HIGHEST, so the
+        # production HIGH runs as the manual 3-pass bf16 decomposition
+        # (hi*hi + hi*lo + lo*hi) — same passes AND same arithmetic as
+        # XLA-HIGH, half the passes of the HIGHEST coercion that made the
+        # r3 fused-spectral kernels lose
+        v0v, v1v = v0[:], v1[:]
+        v0_hi = v0v.astype(jnp.bfloat16)
+        v0_lo = (v0v - v0_hi.astype(v0v.dtype)).astype(jnp.bfloat16)
+        v1_hi = v1v.astype(jnp.bfloat16)
+        v1_lo = (v1v - v1_hi.astype(v1v.dtype)).astype(jnp.bfloat16)
+        h = _bf16x3_dot(v0_hi, v0_lo, rv, ((1,), (0,)), True)
+        h = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (1,)), False)
+        h = h / symbol[:]
+        h = _bf16x3_dot(v0_hi, v0_lo, h, ((0,), (0,)), True)
+        z = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (0,)), False)
+    else:
+        prec = _mosaic_precision(precision)
+        h = _dot(v0[:], rv, ((1,), (0,)), prec)
+        h = _dot(h, v1[:], ((1,), (1,)), prec)
+        h = h / symbol[:]
+        h = _dot(v0[:], h, ((0,), (0,)), prec)
+        z = _dot(h, v1[:], ((1,), (0,)), prec)
     rz_new = jnp.sum(rv * z)
     eps = jnp.asarray(1e-30, rz_new.dtype)
     beta = jnp.where(jnp.abs(rz_old[0]) > eps, rz_new / rz_old[0], 0.0)
@@ -1391,10 +1481,12 @@ def _pcg_mm_update_kernel(precision, v0, v1, symbol, rz_old, r, p,
 def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
     """Spectral-preconditioned PCG update in ONE launch: z = M^-1 r (4 MXU
     contractions, spectrum resident in VMEM), rz' = r.z, beta, p' = z+beta p.
-    For the z0 init call with p = zeros and rz_old = 1: p' = z0, rz' = r0.z0."""
-    precision = _mosaic_precision(precision)
+    For the z0 init call with p = zeros and rz_old = 1: p' = z0, rz' = r0.z0.
+    Precision.HIGH runs natively via the in-kernel bf16x3 decomposition
+    (see _bf16x3_dot); everything else coerces as before."""
     s = jax.ShapeDtypeStruct(p.shape, p.dtype)
     one = jax.ShapeDtypeStruct((1,), p.dtype)
+    auto = _auto_compiler_params(v0, v1, symbol, r, p, extra_planes=6)
     po, rz = pl.pallas_call(
         functools.partial(_pcg_mm_update_kernel, precision),
         out_shape=(s, one),
@@ -1404,9 +1496,33 @@ def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
-        compiler_params=_mxu_compiler_params(),
+        compiler_params=auto if auto is not None else _mxu_compiler_params(),
     )(v0, v1, symbol, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
     return po, rz[0]
+
+
+def mm_update_large_eligible(shape, dtype) -> bool:
+    """Large-plane gate for folding M^-1 into the p-update
+    (fused_pcg_mm_update) where the whole-solve pcg2 kernel cannot compile
+    (1024^2, 512x2048 — pcg2_eligible's hard Mosaic wall). Small planes
+    keep the measured-negative spectral_eligible default (there pcg2
+    whole-solve owns the solve anyway); here the alternative is the pure
+    XLA loop, and the bf16x3 branch removes the precision-pass penalty that
+    made the r3 spectral kernels lose. Same env as the phase tier
+    (DIFFPISO_FUSED_KRYLOV_LARGE)."""
+    if _large_mode() == "never":
+        return False
+    if not _krylov_plumbing_ok(shape, dtype):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    n0, n1 = shape
+    plane = n0 * n1 * itemsize
+    if plane > _LARGE_PLANE_BYTES:
+        return False
+    # bases (+ their in-kernel bf16 hi/lo splits = +1x) + symbol/r/p/out
+    # + ~4 contraction temps must fit under the 127 MiB ceiling
+    total = 2 * (n0 * n0 + n1 * n1) * itemsize + 8 * plane
+    return total + 2 * 1024 * 1024 <= 127 * 1024 * 1024
 
 
 # -- rank-2 fully-fused whole-solve spectral PCG (ONE launch) ---------------------
@@ -1453,8 +1569,17 @@ def _bf16x3_dot(a_hi, a_lo, h, dims, contract_a):
 
 
 def _pcg2_core(deflate, max_iter, precision,
-               cv, lyv, hyv, lxv, hxv, shift, tol, v0v, v1v, symv, bv, x0v):
+               cv, lyv, hyv, lxv, hxv, shift, tol, v0v, v1v, symv, bv, x0v,
+               n_true=None, maskv=None):
+    """maskv/n_true — the pad-to-aligned path (fused_pcg2_solve): planes
+    zero-padded to sublane/lane multiples carry a ones-mask over true
+    cells. The stencil part is exact on zero-padded rows (zero wrap
+    couplings by the bounded-assembly invariant), but the rank-one shift
+    and the mean deflation are GLOBAL terms that would leak onto padded
+    rows — both are masked, and the deflation mean divides by the true
+    cell count instead of r.size."""
     eps = jnp.asarray(1e-30, bv.dtype)
+    nsize = jnp.asarray(bv.size if n_true is None else n_true, bv.dtype)
 
     def matvec(p):
         q = cv * p
@@ -1462,7 +1587,8 @@ def _pcg2_core(deflate, max_iter, precision,
         q = q + hyv * _roll(p, -1, 0)
         q = q + lxv * _roll(p, 1, 1)
         q = q + hxv * _roll(p, -1, 1)
-        return q + shift * jnp.sum(p)
+        q = q + shift * jnp.sum(p)
+        return q if maskv is None else q * maskv
 
     if precision == jax.lax.Precision.HIGH and not _INTERPRET:
         # split the (static) bases once per solve; every iteration's four
@@ -1489,7 +1615,10 @@ def _pcg2_core(deflate, max_iter, precision,
             return _dot(h, v1v, ((1,), (0,)), mosaic_prec)
 
     def project(r):
-        return r - jnp.sum(r) / r.size if deflate else r
+        if not deflate:
+            return r
+        m = jnp.sum(r) / nsize
+        return r - m if maskv is None else r - m * maskv
 
     x = x0v
     r = project(bv - matvec(x))
@@ -1528,20 +1657,26 @@ def _pcg2_core(deflate, max_iter, precision,
     return x, jnp.max(jnp.abs(rt)), k
 
 
-def _pcg2_solve_kernel(deflate, max_iter, precision,
-                       c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
-                       out_x, out_rn, out_k):
+def _pcg2_solve_kernel(deflate, max_iter, precision, masked, *refs):
+    if masked:
+        (c, ly, hy, lx, hx, sc, mask, v0, v1, sym, b, x0,
+         out_x, out_rn, out_k) = refs
+        maskv = mask[:]
+    else:
+        (c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
+         out_x, out_rn, out_k) = refs
+        maskv = None
     x, rn, k = _pcg2_core(deflate, max_iter, precision,
                           c[:], ly[:], hy[:], lx[:], hx[:], sc[0], sc[1],
-                          v0[:], v1[:], sym[:], b[:], x0[:])
+                          v0[:], v1[:], sym[:], b[:], x0[:],
+                          n_true=sc[2], maskv=maskv)
     out_x[:] = x
     out_rn[0] = rn
     out_k[0] = k
 
 
-def _pcg2_solve_kernel_b(deflate, max_iter, precision, batched, sc_batched,
-                         c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
-                         out_x, out_rn, out_k):
+def _pcg2_solve_kernel_b(deflate, max_iter, precision, masked, batched,
+                         sc_batched, *refs):
     # grid-over-batch program (see fused_jacobi1_solve): batched plane refs
     # are (1, n0, n1) sample blocks; unbatched operands (typically the
     # eigenbases/symbol/Laplacian — solver constants) are shared full
@@ -1549,17 +1684,34 @@ def _pcg2_solve_kernel_b(deflate, max_iter, precision, batched, sc_batched,
     def rd(ref, bb):
         return ref[0] if bb else ref[:]
 
+    if masked:
+        (c, ly, hy, lx, hx, sc, mask, v0, v1, sym, b, x0,
+         out_x, out_rn, out_k) = refs
+        maskv = mask[:]  # the mask is a solver constant: never batched
+    else:
+        (c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0,
+         out_x, out_rn, out_k) = refs
+        maskv = None
     i = pl.program_id(0)
-    shift, tol = (sc[i, 0], sc[i, 1]) if sc_batched else (sc[0], sc[1])
+    if sc_batched:
+        shift, tol, n_true = sc[i, 0], sc[i, 1], sc[i, 2]
+    else:
+        shift, tol, n_true = sc[0], sc[1], sc[2]
     args = [rd(r, bb) for r, bb in zip((c, ly, hy, lx, hx), batched[:5])]
     v0v, v1v, symv, bv, x0v = (
         rd(r, bb) for r, bb in zip((v0, v1, sym, b, x0), batched[5:])
     )
     x, rn, k = _pcg2_core(deflate, max_iter, precision,
-                          *args, shift, tol, v0v, v1v, symv, bv, x0v)
+                          *args, shift, tol, v0v, v1v, symv, bv, x0v,
+                          n_true=n_true, maskv=maskv)
     out_x[0] = x
     out_rn[i, 0] = rn
     out_k[i, 0] = k
+
+
+def _pcg2_align(shape):
+    """Sublane/lane padding amounts for an unaligned plane."""
+    return ((-shape[0]) % 8, (-shape[1]) % 128)
 
 
 def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
@@ -1567,19 +1719,50 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     """Whole-solve rank-2 spectral PCG in one launch. Returns
     (x, true_resid_norm, iterations); the caller derives warn. x0 None =
     cold start (A@0 is exactly 0, so the uniform r0 path reproduces
-    krylov.pcg's cold r0 = project(b) bit-for-bit)."""
+    krylov.pcg's cold r0 = project(b) bit-for-bit).
+
+    Unaligned planes (the 513-row cavity) are zero-padded to sublane/lane
+    multiples here, once per solve: the r3 gate excluded the cavity
+    ADJOINT because Mosaic re-padded the 513-row plane on every in-loop
+    matvec/contraction (grad30 -6..-17%); padding once outside the loop
+    removes that per-iteration cost. Zero-padded stencil rows decouple
+    exactly (bounded axes carry zero wrap couplings); the rank-one shift
+    and deflation — global terms — are masked in-kernel (see _pcg2_core),
+    the eigenbases pad with zero modes and the symbol with +inf (the
+    _safe_symbol convention, so padded modes synthesize to zero)."""
     from diffpiso_tpu.solvers.fourier import _safe_symbol
 
     dtype = b.dtype
+    true_shape = b.shape
+    n_true = float(b.size)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     v0, v1 = solver_mm._mats(dtype)
     sym = _safe_symbol(solver_mm, weights, dtype)
+    prec = solver_mm._precision()
+
+    a0, a1 = _pcg2_align(true_shape)
+    masked = bool(a0 or a1)
+    planes_in = (lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1])
+    mask_args = ()
+    if masked:
+        pad2 = lambda a: jnp.pad(a, ((0, a0), (0, a1)))
+        planes_in = tuple(pad2(a) for a in planes_in)
+        b = pad2(b)
+        x0 = pad2(x0)
+        v0 = jnp.pad(v0, ((0, a0), (0, a0)))
+        v1 = jnp.pad(v1, ((0, a1), (0, a1)))
+        sym = jnp.pad(sym, ((0, a0), (0, a1)),
+                      constant_values=jnp.asarray(jnp.inf, dtype))
+        mask = pad2(jnp.ones(true_shape, dtype))
+        mask_args = (mask,)
     # pass the RAW precision: the kernel itself lowers HIGH as the manual
     # bf16x3 decomposition (3 DEFAULT passes, exactly XLA-HIGH) and only
     # coerces to HIGHEST for everything else Mosaic can't lower
-    prec = solver_mm._precision()
-    sc = jnp.stack([jnp.asarray(lap.shift, dtype), jnp.asarray(tol, dtype)])
+    sc = jnp.stack([
+        jnp.asarray(lap.shift, dtype), jnp.asarray(tol, dtype),
+        jnp.asarray(n_true, dtype),
+    ])
     # adaptive ceiling: the 512^2 production shape compiles in 96 MiB;
     # larger eligible shapes (env-raised budget) get headroom up to just
     # under the 128 MiB v5e VMEM. Margin measured at 1024^2: the
@@ -1591,18 +1774,20 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
         max(96 * 1024 * 1024,
             _pcg2_plane_bytes(b.shape, dtype) + 44 * 1024 * 1024),
     )
-
     @jax.custom_batching.custom_vmap
-    def _solve(c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0):
+    def _solve(c, ly, hy, lx, hx, sc, *rest):
+        mask_r = rest[:len(mask_args)]
+        v0, v1, sym, b, x0 = rest[len(mask_args):]
         return pl.pallas_call(
             functools.partial(_pcg2_solve_kernel, deflate_mean,
-                              int(max_iter), prec),
+                              int(max_iter), prec, masked),
             out_shape=(
                 jax.ShapeDtypeStruct(b.shape, dtype),
                 jax.ShapeDtypeStruct((1,), dtype),
                 jax.ShapeDtypeStruct((1,), jnp.int32),
             ),
-            in_specs=_vmem_specs(5) + _smem_specs(1) + _vmem_specs(5),
+            in_specs=(_vmem_specs(5) + _smem_specs(1)
+                      + _vmem_specs(5 + len(mask_args))),
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1612,18 +1797,23 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit,
             ),
-        )(c, ly, hy, lx, hx, sc, v0, v1, sym, b, x0)
+        )(c, ly, hy, lx, hx, sc, *mask_r, v0, v1, sym, b, x0)
 
     @_solve.def_vmap
-    def _rule(axis_size, in_batched, c, ly, hy, lx, hx, sc, v0, v1, sym,
-              b, x0):
+    def _rule(axis_size, in_batched, c, ly, hy, lx, hx, sc, *rest):
         # grid over the batch: batched planes become (1, n0, n1) sample
-        # blocks; unbatched solver constants stay shared full blocks (no
-        # broadcast copies of the eigenbases)
+        # blocks; unbatched solver constants (incl. the pad mask) stay
+        # shared full blocks (no broadcast copies of the eigenbases)
         sc_batched = bool(in_batched[5])
         sc_ = sc
-        planes = (c, ly, hy, lx, hx, v0, v1, sym, b, x0)
+        planes = (c, ly, hy, lx, hx) + tuple(rest)
         flags = tuple(in_batched[:5]) + tuple(in_batched[6:])
+        # the kernel's flag tuple skips the (never-batched) pad mask: its
+        # zip covers (c..hx) then (v0, v1, sym, b, x0)
+        assert not any(flags[5:5 + len(mask_args)]), "pad mask batched?"
+        kflags = flags[:5] + flags[5 + len(mask_args):]
+        b_ = rest[len(mask_args) + 3]
+        b_flag = kflags[8]
 
         def spec(a, bb):
             sh = a.shape[1:] if bb else a.shape
@@ -1637,10 +1827,11 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
         in_specs = [spec(a, bb) for a, bb in zip(planes[:5], flags[:5])]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs += [spec(a, bb) for a, bb in zip(planes[5:], flags[5:])]
-        bshape = (axis_size,) + (b.shape[1:] if in_batched[9] else b.shape)
+        bshape = (axis_size,) + (b_.shape[1:] if b_flag else b_.shape)
         xo, rn, k = pl.pallas_call(
             functools.partial(_pcg2_solve_kernel_b, deflate_mean,
-                              int(max_iter), prec, flags, sc_batched),
+                              int(max_iter), prec, masked, kflags,
+                              sc_batched),
             grid=(axis_size,),
             out_shape=(
                 jax.ShapeDtypeStruct(bshape, dtype),
@@ -1662,8 +1853,9 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
         )(*planes[:5], sc_, *planes[5:])
         return (xo, rn, k), (True, True, True)
 
-    xo, rn, k = _solve(lap.center, lap.lo[0], lap.hi[0], lap.lo[1],
-                       lap.hi[1], sc, v0, v1, sym, b, x0)
+    xo, rn, k = _solve(*planes_in, sc, *mask_args, v0, v1, sym, b, x0)
+    if masked:
+        xo = xo[..., :true_shape[0], :true_shape[1]]
     return xo, rn[..., 0], k[..., 0]
 
 
@@ -1674,26 +1866,24 @@ def _pcg2_plane_bytes(shape, dtype):
 
 def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
     """Gate for the whole-solve rank-2 spectral PCG (DIFFPISO_FUSED_PCG2).
-    Modes: never | fwd (forward solves only) | auto (forward solves always;
-    ADJOINT solves — early_exit=False, solvers/base.py:388 — only on
-    sublane/lane-aligned planes) | all (both, unconditionally). Default
-    auto by A/B (runs/ab_pcg2.log, 2 reps, restructured kernel): turb 512^2
-    fwd 3947 vs 2632 (+50%), grad30 1134 vs 1015 (+12%); cavity 513x512 fwd
-    +17%, but its grad30 lost 6-17% with the adjoint fused — the unaligned
-    513-row plane pays Mosaic padding on every in-loop matvec/contraction,
-    and only the adjoint's colder solves iterate enough to expose it —
-    hence the alignment condition instead of a blanket adjoint fuse.
+    Modes: never | fwd (forward solves only) | auto | all (historical
+    alias of auto since the r4 pad-to-aligned path). Default auto by A/B
+    (runs/ab_pcg2.log, 2 reps, restructured kernel): turb 512^2 fwd 3947
+    vs 2632 (+50%), grad30 1134 vs 1015 (+12%); cavity 513x512 fwd +17%.
+    r3 excluded the cavity ADJOINT (grad30 -6..-17%: Mosaic re-padded the
+    unaligned 513-row plane on every in-loop matvec/contraction, and only
+    the adjoint's colder solves iterate enough to expose it); r4 pads
+    unaligned planes ONCE in the wrapper (masked shift/deflation — see
+    fused_pcg2_solve), lifting the alignment condition (A/B
+    runs/ab_pcg2_pad.log).
     Residency: 5 stencil planes + b/x0/sym + while carries (x, r, p) +
     ~3 temps ≈ 14 planes, the two bases, and the HIGHEST-dot scratch
     (~18 MB measured at 512^2) under the 96 MiB compiler ceiling."""
     mode = os.environ.get("DIFFPISO_FUSED_PCG2", "auto")
     if mode == "never":
         return False
-    if not early_exit:  # adjoint solve
-        if mode == "fwd":
-            return False
-        if mode == "auto" and not (shape[0] % 8 == 0 and shape[1] % 128 == 0):
-            return False
+    if not early_exit and mode == "fwd":  # adjoint solve
+        return False
     if not _PALLAS_AVAILABLE:
         return False
     from diffpiso_tpu.ops import pallas_stencil as _ps
@@ -1717,7 +1907,8 @@ def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
     # converges. Negative result recorded runs/ab_pcg2_large.log; the
     # bare solve DOES compile at 108 MiB (runs/check_pcg2_lowering.py).
     budget_mib = int(os.environ.get("DIFFPISO_PCG2_MIB", "24"))
-    return _pcg2_plane_bytes(shape, dtype) <= budget_mib * 1024 * 1024
+    padded = (shape[0] + (-shape[0]) % 8, shape[1] + (-shape[1]) % 128)
+    return _pcg2_plane_bytes(padded, dtype) <= budget_mib * 1024 * 1024
 
 
 # -- fused spectral preconditioner apply (2-D eigenbasis contractions) ------------

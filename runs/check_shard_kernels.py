@@ -42,10 +42,13 @@ def planes(scale, shape):
 
 comps = []
 shapes = [(ny + 1, nx), (ny, nx + 1)]  # staggered +1 faces: padding path
+# production-like dominance (CFL-bound coupling ~0.15 of the diagonal):
+# converges through the per-shard trips, exercising the exit-by-convergence
+# (exact reported norm) path; the stall/fallback path is asserted below
 for sh in shapes:
     center = jnp.asarray(-4.0 + 0.3 * rng.randn(*sh), jnp.float32)
-    lo = [np.array(planes(0.4, sh)) for _ in range(2)]
-    hi = [np.array(planes(0.4, sh)) for _ in range(2)]
+    lo = [np.array(planes(0.15, sh)) for _ in range(2)]
+    hi = [np.array(planes(0.15, sh)) for _ in range(2)]
     # non-periodic axes carry ZERO wrap couplings (the real assembly's
     # invariant that makes both the single-chip roll trick and the
     # sharded zero-padding exact)
@@ -93,9 +96,45 @@ for transpose in (False, True):
         lambda bb, aa: bb - aa, b, apply_fn(st, xf, negate=True))
     rn = max(float(jnp.max(jnp.abs(c))) for c in rr.components)
     assert rn < 1e-4, rn
-    assert abs(float(n) - rn) < 1e-5, (float(n), rn)
+    # exit-by-convergence: the reported norm IS the exact residual of the
+    # returned iterate (measure-only converged trip)
+    assert float(n) < 1e-6 and abs(float(n) - rn) < 1e-6, (float(n), rn)
     print(f"momentum transpose={transpose}: OK (resid {rn:.2e}, "
           f"reported {float(n):.2e})")
+
+# stall path: weakly-dominant couplings (ratio ~0.4) exhaust max_trips at a
+# tight tol; the reported norm must be CONSERVATIVE (>= the true residual)
+# so solvers/base.py routes the iterate to the BiCGSTAB fallback
+rng_s = np.random.RandomState(5)
+sh = (ny, nx)
+center_s = jnp.asarray(-4.0 + 0.3 * rng_s.randn(*sh), jnp.float32)
+los = [np.asarray(0.4 * rng_s.randn(*sh), np.float32) for _ in range(2)]
+his = [np.asarray(0.4 * rng_s.randn(*sh), np.float32) for _ in range(2)]
+for d in range(2):
+    sl = [slice(None)] * 2
+    sl[d] = 0
+    los[d][tuple(sl)] = 0.0
+    sl[d] = -1
+    his[d][tuple(sl)] = 0.0
+b_s = jnp.asarray(rng_s.randn(*sh), jnp.float32)
+xs_s, n_s = jax.jit(
+    lambda: sk.sharded_momentum_solve(
+        ctx, [(center_s, tuple(map(jnp.asarray, los)),
+               tuple(map(jnp.asarray, his)))],
+        (b_s,), (jnp.zeros_like(b_s),), -1.0, False, 1e-7)
+)()
+st_s = AdvectionStencil(center=(center_s,),
+                        lo=(tuple(map(jnp.asarray, los)),),
+                        hi=(tuple(map(jnp.asarray, his)),),
+                        diag_A=(center_s,))
+r_s = (StaggeredField((b_s,), periodic=(False, False))
+       .components[0]
+       - apply_stencil(st_s, StaggeredField(
+           (xs_s[0],), periodic=(False, False)), negate=True).components[0])
+rn_s = float(jnp.max(jnp.abs(r_s)))
+assert float(n_s) >= rn_s * 0.99, (float(n_s), rn_s)
+print(f"momentum stall path: OK (reported {float(n_s):.2e} >= true "
+      f"{rn_s:.2e}, fallback-bound)")
 
 # -- pressure ------------------------------------------------------------------------
 from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver

@@ -560,6 +560,31 @@ def test_fused_pcg2_whole_solve_through_pressure_solver(monkeypatch):
     )
 
 
+def test_fused_pcg2_whole_solve_unaligned_rows(monkeypatch):
+    """The pad-to-aligned wrapper (r4): an odd-row plane (the 513-row
+    cavity's shape class) pads to sublane/lane multiples with masked
+    shift/deflation — solution must match the jnp pcg path on the TRUE
+    plane. (16,32) tests lane padding implicitly; this covers row padding
+    and both paddings combined."""
+    lap, rhs = _system(res=(17, 32), rank_deficient=True)
+    cfg = PressureSolver(
+        max_iterations=200, deflate_mean=True,
+        preconditioner="dct_mm", adjoint_preconditioner="dct_mm",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "pcg2_eligible", lambda *a, **k: True)
+    x_f, it_f, warn_f = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_f)
+    assert x_f.shape == rhs.shape
+    a = np.asarray(x_f) - np.asarray(x_f).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    assert abs(int(it_f) - int(it_ref)) <= 1
+
+
 def test_fused_pcg2_whole_solve_vmap_batches(monkeypatch):
     """jax.vmap over the whole-solve pcg2 must dispatch the grid-over-batch
     custom_vmap rule (one program per sample, each with its own while-loop
@@ -691,12 +716,11 @@ def test_fused_pcg3_through_pressure_solver(monkeypatch):
 
 def test_pcg2_eligibility_adjoint_gate(monkeypatch):
     """DIFFPISO_FUSED_PCG2 mode semantics (pallas_krylov.pcg2_eligible):
-    auto fuses every forward solve but fuses ADJOINT solves
-    (early_exit=False, solvers/base.py adjoint channel) only on
-    sublane/lane-aligned planes — the measured win/loss boundary
-    (runs/ab_pcg2.log: aligned 512^2 turb grad +12%, unaligned 513x512
-    cavity grad -12%). fwd restricts to forward solves; all ignores
-    alignment; never disables."""
+    since the r4 pad-to-aligned wrapper, auto fuses forward AND adjoint
+    solves on unaligned planes too (the 513-row cavity pads once per solve
+    instead of paying Mosaic re-padding per in-loop op — the r3 loss that
+    excluded its adjoint). fwd restricts to forward solves; never
+    disables."""
     monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)  # skip backend gate
     elig = pallas_krylov.pcg2_eligible
     aligned, unaligned = (512, 512), (513, 512)
@@ -705,7 +729,7 @@ def test_pcg2_eligibility_adjoint_gate(monkeypatch):
     assert elig(aligned, jnp.float32)
     assert elig(unaligned, jnp.float32)
     assert elig(aligned, jnp.float32, early_exit=False)
-    assert not elig(unaligned, jnp.float32, early_exit=False)
+    assert elig(unaligned, jnp.float32, early_exit=False)
 
     monkeypatch.setenv("DIFFPISO_FUSED_PCG2", "fwd")
     assert elig(unaligned, jnp.float32)

@@ -45,13 +45,19 @@ def _force_interpret(monkeypatch):
     monkeypatch.setattr(sk, "_roll", lambda a, s, ax: jnp.roll(a, s, ax))
 
 
-def _momentum_system(shapes, seed=11):
+def _momentum_system(shapes, seed=11, coupling=0.15):
+    """coupling 0.15 ~ the production CFL-bound dominance ratio: the
+    per-shard trips converge, exercising the exit-by-convergence (exact
+    reported norm) path. Larger ratios stall to the conservative
+    max_trips exit (see test_sharded_momentum_stall_is_conservative)."""
     rng = np.random.RandomState(seed)
     comps = []
     for sh in shapes:
         center = jnp.asarray(-4.0 + 0.3 * rng.randn(*sh), jnp.float32)
-        lo = [np.asarray(0.4 * rng.randn(*sh), np.float32) for _ in range(2)]
-        hi = [np.asarray(0.4 * rng.randn(*sh), np.float32) for _ in range(2)]
+        lo = [np.asarray(coupling * rng.randn(*sh), np.float32)
+              for _ in range(2)]
+        hi = [np.asarray(coupling * rng.randn(*sh), np.float32)
+              for _ in range(2)]
         # non-periodic axes carry ZERO wrap couplings — the assembly
         # invariant that makes both the roll trick and the sharded
         # zero-padding exact
@@ -104,14 +110,38 @@ def test_sharded_momentum_solve_matches_bicgstab(transpose, monkeypatch):
     for a, r in zip(xs, ref.x.components):
         scale = float(jnp.max(jnp.abs(r))) or 1.0
         assert float(jnp.max(jnp.abs(a - r))) / scale < 1e-4
-    # the reported norm is the TRUE max|b - A x| of the returned iterate
+    # exit-by-convergence: the reported norm IS the exact residual of the
+    # returned iterate (the converged trip ran zero sweeps)
     xf = StaggeredField(xs, periodic=b.periodic)
     rr = jax.tree_util.tree_map(
         lambda bb, aa: bb - aa, b, apply_fn(st, xf, negate=True)
     )
     rn = max(float(jnp.max(jnp.abs(c))) for c in rr.components)
     assert rn < 1e-4
-    assert abs(float(n) - rn) < 1e-5
+    assert float(n) < 1e-6 and abs(float(n) - rn) < 1e-6
+
+
+def test_sharded_momentum_stall_is_conservative(monkeypatch):
+    """Weakly-dominant couplings at a tight tol exhaust max_trips; the
+    reported norm must be >= the true residual so solvers/base.py routes
+    the iterate to the BiCGSTAB fallback rather than skipping it."""
+    _force_interpret(monkeypatch)
+    mesh = make_mesh((2, 4), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    st, b = _momentum_system([(16, 32)], seed=5, coupling=0.4)
+    x0 = (jnp.zeros_like(b.components[0]),)
+    st_cs = [(st.center[0], st.lo[0], st.hi[0])]
+    xs, n = jax.jit(
+        lambda: sk.sharded_momentum_solve(
+            ctx, st_cs, tuple(b.components), x0, -1.0, False, 1e-7
+        )
+    )()
+    xf = StaggeredField(xs, periodic=b.periodic)
+    rr = jax.tree_util.tree_map(
+        lambda bb, aa: bb - aa, b, apply_stencil(st, xf, negate=True)
+    )
+    rn = max(float(jnp.max(jnp.abs(c))) for c in rr.components)
+    assert float(n) >= rn * 0.99
 
 
 def _pressure_system(ny=16, nx=32, seed=3):
