@@ -26,7 +26,7 @@ from diffpiso_tpu.parallel import shard_kernels as sk
 mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
 
 
-def measure(mode):
+def measure(mode, grad=False):
     os.environ["DIFFPISO_SHARDED_KERNELS"] = mode
     domain, sim, step, initial_state = bench.build_turbulence(512, 1e-6)
     vel, p = initial_state(seed=0)
@@ -45,7 +45,11 @@ def measure(mode):
             f"{float(np.asarray(warns).mean()):.3f})",
             flush=True,
         )
+    if grad:
+        g, _ = bench.bench_grad(step, vel, p, 30, 8, trace_ctx=ctx)
+        g2, _ = bench.bench_grad(step, vel, p, 30, 8, trace_ctx=ctx)
+        print(f"[attr] {mode} grad30: {g:.1f} / {g2:.1f}", flush=True)
 
 
 for mode in ("never", "momentum", "pressure", "auto"):
-    measure(mode)
+    measure(mode, grad=True)
