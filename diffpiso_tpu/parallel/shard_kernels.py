@@ -417,9 +417,27 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
     return tuple(outs), norm
 
 
-def momentum_eligible(ctx: ShardedSolveCtx, shapes, dtype) -> bool:
+def _adjoint_mode_ok(transpose_or_adjoint: bool) -> bool:
+    """ADJOINT solves keep the GSPMD jnp path by default: measured on the
+    (1,1) mesh at turb512 (runs/ab_shard_attr.log, 2 reps each), the
+    kernel trips LOSE in the adjoint — grad30 never 860 vs momentum-only
+    769 (-11%), pressure-only 649 (-25%), both 551 (-36%) — because
+    adjoint solves are cold (more trips/iterations, each paying launch +
+    collective glue) and the lagged in-kernel deflation costs ~0.5 extra
+    iterations per pressure solve. Forward solves win (+40% fwd, same
+    log). DIFFPISO_SHARDED_KERNELS_ADJ=auto re-enables for re-measurement."""
+    import os
+
+    if not transpose_or_adjoint:
+        return True
+    return os.environ.get("DIFFPISO_SHARDED_KERNELS_ADJ", "never") == "auto"
+
+
+def momentum_eligible(ctx: ShardedSolveCtx, shapes, dtype,
+                      transpose: bool = False) -> bool:
     """Per-shard momentum kernel gate: rank-2 f32 components whose padded
-    per-shard blocks fit the jac1-style 20-plane ceiling.
+    per-shard blocks fit the jac1-style 20-plane ceiling; forward solves
+    only by default (_adjoint_mode_ok).
     DIFFPISO_SHARDED_KERNELS: auto | never | momentum | pressure (the last
     two enable ONE family — attribution A/Bs)."""
     import os
@@ -427,6 +445,8 @@ def momentum_eligible(ctx: ShardedSolveCtx, shapes, dtype) -> bool:
     if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") not in (
         "auto", "momentum",
     ):
+        return False
+    if not _adjoint_mode_ok(transpose):
         return False
     if not kernels_available():
         return False
@@ -522,7 +542,7 @@ def _pcg_update_launch(x, r, p, q0, alpha, cs, cbar):
 
 
 def pressure_eligible(ctx: ShardedSolveCtx, shape, dtype,
-                      precond_kind) -> bool:
+                      precond_kind, adjoint: bool = False) -> bool:
     """Per-shard pressure PCG gate: rank-2 f32 planes exactly divisible by
     the mesh (the rank-one shift / deflation sums would need in-kernel
     index masks under padding — non-divisible shapes keep the GSPMD path)
@@ -533,6 +553,8 @@ def pressure_eligible(ctx: ShardedSolveCtx, shape, dtype,
     if os.environ.get("DIFFPISO_SHARDED_KERNELS", "auto") not in (
         "auto", "pressure",
     ):
+        return False
+    if not _adjoint_mode_ok(adjoint):
         return False
     if not kernels_available():
         return False

@@ -188,7 +188,7 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
 
     _ctx = _sk.current()
     if _ctx is not None and _sk.momentum_eligible(
-        _ctx, tuple(c.shape for c in stencil.center), rhs.dtype
+        _ctx, tuple(c.shape for c in stencil.center), rhs.dtype, transpose
     ):
         x, result = _sharded_adv_solve(
             _ctx, cfg, stencil, rhs, guess, tol, transpose
@@ -442,7 +442,7 @@ def _pressure_solve_once(
         _ctx is not None
         and not isinstance(rhs, (tuple, list, dict))
         and getattr(rhs, "ndim", 0) == 2
-        and _sk.pressure_eligible(_ctx, rhs.shape, rhs.dtype, kind)
+        and _sk.pressure_eligible(_ctx, rhs.shape, rhs.dtype, kind, adjoint)
     ):
         # distributed PCG with per-shard kernel phases: the matmul
         # -eigenbasis preconditioner runs as sharded contractions +

@@ -323,6 +323,7 @@ def bicgstab(
     jac_on = jac_mode == "all" or (jac_mode == "adjoint" and transpose)
     jac3d = False
     jac13d = False
+    jac_zb = None
     jac2 = False
     jac1 = False
     if (
@@ -335,22 +336,31 @@ def bicgstab(
         from diffpiso_tpu.solvers.pallas_krylov import (
             eligible_3d,
             jac13d_eligible,
+            zblock_eligible,
         )
 
-        # 3-D: prefer the single-program WHOLE-SOLVE per-component kernel
-        # (128^3-class volumes fit VMEM outright); fall back to the
-        # z-plane-gridded k-sweep launches past its budget (256^3)
+        # 3-D tiers: the single-program WHOLE-SOLVE per-component kernel
+        # (128^3-class volumes fit VMEM outright) > the z-BLOCK-gridded
+        # k-full-3-D-sweeps launch (256^3 class: live z-coupling within
+        # bz-plane blocks, frozen only at block edges) > the per-plane
+        # -frozen k-in-plane-sweeps launch (legacy fallback)
         jac13d = all(
             c.ndim == 3 and jac13d_eligible(c.shape, c.dtype)
             for c in stencil.center
         )
-        jac3d = not jac13d and all(
+        jac_zb = None
+        if not jac13d and all(c.ndim == 3 for c in stencil.center):
+            zbs = [zblock_eligible(c.shape, c.dtype) for c in stencil.center]
+            if all(zbs):
+                jac_zb = zbs
+        jac3d = not jac13d and jac_zb is None and all(
             c.ndim == 3 and eligible_3d(c.shape, c.dtype)
             for c in stencil.center
         )
     if (
         jac_on
         and not jac3d
+        and jac_zb is None
         and stencil is not None
         and inv_diag is not None
         and hasattr(b, "components")
@@ -372,13 +382,14 @@ def bicgstab(
             jac1 = not jac2 and all(
                 jac1_eligible(c.shape, c.dtype) for c in comps
             )
-    if (fused or jac3d or jac13d or jac2 or jac1) and jac_on:
+    if (fused or jac3d or jac13d or jac_zb or jac2 or jac1) and jac_on:
         from diffpiso_tpu.solvers.pallas_krylov import (
             fused_jacobi1_solve,
             fused_jacobi1_solve_3d,
             fused_jacobi2_solve,
             fused_jacobi_sweep_3d,
             fused_jacobi_sweeps,
+            fused_jacobi_zblock_3d,
         )
 
         sgn = -1.0 if negate else 1.0
@@ -400,7 +411,15 @@ def bicgstab(
 
         def jbody(state):
             x_c, _, j = state
-            if jac3d:
+            if jac_zb is not None:
+                outs = [
+                    fused_jacobi_zblock_3d(
+                        st_cs[ci], b_c[ci], x_c[ci], sgn, transpose, tol,
+                        sweeps_per_launch, jac_zb[ci],
+                    )
+                    for ci in range(ncomp)
+                ]
+            elif jac3d:
                 outs = [
                     fused_jacobi_sweep_3d(
                         st_cs[ci], b_c[ci], x_c[ci], sgn, transpose,
@@ -447,10 +466,12 @@ def bicgstab(
             for o in outs[1:]:
                 jn = jnp.maximum(jn, o[1])
             x_c = tuple(o[0] for o in outs)
-        elif jac3d:
-            # the 3-D sweep reports the PRE-update residual, so the first
-            # trip's norm is x0's true residual: warm-converged solves exit
-            # after one launch with no probe needed
+        elif jac3d or jac_zb is not None:
+            # these kernels report the PRE-update (entry) residual, so the
+            # first trip's norm is x0's true residual: warm-converged solves
+            # exit after one launch with no probe needed (the z-block kernel
+            # additionally runs ZERO sweeps in that launch, making the
+            # reported norm exact for the returned iterate)
             init = (tuple(x0.components), jnp.asarray(jnp.inf, dtype),
                     jnp.zeros((), jnp.int32))
             x_c, jn, _ = jax.lax.while_loop(jcond, jbody, init)

@@ -1044,6 +1044,145 @@ def fused_jacobi_sweep_3d(st_c, b, x, sgn, transpose, k=4):
     return xn, n[0, 0]
 
 
+# -- z-BLOCK-gridded 3-D momentum Jacobi (k FULL 3-D sweeps per launch) -------------
+# The 256^3-class tier between jac13d (whole volume in VMEM, <= 128^3) and
+# the per-plane frozen kernel above: the grid runs over nz/bz blocks of bz
+# z-planes; within a block the z-coupling is LIVE (real 3-D sweeps), frozen
+# only at the two block-boundary planes (additive block-Jacobi with a
+# boundary fraction 2/bz instead of 2/1) — so each launch contracts like
+# bz-plane-deep Jacobi and the outer launch loop converges in a fraction
+# of the trips. Same maintained-residual + per-sweep-exit discipline as
+# the sharded momentum kernel (parallel/shard_kernels.py): a launch whose
+# ENTRY residual already passes tol sweeps nowhere, so the reported entry
+# max is the exact residual of the returned (unchanged) iterate.
+
+
+def _jacobi_zblock_kernel(transpose, max_sweeps,
+                          c, lz, hz, ly, hy, lx, hx, b, x, xup, xdn,
+                          hzup, lzdn, sc, out_x, out_n, r_ref):
+    sgn, tol = sc[0], sc[1]
+
+    # coefficients read from refs inside each matvec (the jac13d register
+    # -spill lesson); peak live values ~4 blocks
+    def mv(p, pu, pd):
+        if not transpose:
+            q = c[:] * p
+            q = q + lz[:] * jnp.concatenate([pu, p[:-1]], 0)
+            q = q + hz[:] * jnp.concatenate([p[1:], pd], 0)
+            q = q + ly[:] * _roll(p, 1, 1)
+            q = q + hy[:] * _roll(p, -1, 1)
+            q = q + lx[:] * _roll(p, 1, 2)
+            q = q + hx[:] * _roll(p, -1, 2)
+        else:
+            q = c[:] * p
+            a = lz[:] * p  # roll(lz x, -1, z): bottom plane needs dn lz*x
+            q = q + jnp.concatenate([a[1:], lzdn[:] * pd], 0)
+            a = hz[:] * p  # roll(hz x, +1, z): top plane needs up hz*x
+            q = q + jnp.concatenate([hzup[:] * pu, a[:-1]], 0)
+            q = q + _roll(ly[:] * p, -1, 1)
+            q = q + _roll(hy[:] * p, 1, 1)
+            q = q + _roll(lx[:] * p, -1, 2)
+            q = q + _roll(hx[:] * p, 1, 2)
+        return sgn * q
+
+    zero_pl = jnp.zeros_like(xup[:])
+    out_x[:] = x[:]
+    r_ref[:] = b[:] - mv(x[:], xup[:], xdn[:])
+    n0 = jnp.max(jnp.abs(r_ref[:]))
+
+    def inv_diag_apply(r):
+        d = sgn * c[:]
+        return jnp.where(jnp.abs(d) > 1e-30, r / d, r)
+
+    # per-sweep exit an order PAST tol (the frozen-boundary maintained
+    # norm underestimates the true boundary error — the shard_kernels
+    # limit-cycle lesson); zero sweeps when the entry measure passes
+    tol_in = 0.1 * tol
+
+    def cond(state):
+        n, j = state
+        return (j < max_sweeps) & (n >= tol_in) & (n0 >= tol)
+
+    def body(state):
+        _, j = state
+        dlt = inv_diag_apply(r_ref[:])
+        out_x[:] = out_x[:] + dlt
+        rn = r_ref[:] - mv(dlt, zero_pl, zero_pl)
+        r_ref[:] = rn
+        return jnp.max(jnp.abs(rn)), j + 1
+
+    jax.lax.while_loop(cond, body, (n0, jnp.zeros((), jnp.int32)))
+
+    # (1,1) SMEM max-accumulator over the sequential z-block grid for the
+    # GLOBAL entry residual (Mosaic rejects rank-1 blocks over (G,) arrays)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_n[0, 0] = n0
+
+    @pl.when(i != 0)
+    def _():
+        out_n[0, 0] = jnp.maximum(out_n[0, 0], n0)
+
+
+def _zblock_size(shape, dtype, budget_bytes=96 * 1024 * 1024):
+    """Largest divisor bz of nz whose ~14-block residency fits the budget
+    (8 operand blocks + x/r/delta/roll temps), >= 4; None if none fits."""
+    nz = shape[0]
+    plane = shape[1] * shape[2] * jnp.dtype(dtype).itemsize
+    best = None
+    for bz in range(4, nz + 1):
+        if nz % bz == 0 and 14 * bz * plane <= budget_bytes:
+            best = bz
+    return best
+
+
+def fused_jacobi_zblock_3d(st_c, b, x, sgn, transpose, tol, k, bz):
+    """k full-3-D Jacobi sweeps per z-block as a gridded launch; returns
+    (x', global max|b - A x| at ENTRY). st_c = (c, (lz,ly,lx), (hz,hy,hx))."""
+    c, lo, hi = st_c
+    nz = b.shape[0]
+    plane_sh = b.shape[1:]
+    blk = pl.BlockSpec((bz,) + plane_sh, lambda i: (i, 0, 0))
+    up = pl.BlockSpec((1,) + plane_sh, lambda i: ((i * bz - 1) % nz, 0, 0))
+    dn = pl.BlockSpec((1,) + plane_sh, lambda i: (((i + 1) * bz) % nz, 0, 0))
+    sc = jnp.stack([jnp.asarray(sgn, b.dtype), jnp.asarray(tol, b.dtype)])
+    nbytes = bz * int(np.prod(plane_sh)) * jnp.dtype(b.dtype).itemsize
+    xo, n = pl.pallas_call(
+        functools.partial(_jacobi_zblock_kernel, transpose, int(k)),
+        grid=(nz // bz,),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1, 1), b.dtype),
+        ),
+        in_specs=[blk] * 9 + [up, dn, up, dn]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(blk, pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((bz,) + plane_sh, b.dtype)],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 * 1024 * 1024,
+                                 max(48 * 1024 * 1024, 16 * nbytes)),
+        ),
+    )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], b, x, x, x,
+      hi[0], lo[0], sc)
+    return xo, n[0, 0]
+
+
+def zblock_eligible(shape, dtype):
+    """256^3-class z-block tier gate (DIFFPISO_FUSED_JACZB, default auto):
+    rank-3 past the jac13d whole-volume budget, with a divisor block size
+    whose ~14-block residency fits 96 MiB. Returns the block size (an int)
+    when eligible, else None — callers treat truthiness as the gate."""
+    if os.environ.get("DIFFPISO_FUSED_JACZB", "auto") == "never":
+        return None
+    if not _krylov_plumbing_ok(shape, dtype, rank=3):
+        return None
+    return _zblock_size(shape, dtype)
+
+
 # -- PCG halves around the (unfusable) spectral preconditioner ----------------------
 
 

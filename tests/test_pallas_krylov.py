@@ -377,6 +377,76 @@ def test_jacobi_accelerator_3d(transpose, jac13d, monkeypatch):
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize("transpose", [False, True])
+def test_jacobi_accelerator_3d_zblock(transpose, monkeypatch):
+    """The 256^3-class z-BLOCK tier (fused_jacobi_zblock_3d: k full 3-D
+    sweeps per launch, z-coupling live within blocks, frozen at block
+    edges) must solve the dominant 7-point system to the generic loop's
+    answer through the same bicgstab accelerator dispatch."""
+    from diffpiso_tpu.ops.stencil import (
+        AdvectionStencil,
+        apply_stencil,
+        apply_stencil_transpose,
+    )
+    from diffpiso_tpu.solvers import krylov
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    monkeypatch.setenv("DIFFPISO_ADV_JACOBI", "all")
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC13D", "never")
+    # force the z-block tier with bz=3 (2 programs over nz=6)
+    monkeypatch.setattr(pallas_krylov, "zblock_eligible",
+                        lambda shape, dtype: 3)
+    rng = np.random.RandomState(8)
+    shape = (6, 12, 16)
+
+    def planes(scale):
+        return jnp.asarray(scale * rng.randn(*shape), jnp.float32)
+
+    comps = []
+    for _ in range(3):
+        center = jnp.asarray(-12.0 + 0.3 * rng.randn(*shape), jnp.float32)
+        comps.append((
+            center,
+            (planes(0.4), planes(0.4), planes(0.4)),
+            (planes(0.4), planes(0.4), planes(0.4)),
+        ))
+    st = AdvectionStencil(
+        center=tuple(c[0] for c in comps),
+        lo=tuple(c[1] for c in comps),
+        hi=tuple(c[2] for c in comps),
+        diag_A=tuple(c[0] for c in comps),
+    )
+    b = StaggeredField(
+        tuple(planes(1.0) for _ in range(3)), periodic=(True, True, True)
+    )
+    diag = StaggeredField(
+        tuple(-c for c in st.center), periodic=(True, True, True)
+    )
+    ap = apply_stencil_transpose if transpose else apply_stencil
+    apply_A = lambda v: ap(st, v, negate=True)
+
+    ref = krylov.bicgstab(apply_A, b, tol=1e-6, max_iter=300, diag=diag)
+    assert not bool(ref.warn)
+
+    out = krylov.bicgstab(
+        apply_A, b, tol=1e-6, max_iter=300, diag=diag,
+        stencil=st, negate=True, transpose=transpose,
+    )
+    assert not bool(out.warn)
+    assert int(out.iterations) == 0  # block sweeps converged, Krylov idle
+    for a, r in zip(out.x.components, ref.x.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-5)
+    # exit-by-convergence reports the exact entry residual of the
+    # returned iterate (zero sweeps in the converged launch)
+    rr = jax.tree_util.tree_map(lambda bb, aa: bb - aa, b, apply_A(out.x))
+    rn = max(float(jnp.max(jnp.abs(c))) for c in rr.components)
+    assert float(out.residual_norm) < 1e-6
+    assert abs(float(out.residual_norm) - rn) < 1e-6
+
+
 @pytest.mark.parametrize(
     "kinds", [("dct2", "dct2"), ("fourier", "fourier"), ("dct2", "dct4")]
 )

@@ -418,6 +418,26 @@ def test_eligibility_gates():
     assert not sk.momentum_eligible(ctx, ((65, 64),), jnp.float64)
 
 
+def test_adjoint_solves_default_to_gspmd(monkeypatch):
+    """ADJOINT solves keep the GSPMD path by default (measured loss,
+    runs/ab_shard_attr.log: grad30 -11%/-25% per family);
+    DIFFPISO_SHARDED_KERNELS_ADJ=auto re-enables."""
+    _force_interpret(monkeypatch)
+    mesh = make_mesh((2, 4), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    shapes = ((64, 64),)
+    assert sk.momentum_eligible(ctx, shapes, jnp.float32, transpose=False)
+    assert not sk.momentum_eligible(ctx, shapes, jnp.float32, transpose=True)
+    assert sk.pressure_eligible(ctx, (64, 64), jnp.float32, "dct_mm",
+                                adjoint=False)
+    assert not sk.pressure_eligible(ctx, (64, 64), jnp.float32, "dct_mm",
+                                    adjoint=True)
+    monkeypatch.setenv("DIFFPISO_SHARDED_KERNELS_ADJ", "auto")
+    assert sk.momentum_eligible(ctx, shapes, jnp.float32, transpose=True)
+    assert sk.pressure_eligible(ctx, (64, 64), jnp.float32, "dct_mm",
+                                adjoint=True)
+
+
 def test_sharded_solvers_context_nests_no_pallas(monkeypatch):
     """The context must force the REST of the trace onto the GSPMD
     roll/reduction formulation (assembly/FV/correctors) — the no_pallas
