@@ -575,9 +575,12 @@ def cg(
     if stencil is not None and not isinstance(b, (tuple, list, dict)):
         leaves = jax.tree_util.tree_leaves(b)
         if len(leaves) == 1 and hasattr(leaves[0], "shape"):
-            from diffpiso_tpu.solvers.pallas_krylov import eligible
+            from diffpiso_tpu.solvers.pallas_krylov import eligible, eligible3
 
-            fused = eligible(leaves[0].shape, leaves[0].dtype)
+            # rank-2 planes or 128^3-class volumes (monolithic rank-3
+            # phase kernels, pallas_krylov.eligible3)
+            fused = eligible(leaves[0].shape, leaves[0].dtype) or \
+                eligible3(leaves[0].shape, leaves[0].dtype)
     if fused:
         from diffpiso_tpu.solvers.pallas_krylov import (
             fused_cg_iteration,
@@ -709,9 +712,12 @@ def pcg(
     if stencil is not None and not isinstance(b, (tuple, list, dict)):
         leaves = jax.tree_util.tree_leaves(b)
         if len(leaves) == 1 and hasattr(leaves[0], "shape"):
-            from diffpiso_tpu.solvers.pallas_krylov import eligible
+            from diffpiso_tpu.solvers.pallas_krylov import eligible, eligible3
 
-            fused = eligible(leaves[0].shape, leaves[0].dtype)
+            # rank-2 planes or 128^3-class volumes (monolithic rank-3
+            # phase kernels, pallas_krylov.eligible3)
+            fused = eligible(leaves[0].shape, leaves[0].dtype) or \
+                eligible3(leaves[0].shape, leaves[0].dtype)
     if fused:
         from diffpiso_tpu.solvers.pallas_krylov import (
             fused_pcg_apply,

@@ -156,6 +156,20 @@ def _smem_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.SMEM)] * n
 
 
+def eligible3(shape, dtype) -> bool:
+    """Monolithic rank-3 per-iteration PCG phase kernels (128^3-class: an
+    8 MiB volume — ~12 resident volumes fit under the explicit ceilings).
+    Used by cg/pcg only; bicgstab's 3-D momentum tiers are separate
+    (jac13d/zblock/plane). Gate DIFFPISO_FUSED_PHASE3, default auto;
+    default confirmed/flipped by runs/ab_phase3.log."""
+    if os.environ.get("DIFFPISO_FUSED_PHASE3", "auto") == "never":
+        return False
+    if not _krylov_plumbing_ok(shape, dtype, rank=3):
+        return False
+    vol = int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+    return 12 * vol <= 110 * 1024 * 1024
+
+
 # -- r = proj(b - A x), rnorm ------------------------------------------------------
 
 
@@ -168,12 +182,55 @@ def _residual_kernel(deflate, c, ly, hy, lx, hx, sh, b, x, out_r, out_n):
     out_n[0] = jnp.max(jnp.abs(r))
 
 
+def _matvec3(c, lz, hz, ly, hy, lx, hx, shift, p):
+    # refs read inside (the jac13d register-spill discipline)
+    q = c[:] * p
+    q = q + lz[:] * _roll(p, 1, 0)
+    q = q + hz[:] * _roll(p, -1, 0)
+    q = q + ly[:] * _roll(p, 1, 1)
+    q = q + hy[:] * _roll(p, -1, 1)
+    q = q + lx[:] * _roll(p, 1, 2)
+    q = q + hx[:] * _roll(p, -1, 2)
+    return q + shift * jnp.sum(p)
+
+
+def _residual3_kernel(deflate, c, lz, hz, ly, hy, lx, hx, sh, b, x,
+                      out_r, out_n):
+    q = _matvec3(c, lz, hz, ly, hy, lx, hx, sh[0], x[:])
+    r = b[:] - q
+    if deflate:
+        r = r - jnp.sum(r) / r.size
+    out_r[:] = r
+    out_n[0] = jnp.max(jnp.abs(r))
+
+
+def _stencil_ops3(stencil):
+    return (stencil.center, stencil.lo[0], stencil.hi[0], stencil.lo[1],
+            stencil.hi[1], stencil.lo[2], stencil.hi[2])
+
+
 def fused_residual(stencil, b, x, deflate: bool):
-    """r = proj(b - A x) and max|r| in one launch."""
+    """r = proj(b - A x) and max|r| in one launch (rank 2 or 3)."""
     out_shapes = (
         jax.ShapeDtypeStruct(b.shape, b.dtype),
         jax.ShapeDtypeStruct((1,), b.dtype),
     )
+    if b.ndim == 3:
+        ops = _stencil_ops3(stencil)
+        r, n = pl.pallas_call(
+            functools.partial(_residual3_kernel, deflate),
+            out_shape=out_shapes,
+            in_specs=_vmem_specs(7) + _smem_specs(1) + _vmem_specs(2),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=_auto_compiler_params(*ops, b, x,
+                                                  extra_planes=4),
+        )(*ops, jnp.reshape(jnp.asarray(stencil.shift, b.dtype), (1,)),
+          b, x)
+        return r, n[0]
     r, n = pl.pallas_call(
         functools.partial(_residual_kernel, deflate),
         out_shape=out_shapes,
@@ -221,10 +278,51 @@ def _cg_iter_kernel(deflate, c, ly, hy, lx, hx, sh, x, r, p,
     out_n[0] = jnp.max(jnp.abs(rn))
 
 
+def _cg_iter3_kernel(deflate, c, lz, hz, ly, hy, lx, hx, sh, x, r, p,
+                     out_x, out_r, out_p, out_n):
+    pv = p[:]
+    rv = r[:]
+    q = _matvec3(c, lz, hz, ly, hy, lx, hx, sh[0], pv)
+    pq = jnp.sum(pv * q)
+    pr = jnp.sum(pv * rv)
+    eps = jnp.asarray(1e-30, pq.dtype)
+    alpha = jnp.where(jnp.abs(pq) > eps, pr / pq, 0.0)
+    xn = x[:] + alpha * pv
+    rn = rv - alpha * q
+    if deflate:
+        rn = rn - jnp.sum(rn) / rn.size
+    beta = jnp.where(jnp.abs(pq) > eps, -jnp.sum(rn * q) / pq, 0.0)
+    out_x[:] = xn
+    out_r[:] = rn
+    out_p[:] = rn + beta * pv
+    out_n[0] = jnp.max(jnp.abs(rn))
+
+
 def fused_cg_iteration(stencil, x, r, p, deflate: bool):
-    """One complete CG iteration in one launch. Returns (x', r', p', rnorm)."""
+    """One complete CG iteration in one launch (rank 2 or 3). Returns
+    (x', r', p', rnorm)."""
     s = jax.ShapeDtypeStruct(x.shape, x.dtype)
     out_shapes = (s, s, s, jax.ShapeDtypeStruct((1,), x.dtype))
+    if x.ndim == 3:
+        ops = _stencil_ops3(stencil)
+        xo, ro, po, n = pl.pallas_call(
+            functools.partial(_cg_iter3_kernel, deflate),
+            out_shape=out_shapes,
+            in_specs=_vmem_specs(7) + _smem_specs(1) + _vmem_specs(3),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=_auto_compiler_params(*ops, x, r, p,
+                                                  extra_planes=6),
+        )(
+            *ops, jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
+            x, r, p,
+        )
+        return xo, ro, po, n[0]
     xo, ro, po, n = pl.pallas_call(
         functools.partial(_cg_iter_kernel, deflate),
         out_shape=out_shapes,
@@ -1203,11 +1301,48 @@ def _pcg_apply_kernel(deflate, c, ly, hy, lx, hx, sh, rz, x, r, p,
     out_pq[0] = pq
 
 
+def _pcg_apply3_kernel(deflate, c, lz, hz, ly, hy, lx, hx, sh, rz, x, r, p,
+                       out_x, out_r, out_n, out_pq):
+    pv = p[:]
+    q = _matvec3(c, lz, hz, ly, hy, lx, hx, sh[0], pv)
+    pq = jnp.sum(pv * q)
+    eps = jnp.asarray(1e-30, pq.dtype)
+    alpha = jnp.where(jnp.abs(pq) > eps, rz[0] / pq, 0.0)
+    xn = x[:] + alpha * pv
+    rn = r[:] - alpha * q
+    if deflate:
+        rn = rn - jnp.sum(rn) / rn.size
+    out_x[:] = xn
+    out_r[:] = rn
+    out_n[0] = jnp.max(jnp.abs(rn))
+    out_pq[0] = pq
+
+
 def fused_pcg_apply(stencil, rz, x, r, p, deflate: bool):
     """q = A p; alpha = rz/(p.q); x', r' = updates; returns
-    (x', r', rnorm, pq) in one launch."""
+    (x', r', rnorm, pq) in one launch (rank 2 or 3)."""
     s = jax.ShapeDtypeStruct(x.shape, x.dtype)
     one = jax.ShapeDtypeStruct((1,), x.dtype)
+    if x.ndim == 3:
+        ops = _stencil_ops3(stencil)
+        xo, ro, n, pq = pl.pallas_call(
+            functools.partial(_pcg_apply3_kernel, deflate),
+            out_shape=(s, s, one, one),
+            in_specs=_vmem_specs(7) + _smem_specs(2) + _vmem_specs(3),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=_auto_compiler_params(*ops, x, r, p,
+                                                  extra_planes=5),
+        )(
+            *ops, jnp.reshape(jnp.asarray(stencil.shift, x.dtype), (1,)),
+            jnp.reshape(rz, (1,)), x, r, p,
+        )
+        return xo, ro, n[0], pq[0]
     xo, ro, n, pq = pl.pallas_call(
         functools.partial(_pcg_apply_kernel, deflate),
         out_shape=(s, s, one, one),

@@ -784,6 +784,55 @@ def test_fused_pcg3_through_pressure_solver(monkeypatch):
     assert not bool(w2) and int(it2) <= 2
 
 
+def test_fused_phase3_through_pressure_solver(monkeypatch):
+    """The monolithic rank-3 per-iteration phase kernels (fused_residual /
+    fused_pcg_apply / fused_pcg_update over whole VMEM-resident volumes —
+    the 128^3-class tier, pallas_krylov.eligible3) must match the jnp pcg
+    path through solve_pressure_system. PCG3 (z-gridded per-iteration) is
+    forced OFF so the dispatch lands here, exactly like production where
+    DIFFPISO_FUSED_PCG3 defaults never."""
+    lap, rhs = _system3_periodic(seed=4)
+    cfg = PressureSolver(
+        max_iterations=300, deflate_mean=True,
+        preconditioner="fft_mm", adjoint_preconditioner="fft_mm",
+    )
+    x_ref, it_ref, warn_ref = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_ref)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setenv("DIFFPISO_FUSED_PCG3", "never")
+    monkeypatch.setattr(pallas_krylov, "eligible3", lambda *a, **k: True)
+    x_f, it_f, warn_f = solve_pressure_system(cfg, lap, rhs, None, 1e-6)
+    assert not bool(warn_f)
+    a = np.asarray(x_f) - np.asarray(x_f).mean()
+    b = np.asarray(x_ref) - np.asarray(x_ref).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    assert abs(int(it_f) - int(it_ref)) <= 1
+    # warm start converges (near-)immediately through the same kernels
+    _, it2, w2 = solve_pressure_system(cfg, lap, rhs, x_f, 1e-5)
+    assert not bool(w2) and int(it2) <= 2
+
+
+def test_fused_cg3_iteration_matches_jnp(monkeypatch):
+    """Unpreconditioned rank-3 CG through the monolithic iteration kernel
+    (fused_cg_iteration rank-3 branch) matches the jnp loop."""
+    from diffpiso_tpu.solvers import cg
+
+    lap, rhs = _system3_periodic(seed=5)
+    ref = cg(lambda p: apply_laplacian(lap, p), rhs, None,
+             tol=1e-6, max_iter=600, deflate_mean=True, stencil=None)
+    assert not bool(ref.warn)
+
+    _force_fused(monkeypatch)
+    monkeypatch.setattr(pallas_krylov, "eligible3", lambda *a, **k: True)
+    out = cg(lambda p: apply_laplacian(lap, p), rhs, None,
+             tol=1e-6, max_iter=600, deflate_mean=True, stencil=lap)
+    assert not bool(out.warn)
+    a = np.asarray(out.x) - np.asarray(out.x).mean()
+    b = np.asarray(ref.x) - np.asarray(ref.x).mean()
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
 def test_pcg2_eligibility_adjoint_gate(monkeypatch):
     """DIFFPISO_FUSED_PCG2 mode semantics (pallas_krylov.pcg2_eligible):
     since the r4 pad-to-aligned wrapper, auto fuses forward AND adjoint
