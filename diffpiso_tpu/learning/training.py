@@ -342,8 +342,7 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None,
     roll/reduction formulation regardless of per-sample plane size."""
     force_no_pallas = force_no_pallas or (mesh is not None)
 
-    @jax.jit
-    def train_step(params, opt_state, vel0, p0, targets, perts):
+    def _body(params, opt_state, vel0, p0, targets, perts):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -419,7 +418,45 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None,
         )
         return params_out, opt_out, loss, parts, warns
 
+    train_step = jax.jit(_body)
+    train_step._body = _body  # reused by make_batched_train_chunk
     return train_step
+
+
+def make_batched_train_chunk(loss_fn, optimizer, chunk: int, mesh=None,
+                             force_no_pallas=False):
+    """`chunk` SEQUENTIAL batched training iterations inside ONE jit call:
+    the composition of make_chunked_train_step (scan amortizes the
+    ~25-30 ms per-jit-call tunnel dispatch — CLAUDE.md cost model) with
+    make_batched_train_step (per-sample-masked vmapped updates). The r3
+    training profile left these as separate paths while 36 of 84.9 ms per
+    batch-8 64x256 iteration was dispatch + batch-independent work
+    (VERDICT r3 item 8); scanning the batched update is the fix for the
+    dispatch share.
+
+    train_chunk(params, opt_state, vel0s, p0s, targets, perts) — inputs
+    stacked (chunk, batch, ...) — returns (params, opt_state,
+    losses[chunk], parts, warns[chunk, batch])."""
+    inner = make_batched_train_step(
+        loss_fn, optimizer, mesh=mesh, force_no_pallas=force_no_pallas
+    )._body
+
+    @jax.jit
+    def train_chunk(params, opt_state, vel0s, p0s, targets, perts):
+        def body(carry, inp):
+            params, opt_state = carry
+            v0, p0, t, pe = inp
+            params, opt_state, loss, parts, warns = inner(
+                params, opt_state, v0, p0, t, pe
+            )
+            return (params, opt_state), (loss, parts, warns)
+
+        (params, opt_state), (losses, parts, warns) = jax.lax.scan(
+            body, (params, opt_state), (vel0s, p0s, targets, perts)
+        )
+        return params, opt_state, losses, parts, warns
+
+    return train_chunk
 
 
 def make_sharded_train_step(loss_fn, optimizer, mesh, example_batch,

@@ -779,9 +779,12 @@ def _broadcast_batch(axis_size, args, batched):
 def _jac1_vmem_limit(nbytes):
     # 7 inputs + x/r carries + stencil-roll temps; measured needs
     # (runs/ab_jac1.log): 16.15 planes at 1024^2 adjoint, 18.2 planes at
-    # the 513x2048 dns component — 20 planes gives margin without
-    # tripping the reservation-tracks-ceiling behavior (no MXU buffers)
-    return min(120 * 1024 * 1024, max(48 * 1024 * 1024, 20 * nbytes))
+    # the 513x2048 dns component; r4's LARGE pressure-phase kernels grew
+    # the enclosing cond's staging by ~1 MiB (the dns component OOM'd 920K
+    # over the old 20-plane ceiling, runs/ab_phase_large.log), so the
+    # CEILING is 22 planes while ELIGIBILITY keeps the 20-plane window —
+    # no MXU buffers here, so the reservation does not track the ceiling
+    return min(126 * 1024 * 1024, max(48 * 1024 * 1024, 22 * nbytes))
 
 
 def fused_jacobi1_solve(st_c, b, x, sgn, transpose, tol, max_sweeps):
