@@ -218,22 +218,50 @@ def piso_step(
             pressure_tol,
         )
 
-    grad_p1 = fv_gradient(p_inc1, dx, domain.pressure_pad_modes(), sim.accessible_mask)
-    velocity_s2 = velocity_star - StaggeredField(
-        tuple(
-            g / bma / dxprod
-            for g, bma in zip(grad_p1.components, beta_minus_A.components)
-        ),
-        periodic=velocity.periodic,
-    )
+    # fused corrector-1 bridge: the whole grad -> velocity update ->
+    # explicit_H -> scale -> divergence chain between the two pressure
+    # solves as ONE launch (ops/pallas_corrector.py; VERDICT r3 item 5 —
+    # the inter-solve glue was the largest remaining share of the forward
+    # step's 3.1x-over-HBM-floor device time). Periodic unmasked domains
+    # only; masks are trace-time constants, so the condition is static.
+    _bridge_ok = False
+    if all(velocity.periodic):
+        from diffpiso_tpu.ops import pallas_corrector as _pc
 
-    # -- corrector 2 --------------------------------------------------------------
-    h = explicit_H(stencil, velocity_s2 - velocity_star, beta)
-    h_over = StaggeredField(
-        tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components)),
-        periodic=velocity.periodic,
-    )
-    h_div = fv_divergence(h_over, dx) * active_int
+        comps_ = velocity_star.components
+        _bridge_ok = (
+            all(c.shape == p_inc1.shape for c in comps_)
+            and _pc.eligible(p_inc1.shape, p_inc1.dtype)
+            and not isinstance(sim.active_mask, jax.core.Tracer)
+            and bool(jnp.all(active_int == 1))
+            and (sim.accessible_mask is None
+                 or (not isinstance(sim.accessible_mask, jax.core.Tracer)
+                     and bool(jnp.all(sim.accessible_mask == 1))))
+        )
+    if _bridge_ok:
+        v2_c, h_c, h_div = _pc.corrector1_bridge(
+            p_inc1, velocity_star.components, beta_minus_A.components,
+            stencil, stencil.diag_A, beta, dx,
+        )
+        velocity_s2 = StaggeredField(v2_c, periodic=velocity.periodic)
+        h = StaggeredField(h_c, periodic=velocity.periodic)
+    else:
+        grad_p1 = fv_gradient(p_inc1, dx, domain.pressure_pad_modes(), sim.accessible_mask)
+        velocity_s2 = velocity_star - StaggeredField(
+            tuple(
+                g / bma / dxprod
+                for g, bma in zip(grad_p1.components, beta_minus_A.components)
+            ),
+            periodic=velocity.periodic,
+        )
+
+        # -- corrector 2 ----------------------------------------------------------
+        h = explicit_H(stencil, velocity_s2 - velocity_star, beta)
+        h_over = StaggeredField(
+            tuple(hc / bma for hc, bma in zip(h.components, beta_minus_A.components)),
+            periodic=velocity.periodic,
+        )
+        h_div = fv_divergence(h_over, dx) * active_int
     if adjoint_channels is not None:
         from diffpiso_tpu.solvers.base import solve_pressure_system_ws
 

@@ -747,7 +747,9 @@ def pcg(
                 len(solver_mm2.shape) == 2
                 and tuple(solver_mm2.shape) == tuple(leaf2.shape)
                 and pcg2_eligible(leaf2.shape, leaf2.dtype,
-                                  early_exit=early_exit)
+                                  early_exit=early_exit,
+                                  periodic=getattr(stencil, "periodic",
+                                                   None))
             ):
                 x2, rn2, k2 = fused_pcg2_solve(
                     stencil, leaf2, None if cold else x0, solver_mm2, w_mm2,

@@ -1227,14 +1227,16 @@ def _jacobi_zblock_kernel(transpose, max_sweeps,
         out_n[0, 0] = jnp.maximum(out_n[0, 0], n0)
 
 
-def _zblock_size(shape, dtype, budget_bytes=96 * 1024 * 1024):
-    """Largest divisor bz of nz whose ~14-block residency fits the budget
-    (8 operand blocks + x/r/delta/roll temps), >= 4; None if none fits."""
+def _zblock_size(shape, dtype, budget_bytes=100 * 1024 * 1024):
+    """Largest divisor bz of nz whose ~24-block residency fits the budget,
+    >= 4; None if none fits. The measured scoped-stack need is ~21.5
+    blocks at 256^3/bz=16 (86 MiB against the first cut's 64 MiB ceiling,
+    runs/ab_zblock.log) — same ~22-plane class as jac1's measured need."""
     nz = shape[0]
     plane = shape[1] * shape[2] * jnp.dtype(dtype).itemsize
     best = None
     for bz in range(4, nz + 1):
-        if nz % bz == 0 and 14 * bz * plane <= budget_bytes:
+        if nz % bz == 0 and 24 * bz * plane <= budget_bytes:
             best = bz
     return best
 
@@ -1264,8 +1266,9 @@ def fused_jacobi_zblock_3d(st_c, b, x, sgn, transpose, tol, k, bz):
         scratch_shapes=[pltpu.VMEM((bz,) + plane_sh, b.dtype)],
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
+            # eligibility mirrors this 24-block ceiling (_zblock_size)
             vmem_limit_bytes=min(120 * 1024 * 1024,
-                                 max(48 * 1024 * 1024, 16 * nbytes)),
+                                 max(48 * 1024 * 1024, 24 * nbytes)),
         ),
     )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], b, x, x, x,
       hi[0], lo[0], sc)
@@ -2019,6 +2022,16 @@ def fused_pcg2_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
     prec = solver_mm._precision()
 
     a0, a1 = _pcg2_align(true_shape)
+    # padding is exact ONLY on bounded axes (zero wrap couplings decouple
+    # the ghost rows); a periodic axis wraps row 0 onto what padding would
+    # turn into zeros, so unaligned periodic axes stay unpadded (Mosaic
+    # pads internally per op — the r3 behavior; production periodic shapes
+    # are power-of-two aligned anyway). Caught by
+    # test_turb_fullstep_all_fused_matches_jnp at (32,32) periodic.
+    if lap.periodic[0]:
+        a0 = 0
+    if lap.periodic[1]:
+        a1 = 0
     masked = bool(a0 or a1)
     planes_in = (lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1])
     mask_args = ()
@@ -2141,7 +2154,7 @@ def _pcg2_plane_bytes(shape, dtype):
     return (n0 * n0 + n1 * n1 + 16 * n0 * n1) * jnp.dtype(dtype).itemsize
 
 
-def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
+def pcg2_eligible(shape, dtype, early_exit=True, periodic=None) -> bool:
     """Gate for the whole-solve rank-2 spectral PCG (DIFFPISO_FUSED_PCG2).
     Modes: never | fwd (forward solves only) | auto | all (historical
     alias of auto since the r4 pad-to-aligned path). Default auto by A/B
@@ -2159,8 +2172,23 @@ def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
     mode = os.environ.get("DIFFPISO_FUSED_PCG2", "auto")
     if mode == "never":
         return False
-    if not early_exit and mode == "fwd":  # adjoint solve
-        return False
+    per = periodic if periodic is not None else (False,) * len(shape)
+    if len(per) == 2:
+        pad0 = 0 if per[0] else (-shape[0]) % 8
+        pad1 = 0 if per[1] else (-shape[1]) % 128
+        padded = (shape[0] + pad0, shape[1] + pad1)
+    else:
+        padded = shape
+    if not early_exit:  # adjoint solve
+        if mode == "fwd":
+            return False
+        # axes the wrapper cannot pad (periodic) keep the r3 alignment
+        # exclusion: an unaligned plane pays Mosaic re-padding per in-loop
+        # op, and only the colder adjoint solves iterate enough to lose
+        if mode == "auto" and not (
+            padded[0] % 8 == 0 and padded[1] % 128 == 0
+        ):
+            return False
     if not _PALLAS_AVAILABLE:
         return False
     from diffpiso_tpu.ops import pallas_stencil as _ps
@@ -2184,7 +2212,6 @@ def pcg2_eligible(shape, dtype, early_exit=True) -> bool:
     # converges. Negative result recorded runs/ab_pcg2_large.log; the
     # bare solve DOES compile at 108 MiB (runs/check_pcg2_lowering.py).
     budget_mib = int(os.environ.get("DIFFPISO_PCG2_MIB", "24"))
-    padded = (shape[0] + (-shape[0]) % 8, shape[1] + (-shape[1]) % 128)
     return _pcg2_plane_bytes(padded, dtype) <= budget_mib * 1024 * 1024
 
 
