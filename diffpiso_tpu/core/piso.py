@@ -229,14 +229,19 @@ def piso_step(
         from diffpiso_tpu.ops import pallas_corrector as _pc
 
         comps_ = velocity_star.components
+        import numpy as _np
+
+        # the mask triviality check must run on the HOST (np on the
+        # concrete arrays): jnp ops on closed-over constants inside a
+        # jit/scan trace yield tracers, and bool(tracer) throws
         _bridge_ok = (
             all(c.shape == p_inc1.shape for c in comps_)
             and _pc.eligible(p_inc1.shape, p_inc1.dtype)
             and not isinstance(sim.active_mask, jax.core.Tracer)
-            and bool(jnp.all(active_int == 1))
+            and bool(_np.all(_np.asarray(sim.active_mask) == 1))
             and (sim.accessible_mask is None
                  or (not isinstance(sim.accessible_mask, jax.core.Tracer)
-                     and bool(jnp.all(sim.accessible_mask == 1))))
+                     and bool(_np.all(_np.asarray(sim.accessible_mask) == 1))))
         )
     if _bridge_ok:
         v2_c, h_c, h_div = _pc.corrector1_bridge(

@@ -113,6 +113,7 @@ def test_full_step_with_bridge_matches_plain(monkeypatch):
     )
     p = domain.centered_grid(0.0)
 
+    @jax.jit  # jit: mask-triviality checks must not trace (host np only)
     def run(vel, p):
         out = piso_step(vel, p, 0.05, domain, sim,
                         advection_tol=1e-7, pressure_tol=1e-8)
