@@ -1,5 +1,6 @@
 from diffpiso_tpu.ops.pallas_stencil import no_pallas
 from diffpiso_tpu.parallel.halo import make_sharded_cg, make_sharded_laplacian_apply
+from diffpiso_tpu.parallel.shard_kernels import sharded_solvers
 from diffpiso_tpu.parallel.sharding import (
     PaddedSpatialLayout,
     make_mesh,
@@ -11,6 +12,7 @@ from diffpiso_tpu.parallel.sharding import (
 
 __all__ = [
     "no_pallas",
+    "sharded_solvers",
     "make_mesh",
     "make_sharded_cg",
     "make_sharded_laplacian_apply",
