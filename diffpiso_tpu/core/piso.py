@@ -280,16 +280,25 @@ def piso_step(
             pressure_tol,
         )
 
-    grad_p2 = fv_gradient(p_inc2, dx, domain.pressure_pad_modes(), sim.accessible_mask)
-    velocity_s3 = velocity_s2 + StaggeredField(
-        tuple(
-            (hc - g / dxprod) / bma
-            for hc, g, bma in zip(
-                h.components, grad_p2.components, beta_minus_A.components
-            )
-        ),
-        periodic=velocity.periodic,
-    )
+    if _bridge_ok:
+        velocity_s3 = StaggeredField(
+            _pc.corrector2_tail(
+                p_inc2, velocity_s2.components, h.components,
+                beta_minus_A.components, dx,
+            ),
+            periodic=velocity.periodic,
+        )
+    else:
+        grad_p2 = fv_gradient(p_inc2, dx, domain.pressure_pad_modes(), sim.accessible_mask)
+        velocity_s3 = velocity_s2 + StaggeredField(
+            tuple(
+                (hc - g / dxprod) / bma
+                for hc, g, bma in zip(
+                    h.components, grad_p2.components, beta_minus_A.components
+                )
+            ),
+            periodic=velocity.periodic,
+        )
 
     new_pressure = pressure + p_inc1 + p_inc2
 

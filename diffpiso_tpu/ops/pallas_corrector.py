@@ -207,3 +207,67 @@ def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
 
     _bridge.defvjp(_fwd, _bwd)
     return _bridge(beta, p_inc, vel_star, bma, st_c, st_lo, st_hi, diag_A)
+
+
+# -- corrector-2 tail: grad(p_inc2) + velocity_s3 update in one launch ---------------
+
+
+def _tail2_jnp(f0, f1, dxprod, p_inc, vel_s2, h, bma):
+    grad = (
+        (p_inc - jnp.roll(p_inc, 1, 0)) * f0,
+        (p_inc - jnp.roll(p_inc, 1, 1)) * f1,
+    )
+    return tuple(
+        v + (hc - g / dxprod) / b
+        for v, hc, g, b in zip(vel_s2, h, grad, bma)
+    )
+
+
+def _tail2_kernel(f0, f1, dxprod, p, v0, v1, h0, h1, b0, b1,
+                  out_v0, out_v1):
+    pv = p[:]
+    g0 = (pv - _roll(pv, 1, 0)) * f0
+    g1 = (pv - _roll(pv, 1, 1)) * f1
+    out_v0[:] = v0[:] + (h0[:] - g0 / dxprod) / b0[:]
+    out_v1[:] = v1[:] + (h1[:] - g1 / dxprod) / b1[:]
+
+
+def corrector2_tail(p_inc, vel_s2, h, bma, dx):
+    """Fused corrector-2 tail: velocity_s3 = vel_s2 + (h - grad(p_inc2)
+    /dxprod)/bma in one launch (periodic rank-2; piso.py's closing update,
+    piso_tf.py:92-96). Same custom_vjp recompute pattern as
+    corrector1_bridge."""
+    dx = tuple(float(d) for d in dx)
+    dxprod = float(np.prod(dx))
+    f0, f1 = dxprod / dx[0], dxprod / dx[1]
+    dtype = p_inc.dtype
+    jnp_impl = functools.partial(_tail2_jnp, f0, f1, dxprod)
+
+    @jax.custom_vjp
+    def _tail(p_inc, vel_s2, h, bma):
+        s = jax.ShapeDtypeStruct(p_inc.shape, dtype)
+        nbytes = p_inc.size * jnp.dtype(dtype).itemsize
+        return pl.pallas_call(
+            functools.partial(_tail2_kernel, f0, f1, dxprod),
+            out_shape=(s, s),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(120 * 1024 * 1024,
+                                     max(48 * 1024 * 1024, 14 * nbytes)),
+            ),
+        )(p_inc, vel_s2[0], vel_s2[1], h[0], h[1], bma[0], bma[1])
+
+    def _fwd(p_inc, vel_s2, h, bma):
+        return _tail(p_inc, vel_s2, h, bma), (p_inc, vel_s2, h, bma)
+
+    def _bwd(res, ct):
+        _, vjp = jax.vjp(jnp_impl, *res)
+        return vjp(ct)
+
+    _tail.defvjp(_fwd, _bwd)
+    return _tail(p_inc, vel_s2, h, bma)
