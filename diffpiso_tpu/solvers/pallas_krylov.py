@@ -160,9 +160,16 @@ def eligible3(shape, dtype) -> bool:
     """Monolithic rank-3 per-iteration PCG phase kernels (128^3-class: an
     8 MiB volume — ~12 resident volumes fit under the explicit ceilings).
     Used by cg/pcg only; bicgstab's 3-D momentum tiers are separate
-    (jac13d/zblock/plane). Gate DIFFPISO_FUSED_PHASE3, default auto;
-    default confirmed/flipped by runs/ab_phase3.log."""
-    if os.environ.get("DIFFPISO_FUSED_PHASE3", "auto") == "never":
+    (jac13d/zblock/plane). Gate DIFFPISO_FUSED_PHASE3, default NEVER by
+    measurement (runs/ab_phase3.log, 2 reps at 128^3 turb): fwd 251 vs 258
+    (-3%), grad10 108 vs 121 (-11%) — the same structural loss as PCG3 and
+    the fused 3-D spectral apply: warm-started pressure solves run ~1
+    iteration, where 2 whole-volume launches replace XLA ops the compiler
+    already fuses across the iteration body, and the cold adjoint solves
+    amplify it. Re-flip condition: a workload whose pressure solves run
+    >> 2 iterations (weak preconditioning), where amortizing the launch
+    pair over many iterations could invert the balance."""
+    if os.environ.get("DIFFPISO_FUSED_PHASE3", "never") == "never":
         return False
     if not _krylov_plumbing_ok(shape, dtype, rank=3):
         return False
@@ -1227,16 +1234,20 @@ def _jacobi_zblock_kernel(transpose, max_sweeps,
         out_n[0, 0] = jnp.maximum(out_n[0, 0], n0)
 
 
-def _zblock_size(shape, dtype, budget_bytes=100 * 1024 * 1024):
-    """Largest divisor bz of nz whose ~24-block residency fits the budget,
-    >= 4; None if none fits. The measured scoped-stack need is ~21.5
-    blocks at 256^3/bz=16 (86 MiB against the first cut's 64 MiB ceiling,
-    runs/ab_zblock.log) — same ~22-plane class as jac1's measured need."""
+def _zblock_size(shape, dtype, budget_bytes=110 * 1024 * 1024):
+    """Largest divisor bz of nz whose ~36-block residency fits the budget,
+    >= 4; None if none fits. Why 36: the grid pipeliner DOUBLE-buffers
+    every input block (13 block-ins + out + scratch ~ 2x15 block-
+    equivalents) AND the reservation partially tracks the ceiling —
+    measured 86 MiB need at bz=16 under a 64 MiB ceiling and 99.9 MiB
+    under 96 MiB (runs/ab_zblock.log, 256^3). Solution: smaller blocks
+    (bz=8 at 256^3) under a matching tight ceiling instead of chasing the
+    tracking behavior upward."""
     nz = shape[0]
     plane = shape[1] * shape[2] * jnp.dtype(dtype).itemsize
     best = None
     for bz in range(4, nz + 1):
-        if nz % bz == 0 and 24 * bz * plane <= budget_bytes:
+        if nz % bz == 0 and 36 * bz * plane <= budget_bytes:
             best = bz
     return best
 
@@ -1266,9 +1277,11 @@ def fused_jacobi_zblock_3d(st_c, b, x, sgn, transpose, tol, k, bz):
         scratch_shapes=[pltpu.VMEM((bz,) + plane_sh, b.dtype)],
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
-            # eligibility mirrors this 24-block ceiling (_zblock_size)
+            # eligibility mirrors the 36-block budget (_zblock_size); the
+            # ceiling stays TIGHT because the scoped reservation partially
+            # tracks whatever it is given (runs/ab_zblock.log)
             vmem_limit_bytes=min(120 * 1024 * 1024,
-                                 max(48 * 1024 * 1024, 24 * nbytes)),
+                                 max(48 * 1024 * 1024, 30 * nbytes)),
         ),
     )(c, lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], b, x, x, x,
       hi[0], lo[0], sc)
