@@ -62,8 +62,14 @@ def _roll(x, shift, axis):
 def eligible(shape, dtype) -> bool:
     """Periodic rank-2 corrector-bridge gate (DIFFPISO_FUSED_CORR, default
     auto): ~24 resident planes (p_inc + 2 vel + 2 bma + 10 stencil + 2
-    diag_A + 5 outs + temps) under a 110 MiB ceiling — the 512^2 and
-    1024^2 classes."""
+    diag_A + 5 outs + temps) under a 32 MiB ceiling — the 512^2 class.
+    Measured A/B (runs/ab_corr.log, 2 interleaved reps): turb512 fwd
+    6209-6228 vs 5926-5998 (+4-5%), grad30 1413-1519 vs 1412-1435
+    (neutral-to-+7%); turb1024 LOSES fwd 825-828 vs 893-894 (-7.6%) and
+    grad30 281-285 vs 290-291 — at 4 MiB planes the 24-plane residency
+    (96 MiB) thrashes VMEM while XLA's fusions stream, so the ceiling
+    mirrors the measured winning boundary. Re-flip condition: a row-tiled
+    bridge variant that wins at 1024^2."""
     if os.environ.get("DIFFPISO_FUSED_CORR", "auto") == "never":
         return False
     if not _PALLAS_AVAILABLE:
@@ -81,7 +87,7 @@ def eligible(shape, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     if itemsize > 4:
         return False
-    return 24 * shape[0] * shape[1] * itemsize <= 110 * 1024 * 1024
+    return 24 * shape[0] * shape[1] * itemsize <= 32 * 1024 * 1024
 
 
 def _bridge1_jnp(f0, f1, dxprod, beta, p_inc, vel_star, bma, st_c, st_lo,
