@@ -715,8 +715,17 @@ def pcg(
             from diffpiso_tpu.solvers.pallas_krylov import eligible, eligible3
 
             # rank-2 planes or 128^3-class volumes (monolithic rank-3
-            # phase kernels, pallas_krylov.eligible3)
-            fused = eligible(leaves[0].shape, leaves[0].dtype) or \
+            # phase kernels, pallas_krylov.eligible3); the LARGE-plane
+            # tier additionally needs the measured-winning basis family
+            # (all-'fourier' — runs/ab_phase_large.log)
+            kinds_l = (
+                tuple(precond_mm[0].kinds)
+                if precond_mm is not None
+                and hasattr(precond_mm[0], "kinds")
+                else None
+            )
+            fused = eligible(leaves[0].shape, leaves[0].dtype,
+                             large_kinds=kinds_l) or \
                 eligible3(leaves[0].shape, leaves[0].dtype)
     if fused:
         from diffpiso_tpu.solvers.pallas_krylov import (
@@ -817,7 +826,9 @@ def pcg(
             # pcg2 owns the whole solve there anyway); LARGE planes (past
             # pcg2's Mosaic wall): the bf16x3 mm-update vs the XLA loop
             if spectral_eligible(leaf.shape, leaf.dtype) or \
-                    mm_update_large_eligible(leaf.shape, leaf.dtype):
+                    mm_update_large_eligible(
+                        leaf.shape, leaf.dtype,
+                        kinds=tuple(solver_mm.kinds)):
                 from diffpiso_tpu.solvers.fourier import _safe_symbol
 
                 v0m, v1m = solver_mm._mats(leaf.dtype)

@@ -83,7 +83,7 @@ def _large_mode() -> str:
     return os.environ.get("DIFFPISO_FUSED_KRYLOV_LARGE", "auto")
 
 
-def eligible(shape, dtype) -> bool:
+def eligible(shape, dtype, large_kinds=None) -> bool:
     """Measured trade-off (tunneled v5e): the fused iteration wins wherever
     the 12 resident planes fit VMEM. Small grids (257x256): 7.1 vs 11.4
     us/iter. 512^2 (remeasured r2, back-to-back bench A/B after the
@@ -109,7 +109,19 @@ def eligible(shape, dtype) -> bool:
     # worst case resident planes: 5 coeffs + p + r + x + z + out x3
     if 12 * plane <= _VMEM_BUDGET_BYTES:
         return True
-    return _large_mode() != "never" and plane <= _LARGE_PLANE_BYTES
+    if _large_mode() == "never" or plane > _LARGE_PLANE_BYTES:
+        return False
+    # LARGE tier by preconditioner family (runs/ab_phase_large.log, 2
+    # interleaved reps): all-'fourier' (periodic turb1024) WINS fwd
+    # 882-884 vs 602-798 / grad30 282 vs 226-269; ('dct2','dct2') (the
+    # bounded 512x2048 mixing-layer DNS) LOSES fwd 551 vs 614-618 /
+    # grad30 83 vs 113 — so auto restricts to the measured winner when
+    # the caller can name the basis family. large_kinds=None (callers
+    # without a preconditioner, e.g. cg / momentum fallbacks) keeps the
+    # shape-only gate.
+    if large_kinds is not None and any(k != "fourier" for k in large_kinds):
+        return False
+    return True
 
 
 def _auto_compiler_params(*operands, extra_planes=4):
@@ -1794,7 +1806,7 @@ def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
     return po, rz[0]
 
 
-def mm_update_large_eligible(shape, dtype) -> bool:
+def mm_update_large_eligible(shape, dtype, kinds=None) -> bool:
     """Large-plane gate for folding M^-1 into the p-update
     (fused_pcg_mm_update) where the whole-solve pcg2 kernel cannot compile
     (1024^2, 512x2048 — pcg2_eligible's hard Mosaic wall). Small planes
@@ -1802,8 +1814,12 @@ def mm_update_large_eligible(shape, dtype) -> bool:
     whole-solve owns the solve anyway); here the alternative is the pure
     XLA loop, and the bf16x3 branch removes the precision-pass penalty that
     made the r3 spectral kernels lose. Same env as the phase tier
-    (DIFFPISO_FUSED_KRYLOV_LARGE)."""
+    (DIFFPISO_FUSED_KRYLOV_LARGE) and the same measured family
+    restriction: all-'fourier' bases win (turb1024 +10-47% fwd), 'dct2'
+    loses (dns 512x2048 -11% fwd / -26% grad30) — runs/ab_phase_large.log."""
     if _large_mode() == "never":
+        return False
+    if kinds is not None and any(k != "fourier" for k in kinds):
         return False
     if not _krylov_plumbing_ok(shape, dtype):
         return False

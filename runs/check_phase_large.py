@@ -38,11 +38,16 @@ assert jax.default_backend() == "tpu", jax.default_backend()
 
 # -- gate boundaries -------------------------------------------------------------------
 os.environ["DIFFPISO_FUSED_KRYLOV_LARGE"] = "auto"
-assert eligible((1024, 1024), jnp.float32)
+assert eligible((1024, 1024), jnp.float32)  # kinds unknown -> shape-only
 assert eligible((512, 2048), jnp.float32)
 assert not eligible((2048, 2048), jnp.float32)  # 16 MiB plane: past the tier
+# family restriction (runs/ab_phase_large.log): fourier wins, dct2 loses
+assert eligible((1024, 1024), jnp.float32, large_kinds=("fourier", "fourier"))
+assert not eligible((1024, 1024), jnp.float32, large_kinds=("dct2", "dct2"))
+assert eligible((512, 512), jnp.float32, large_kinds=("dct2", "dct2"))  # small tier: no restriction
 assert mm_update_large_eligible((1024, 1024), jnp.float32)
-assert mm_update_large_eligible((512, 2048), jnp.float32)
+assert mm_update_large_eligible((1024, 1024), jnp.float32, kinds=("fourier", "fourier"))
+assert not mm_update_large_eligible((512, 2048), jnp.float32, kinds=("dct2", "dct4"))
 assert not mm_update_large_eligible((2048, 2048), jnp.float32)
 assert not pcg2_eligible((1024, 1024), jnp.float32)  # pcg2 wall unchanged
 os.environ["DIFFPISO_FUSED_KRYLOV_LARGE"] = "never"
@@ -51,19 +56,23 @@ assert eligible((512, 512), jnp.float32)  # small tier unaffected
 print("gates: OK")
 
 
-def solve_case(shape, kinds, seed):
+def solve_case(shape, kinds, seed, periodic=(False, False)):
     ny, nx = shape
     rng = np.random.RandomState(seed)
+    py, px = (0 if p else 1 for p in periodic)
     infl = StaggeredField(
         (
-            jnp.asarray(rng.rand(ny + 1, nx) + 0.5, jnp.float32),
-            jnp.asarray(rng.rand(ny, nx + 1) + 0.5, jnp.float32),
-        )
+            jnp.asarray(rng.rand(ny + py, nx) + 0.5, jnp.float32),
+            jnp.asarray(rng.rand(ny, nx + px) + 0.5, jnp.float32),
+        ),
+        periodic=tuple(periodic),
     )
     act = np.zeros((ny + 2, nx + 2), np.float32)
     act[1:-1, 1:-1] = 1
+    if any(periodic):
+        act[:] = 1
     lap = assemble_pressure_laplacian(
-        infl, jnp.asarray(act), jnp.asarray(act), (False, False), True
+        infl, jnp.asarray(act), jnp.asarray(act), periodic, True
     )
     y = jnp.asarray(rng.randn(ny, nx).astype(np.float32))
     rhs = apply_laplacian(lap, y)
@@ -105,11 +114,13 @@ def solve_case(shape, kinds, seed):
     assert d < 1e-3, d
 
 
-solve_case((1024, 1024), ("dct2", "dct2"), 7)
-# dct2 here too: the assembled test Laplacian is all-Neumann (a dct4 basis
-# presumes the channel's Dirichlet outflow and stalls the reference solve);
-# the dct4/channel_mm LARGE path is exercised at the real aspect/BCs by the
-# dns leg of runs/ab_phase_large.py
+# fourier kinds: the measured LARGE-tier winner — 'auto' actually runs the
+# phase kernels here (family gate admits it); parity vs the XLA loop
+solve_case((1024, 1024), ("fourier", "fourier"), 7, periodic=(True, True))
+# dct2 kinds: the family gate EXCLUDES these under auto (measured loser,
+# runs/ab_phase_large.log) — this leg now checks auto == never dispatch
+# doesn't perturb the solve. The dct4/channel_mm path at the real
+# aspect/BCs is exercised by the dns leg of runs/ab_phase_large.py.
 solve_case((512, 2048), ("dct2", "dct2"), 8)
 
 # -- full step at turb1024 under the tier ----------------------------------------------
