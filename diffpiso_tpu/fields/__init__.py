@@ -14,10 +14,12 @@ from diffpiso_tpu.fields.domain import Domain
 from diffpiso_tpu.fields.geometry import (
     BoxGeometry,
     Geometry,
+    RotatedBox,
     Sphere,
     Union,
     cell_center_points,
     geometry_mask,
+    rotated,
     union,
     union_mask,
 )
@@ -48,10 +50,12 @@ __all__ = [
     "Domain",
     "BoxGeometry",
     "Geometry",
+    "RotatedBox",
     "Sphere",
     "Union",
     "cell_center_points",
     "geometry_mask",
+    "rotated",
     "union",
     "union_mask",
     "noise",

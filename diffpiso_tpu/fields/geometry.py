@@ -92,6 +92,78 @@ class BoxGeometry(Geometry):
 
 
 @dataclasses.dataclass(frozen=True)
+class RotatedBox(Geometry):
+    """A 2-D box rotated by `angle` radians (counter-clockwise in the
+    (y, x) plane) about its center — the geometry behind the reference's
+    rotating obstacles (PhiFlow/demos/rotating_bar.py:5-8 rotates the bar
+    geometry each step via `geometry.rotated(angular_velocity * dt)`;
+    phi/geom/_geom.py Geometry.rotated). Points are tested by rotating
+    them INTO the box frame, so masks stay pure jnp and jit-safe."""
+
+    center: Tuple[float, float]
+    half_size: Tuple[float, float]
+    angle: float
+
+    def __post_init__(self):
+        object.__setattr__(self, "center", tuple(float(c) for c in self.center))
+        object.__setattr__(
+            self, "half_size", tuple(float(h) for h in self.half_size)
+        )
+        object.__setattr__(self, "angle", float(self.angle))
+
+    def _local(self, points):
+        c = jnp.asarray(self.center, points.dtype)
+        d = points - c
+        cos, sin = _math.cos(self.angle), _math.sin(self.angle)
+        # inverse rotation of the (y, x) components: R(-angle) @ d
+        y = cos * d[..., 0] + sin * d[..., 1]
+        x = -sin * d[..., 0] + cos * d[..., 1]
+        return jnp.stack([y, x], -1)
+
+    def lies_inside(self, points):
+        local = jnp.abs(self._local(points))
+        half = jnp.asarray(self.half_size, points.dtype)
+        return jnp.all(local <= half, -1)
+
+    def approximate_signed_distance(self, points):
+        half = jnp.asarray(self.half_size, points.dtype)
+        d = jnp.abs(self._local(points)) - half
+        return jnp.max(d, -1)
+
+    @property
+    def bounding_radius(self) -> float:
+        return _math.sqrt(sum(h**2 for h in self.half_size))
+
+    def shifted(self, delta) -> "RotatedBox":
+        return RotatedBox(
+            tuple(c + float(d) for c, d in zip(self.center, delta)),
+            self.half_size,
+            self.angle,
+        )
+
+    def rotated(self, dangle: float) -> "RotatedBox":
+        return RotatedBox(self.center, self.half_size, self.angle + float(dangle))
+
+
+def rotated(geometry: Geometry, angle: float) -> Geometry:
+    """Rotate a geometry about its center (phi/geom Geometry.rotated).
+    Boxes become RotatedBox; spheres are rotation-invariant; RotatedBox
+    accumulates the angle."""
+    if isinstance(geometry, (RotatedBox, Sphere)):
+        return geometry.rotated(angle) if isinstance(geometry, RotatedBox) else geometry
+    if isinstance(geometry, BoxGeometry):
+        lo, hi = geometry.box.lower, geometry.box.upper
+        center = tuple(0.5 * (l + u) for l, u in zip(lo, hi))
+        half = tuple(0.5 * (u - l) for l, u in zip(lo, hi))
+        return RotatedBox(center, half, angle)
+    if isinstance(geometry, Union):
+        raise NotImplementedError(
+            "rotated(Union): rotate members individually (member centers move)"
+        )
+    raise NotImplementedError(type(geometry).__name__)
+
+
+@dataclasses.dataclass(frozen=True)
 class Union(Geometry):
     """Union of geometries (phi/geom/_union.py)."""
 

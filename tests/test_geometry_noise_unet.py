@@ -9,11 +9,13 @@ import jax.numpy as jnp
 from diffpiso_tpu.fields import (
     Box,
     BoxGeometry,
+    RotatedBox,
     Sphere,
     cell_center_points,
     geometry_mask,
     noise,
     noise_staggered,
+    rotated,
     union,
 )
 from diffpiso_tpu.models import init_unet, unet_apply, init_residual_block, residual_block
@@ -42,6 +44,43 @@ def test_union_and_mask():
     aa = np.asarray(geometry_mask(g, (16, 16), antialias=True))
     assert (aa >= 0).all() and (aa <= 1).all()
     assert aa[4, 4] > 0.99 and aa[0, 15] < 0.01
+
+
+def test_rotated_box_against_rotated_points():
+    # oracle: a point is inside RotatedBox(angle) iff its inverse-rotated
+    # image is inside the axis-aligned box
+    rng = np.random.RandomState(0)
+    center, half, angle = np.array([5.0, 7.0]), np.array([2.0, 4.0]), 0.7
+    rb = RotatedBox(tuple(center), tuple(half), angle)
+    pts = rng.uniform(0.0, 14.0, size=(200, 2)).astype(np.float32)
+    c, s = np.cos(angle), np.sin(angle)
+    d = pts - center
+    local = np.stack([c * d[:, 0] + s * d[:, 1], -s * d[:, 0] + c * d[:, 1]], -1)
+    expect = (np.abs(local) <= half + 1e-6).all(-1)
+    got = np.asarray(rb.lies_inside(jnp.asarray(pts)))
+    # exclude points within float tolerance of the boundary
+    clear = (np.abs(np.abs(local) - half) > 1e-3).any(-1)
+    assert (got[clear] == expect[clear]).all()
+    # signed distance: negative strictly inside, positive strictly outside
+    sd = np.asarray(rb.approximate_signed_distance(jnp.asarray(pts)))
+    assert (sd[clear & expect] < 0).all() and (sd[clear & ~expect] > 0).all()
+    # angle=0 degenerates to the axis-aligned box
+    rb0 = RotatedBox(tuple(center), tuple(half), 0.0)
+    bg = BoxGeometry(Box(tuple(center - half), tuple(center + half)))
+    np.testing.assert_array_equal(
+        np.asarray(rb0.lies_inside(jnp.asarray(pts))),
+        np.asarray(bg.lies_inside(jnp.asarray(pts))),
+    )
+    # rotation by pi/2 swaps the half-extents: the mask of the rotated bar
+    # equals the transposed mask of the unrotated bar for a square domain
+    sq = RotatedBox((8.0, 8.0), (2.0, 5.0), 0.0)
+    m0 = np.asarray(geometry_mask(sq, (16, 16)))
+    m90 = np.asarray(geometry_mask(sq.rotated(np.pi / 2), (16, 16)))
+    np.testing.assert_array_equal(m90, m0.T)
+    # rotated() promotes a BoxGeometry and accumulates on RotatedBox
+    assert isinstance(rotated(bg, 0.3), RotatedBox)
+    assert np.isclose(rotated(rb, 0.3).angle, angle + 0.3)
+    assert rotated(Sphere((1.0, 1.0), 2.0), 0.3) == Sphere((1.0, 1.0), 2.0)
 
 
 def test_cell_center_points_layout():
