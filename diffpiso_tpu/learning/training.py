@@ -304,8 +304,8 @@ def _batched_pallas_mode(vel0, threshold=512 * 512):
     'size' resolves from the per-sample PLANE size of the batched velocity
     (leaves carry a leading batch axis, so a 2-D sample is a rank-3 leaf):
     'auto' once the largest component plane reaches the measured winning
-    scale (512^2 — batch-4 A/B fwd +13-32%, grad10 +18% on the re-measured
-    interleaved protocol, runs/ab_batched_512.log), 'never' below it
+    scale (512^2 — batch-4 A/B fwd +29%, grad10 +23%, 2 full interleaved
+    reps, runs/ab_batched_512_r4.log), 'never' below it
     (batch-8 64x256 measured -7%, runs/ab_batched_pallas.log). Rank-4
     leaves (batched 3-D volumes) resolve to 'never': no 3-D batched A/B
     exists, and the trailing-two-axes product would misclassify a 64^3
@@ -375,15 +375,15 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None,
         # (one program per sample, each with its own while-loop), and
         # DIFFPISO_BATCHED_PALLAS=auto traces the batched rollout with them
         # on (batched_safe_pallas keeps only rule-carrying kernels).
-        # Default: SIZE-gated, both regimes measured (fwd: 2 interleaved
-        # reps each; grad10 auto: one rep in the r3 log, see
-        # runs/ab_batched_512.log). Small per-sample planes lose (batch-8
+        # Default: SIZE-gated, both regimes measured with 2 full
+        # interleaved reps each. Small per-sample planes lose (batch-8
         # 64x256: 124 vs 134
         # samples/s, runs/ab_batched_pallas.log) — the grid serializes one
         # small program per sample while the all-XLA formulation fuses
         # across the batch. Production-scale planes win (batch-4 512^2:
-        # fwd 1768-2155 vs 1561-1626, grad10 757 vs 629-643 sample-steps/s,
-        # runs/ab_batched_512.log) — each program saturates the core, so
+        # fwd 2054-2085 vs 1599-1613, grad10 751-764 vs 614-616
+        # sample-steps/s, runs/ab_batched_512_r4.log; the r3 log had one
+        # truncated grad rep) — each program saturates the core, so
         # grid serialization costs nothing and the whole-solve kernels'
         # launch/HBM savings carry over. Threshold = the measured winning
         # scale (512^2 per-sample component planes).

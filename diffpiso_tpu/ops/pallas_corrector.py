@@ -59,35 +59,77 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def eligible(shape, dtype) -> bool:
-    """Periodic rank-2 corrector-bridge gate (DIFFPISO_FUSED_CORR, default
-    auto): ~24 resident planes (p_inc + 2 vel + 2 bma + 10 stencil + 2
-    diag_A + 5 outs + temps) under a 32 MiB ceiling — the 512^2 class.
+def _variant(shape, dtype):
+    """Which bridge variant a plane dispatches to: "mono" (every operand
+    VMEM-resident, one program), "tiled" (row-tiled grid with 8-row halo
+    slivers — the re-flip variant for planes past the monolithic ceiling),
+    or None.
+
+    Monolithic: ~24 resident planes (p_inc + 2 vel + 2 bma + 10 stencil +
+    2 diag_A + 5 outs + temps) under a 32 MiB ceiling — the 512^2 class.
     Measured A/B (runs/ab_corr.log, 2 interleaved reps): turb512 fwd
     6209-6228 vs 5926-5998 (+4-5%), grad30 1413-1519 vs 1412-1435
     (neutral-to-+7%); turb1024 LOSES fwd 825-828 vs 893-894 (-7.6%) and
     grad30 281-285 vs 290-291 — at 4 MiB planes the 24-plane residency
-    (96 MiB) thrashes VMEM while XLA's fusions stream, so the ceiling
-    mirrors the measured winning boundary. Re-flip condition: a row-tiled
-    bridge variant that wins at 1024^2."""
-    if os.environ.get("DIFFPISO_FUSED_CORR", "auto") == "never":
-        return False
+    (96 MiB) thrashes VMEM while XLA's fusions stream.
+
+    Tiled: the r4 re-flip variant for planes past the monolithic ceiling —
+    measured WINNING at turb1024 (runs/ab_corr_tiled.log, 2 interleaved
+    reps): fwd 904-906 vs 895-897 (+1.1%), grad30 296.8-297.7 vs
+    291.9-292.0 (+1.7%); where the monolithic variant lost -7.6% fwd, the
+    tiled one streams ~22 (tile, nx) blocks per grid step instead of
+    parking 96 MiB in VMEM. The chain is computed on an 8-row-extended
+    window so the 2-row halo chain (grad -> H -> div) stays exact at the
+    kept rows. Requires ny % 8 == 0 and >= 2 row tiles; plane ceiling
+    16 MiB (2048^2 class, unmeasured past 1024^2 — periodic-only anyway,
+    and turb1024 is the largest periodic bench shape)."""
+    mode = os.environ.get("DIFFPISO_FUSED_CORR", "auto")
+    if mode == "never":
+        return None
     if not _PALLAS_AVAILABLE:
-        return False
+        return None
     from diffpiso_tpu.ops import pallas_stencil as _ps
 
     if _ps._DISABLED_DEPTH > 0 or os.environ.get("DIFFPISO_DISABLE_PALLAS"):
-        return False
+        return None
     if _ps._BATCHED_SAFE_DEPTH > 0:  # vmapped traces: no batching rule
-        return False
+        return None
     if jax.default_backend() not in ("tpu",) and not _INTERPRET:
-        return False
+        return None
     if len(shape) != 2:
-        return False
+        return None
     itemsize = jnp.dtype(dtype).itemsize
     if itemsize > 4:
-        return False
-    return 24 * shape[0] * shape[1] * itemsize <= 32 * 1024 * 1024
+        return None
+    plane = shape[0] * shape[1] * itemsize
+    if 24 * plane <= 32 * 1024 * 1024:
+        return "mono"
+    if plane > 16 * 1024 * 1024:
+        return None
+    if _bridge_tile(shape, itemsize) is None:
+        return None
+    return "tiled"
+
+
+def _bridge_tile(shape, itemsize):
+    """Row-tile size for the tiled bridge (the pallas_stencil._pick_tile
+    recipe at ~22 double-buffered blocks per grid step)."""
+    ny, nx = shape
+    if ny % 8 != 0:
+        return None
+    for t in (128, 256, 64, 32, 16, 8):
+        if ny % t != 0 or ny // t < 2:
+            continue
+        if 22 * 2 * t * nx * itemsize > 64 * 1024 * 1024:
+            continue
+        return t
+    return None
+
+
+def eligible(shape, dtype) -> bool:
+    """Periodic rank-2 corrector-bridge gate (DIFFPISO_FUSED_CORR, default
+    auto). See _variant for the measured monolithic/tiled boundaries."""
+    return _variant(shape, dtype) is not None
 
 
 def _bridge1_jnp(f0, f1, dxprod, beta, p_inc, vel_star, bma, st_c, st_lo,
@@ -152,6 +194,122 @@ def _bridge1_kernel(f0, f1, dxprod,
     out_div[:] = (_roll(ho0, -1, 0) - ho0) * f0 + (_roll(ho1, -1, 1) - ho1) * f1
 
 
+def _bridge1_tiled_kernel(f0, f1, dxprod,
+                          p, p_up, p_dn,
+                          v0, v1,
+                          b0, b0_up, b0_dn, b1, b1_up, b1_dn,
+                          c0, c0_dn, l00, l00_dn, h00, h00_dn,
+                          l01, l01_dn, h01, h01_dn,
+                          c1, c1_dn, l10, l10_dn, h10, h10_dn,
+                          l11, l11_dn, h11, h11_dn,
+                          dA0, dA0_dn, dA1, dA1_dn, sc,
+                          out_v0, out_v1, out_h0, out_h1, out_div):
+    """Row-tiled bridge: the monolithic chain evaluated on an 8-row-
+    extended window [s-8, e+8) for output tile [s, e). Kept values reach
+    at most 2 rows into the extension (grad needs p at s-1; H at the kept
+    rows needs delta over [s-1, e]; div needs h_over over [s, e]), so
+    every kept value is exact; pltpu.roll wrap errors live only within 2
+    rows of the window edges, >= 6 rows away from anything kept. The
+    stencil coeffs / diag_A are only consumed at H rows [s, e], never in
+    the up extension, so their up-sliver is faked with the tile's own
+    first rows (extc) instead of paying 12 more haloed operands."""
+    beta = sc[0]
+    T = out_v0.shape[0]
+
+    def ext(t, up, dn):
+        return jnp.concatenate([up, t, dn], 0)
+
+    pv = ext(p[:], p_up[:], p_dn[:])
+    b0e = ext(b0[:], b0_up[:], b0_dn[:])
+    b1e = ext(b1[:], b1_up[:], b1_dn[:])
+
+    def extc(t_ref, dn_ref):
+        t = t_ref[:]
+        return jnp.concatenate([t[:8], t, dn_ref[:]], 0)
+
+    g0 = (pv - _roll(pv, 1, 0)) * f0
+    g1 = (pv - _roll(pv, 1, 1)) * f1
+    d0 = -g0 / (b0e * dxprod)
+    d1 = -g1 / (b1e * dxprod)
+    out_v0[:] = v0[:] + d0[8:8 + T]
+    out_v1[:] = v1[:] + d1[8:8 + T]
+    q0 = extc(c0, c0_dn) * d0
+    q0 = q0 + extc(l00, l00_dn) * _roll(d0, 1, 0)
+    q0 = q0 + extc(h00, h00_dn) * _roll(d0, -1, 0)
+    q0 = q0 + extc(l01, l01_dn) * _roll(d0, 1, 1)
+    q0 = q0 + extc(h01, h01_dn) * _roll(d0, -1, 1)
+    h0 = q0 - (extc(dA0, dA0_dn) - beta) * d0
+    q1 = extc(c1, c1_dn) * d1
+    q1 = q1 + extc(l10, l10_dn) * _roll(d1, 1, 0)
+    q1 = q1 + extc(h10, h10_dn) * _roll(d1, -1, 0)
+    q1 = q1 + extc(l11, l11_dn) * _roll(d1, 1, 1)
+    q1 = q1 + extc(h11, h11_dn) * _roll(d1, -1, 1)
+    h1 = q1 - (extc(dA1, dA1_dn) - beta) * d1
+    out_h0[:] = h0[8:8 + T]
+    out_h1[:] = h1[8:8 + T]
+    ho0 = h0 / b0e
+    ho1 = h1 / b1e
+    dv = (_roll(ho0, -1, 0) - ho0) * f0 + (_roll(ho1, -1, 1) - ho1) * f1
+    out_div[:] = dv[8:8 + T]
+
+
+def _bridge1_tiled_call(f0, f1, dxprod, dtype, tile, ops, beta_arr):
+    (p, v0, v1, b0, b1,
+     c0, l00, h00, l01, h01, c1, l10, h10, l11, h11, dA0, dA1) = ops
+    ny, nx = p.shape
+    n_tiles = ny // tile
+    nb8 = ny // 8
+    tpb = tile // 8
+    tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+    up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+    dn_spec = pl.BlockSpec((8, nx), lambda i: (((i + 1) * tpb) % nb8, 0))
+    s = jax.ShapeDtypeStruct((ny, nx), dtype)
+    args = [p, p, p, v0, v1, b0, b0, b0, b1, b1, b1]
+    specs = [tile_spec, up_spec, dn_spec, tile_spec, tile_spec,
+             tile_spec, up_spec, dn_spec, tile_spec, up_spec, dn_spec]
+    for coeff in (c0, l00, h00, l01, h01, c1, l10, h10, l11, h11, dA0, dA1):
+        args += [coeff, coeff]
+        specs += [tile_spec, dn_spec]
+    args.append(beta_arr)
+    specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    return pl.pallas_call(
+        functools.partial(_bridge1_tiled_kernel, f0, f1, dxprod),
+        out_shape=(s, s, s, s, s),
+        grid=(n_tiles,),
+        in_specs=specs,
+        out_specs=tuple(tile_spec for _ in range(5)),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _tail2_tiled_kernel(f0, f1, dxprod, p, p_up, v0, v1, h0, h1, b0, b1,
+                        out_v0, out_v1):
+    T = out_v0.shape[0]
+    pv = jnp.concatenate([p_up[:], p[:]], 0)
+    g0 = ((pv - _roll(pv, 1, 0)) * f0)[8:8 + T]
+    g1 = ((pv - _roll(pv, 1, 1)) * f1)[8:8 + T]
+    out_v0[:] = v0[:] + (h0[:] - g0 / dxprod) / b0[:]
+    out_v1[:] = v1[:] + (h1[:] - g1 / dxprod) / b1[:]
+
+
+def _tail2_tiled_call(f0, f1, dxprod, dtype, tile, p_inc, vel_s2, h, bma):
+    ny, nx = p_inc.shape
+    n_tiles = ny // tile
+    nb8 = ny // 8
+    tpb = tile // 8
+    tile_spec = pl.BlockSpec((tile, nx), lambda i: (i, 0))
+    up_spec = pl.BlockSpec((8, nx), lambda i: ((i * tpb - 1) % nb8, 0))
+    s = jax.ShapeDtypeStruct((ny, nx), dtype)
+    return pl.pallas_call(
+        functools.partial(_tail2_tiled_kernel, f0, f1, dxprod),
+        out_shape=(s, s),
+        grid=(n_tiles,),
+        in_specs=[tile_spec, up_spec] + [tile_spec] * 6,
+        out_specs=(tile_spec, tile_spec),
+        interpret=_INTERPRET,
+    )(p_inc, p_inc, vel_s2[0], vel_s2[1], h[0], h[1], bma[0], bma[1])
+
+
 def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
     """Fused corrector-1 bridge. vel_star/bma — component tuples; stencil —
     AdvectionStencil (periodic, both comps shaped like p_inc). Returns
@@ -167,6 +325,8 @@ def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
 
     jnp_impl = functools.partial(_bridge1_jnp, f0, f1, dxprod)
 
+    variant = _variant(p_inc.shape, dtype)
+
     @jax.custom_vjp
     def _bridge(beta_, p_inc, vel_star, bma, st_c, st_lo, st_hi, diag_A):
         plane = p_inc.shape
@@ -178,20 +338,26 @@ def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
             st_c[1], st_lo[1][0], st_hi[1][0], st_lo[1][1], st_hi[1][1],
             diag_A[0], diag_A[1],
         )
-        outs = pl.pallas_call(
-            functools.partial(_bridge1_kernel, f0, f1, dxprod),
-            out_shape=(s, s, s, s, s),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops)
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=tuple(
-                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)
-            ),
-            interpret=_INTERPRET,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(120 * 1024 * 1024,
-                                     max(48 * 1024 * 1024, 28 * nbytes)),
-            ),
-        )(*ops, jnp.stack([jnp.asarray(beta_, dtype)]))
+        beta_arr = jnp.stack([jnp.asarray(beta_, dtype)])
+        if variant == "tiled":
+            tile = _bridge_tile(plane, jnp.dtype(dtype).itemsize)
+            outs = _bridge1_tiled_call(f0, f1, dxprod, dtype, tile, ops,
+                                       beta_arr)
+        else:
+            outs = pl.pallas_call(
+                functools.partial(_bridge1_kernel, f0, f1, dxprod),
+                out_shape=(s, s, s, s, s),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=tuple(
+                    pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)
+                ),
+                interpret=_INTERPRET,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(120 * 1024 * 1024,
+                                         max(48 * 1024 * 1024, 28 * nbytes)),
+                ),
+            )(*ops, beta_arr)
         v0, v1, h0, h1, hdiv = outs
         return (v0, v1), (h0, h1), hdiv
 
@@ -249,10 +415,16 @@ def corrector2_tail(p_inc, vel_s2, h, bma, dx):
     dtype = p_inc.dtype
     jnp_impl = functools.partial(_tail2_jnp, f0, f1, dxprod)
 
+    variant = _variant(p_inc.shape, dtype)
+
     @jax.custom_vjp
     def _tail(p_inc, vel_s2, h, bma):
         s = jax.ShapeDtypeStruct(p_inc.shape, dtype)
         nbytes = p_inc.size * jnp.dtype(dtype).itemsize
+        if variant == "tiled":
+            tile = _bridge_tile(p_inc.shape, jnp.dtype(dtype).itemsize)
+            return _tail2_tiled_call(f0, f1, dxprod, dtype, tile, p_inc,
+                                     vel_s2, h, bma)
         return pl.pallas_call(
             functools.partial(_tail2_kernel, f0, f1, dxprod),
             out_shape=(s, s),

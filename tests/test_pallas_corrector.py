@@ -97,6 +97,131 @@ def test_bridge_gradients_match_jnp_chain(monkeypatch):
                                    rtol=1e-5, atol=1e-5 * scale)
 
 
+def _force_tiled(monkeypatch, tile=8):
+    """Force the row-tiled variant (the 1024^2-class path) in interpret
+    mode with a tiny tile so small test planes exercise >= 2 grid steps."""
+    _force(monkeypatch)
+    monkeypatch.setattr(pc, "_variant", lambda *a, **k: "tiled")
+    monkeypatch.setattr(pc, "_bridge_tile", lambda shape, item: tile)
+
+
+def test_tiled_bridge_matches_jnp_chain(monkeypatch):
+    _force_tiled(monkeypatch)
+    p_inc, vel_star, bma, st = _inputs(n=32, m=24, seed=3)
+    dx = (0.1, 0.3)
+    beta = 2.5
+    v2, h, hdiv = pc.corrector1_bridge(
+        p_inc, vel_star, bma, st, st.diag_A, beta, dx
+    )
+    dxprod = dx[0] * dx[1]
+    v2r, hr, hdr = pc._bridge1_jnp(
+        dxprod / dx[0], dxprod / dx[1], dxprod, beta, p_inc, vel_star, bma,
+        tuple(st.center), tuple(st.lo), tuple(st.hi), tuple(st.diag_A),
+    )
+    for a, b in zip(v2 + h + (hdiv,), v2r + hr + (hdr,)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_tail_matches_jnp_chain(monkeypatch):
+    _force_tiled(monkeypatch)
+    rng = np.random.RandomState(4)
+    n, m = 32, 24
+    mk = lambda s=1.0: jnp.asarray(s * rng.randn(n, m), jnp.float32)
+    p_inc = mk()
+    vel_s2 = (mk(0.5), mk(0.5))
+    h = (mk(0.3), mk(0.3))
+    bma = (mk(0.1) + 4.0, mk(0.1) + 4.0)
+    dx = (0.2, 0.1)
+    dxprod = dx[0] * dx[1]
+    got = pc.corrector2_tail(p_inc, vel_s2, h, bma, dx)
+    want = pc._tail2_jnp(dxprod / dx[0], dxprod / dx[1], dxprod, p_inc,
+                         vel_s2, h, bma)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_bridge_gradients_match_jnp_chain(monkeypatch):
+    _force_tiled(monkeypatch)
+    p_inc, vel_star, bma, st = _inputs(n=32, m=24, seed=5)
+    dx = (0.1, 0.2)
+    beta = 1.5
+    dxprod = dx[0] * dx[1]
+
+    def loss_fused(p, v, c0):
+        st2 = AdvectionStencil(center=(c0, st.center[1]), lo=st.lo,
+                               hi=st.hi, diag_A=st.diag_A)
+        v2, h, hdiv = pc.corrector1_bridge(
+            p, v, bma, st2, st2.diag_A, beta, dx
+        )
+        return sum(jnp.sum(x ** 2) for x in v2 + h) + jnp.sum(hdiv ** 3)
+
+    def loss_ref(p, v, c0):
+        v2, h, hdiv = pc._bridge1_jnp(
+            dxprod / dx[0], dxprod / dx[1], dxprod, beta, p, v, bma,
+            (c0, st.center[1]), tuple(st.lo), tuple(st.hi),
+            tuple(st.diag_A),
+        )
+        return sum(jnp.sum(x ** 2) for x in v2 + h) + jnp.sum(hdiv ** 3)
+
+    args = (p_inc, vel_star, st.center[0])
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_r)):
+        scale = float(jnp.max(jnp.abs(b))) or 1.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_full_step_with_tiled_bridge_matches_plain(monkeypatch):
+    """piso_step with the TILED bridge forced on must match the plain
+    chain — forward and gradient (the 1024^2-class dispatch, shrunk)."""
+    _force_tiled(monkeypatch)
+    n = 32
+    domain, sim = decaying_turbulence_setup(
+        (n, n), viscosity=0.01, max_iterations=(50, 300)
+    )
+    rng = np.random.RandomState(6)
+    vel = StaggeredField(
+        (jnp.asarray(0.3 * rng.randn(n, n), jnp.float32),
+         jnp.asarray(0.3 * rng.randn(n, n), jnp.float32)),
+        periodic=(True, True),
+    )
+    p = domain.centered_grid(0.0)
+
+    @jax.jit
+    def run(vel, p):
+        out = piso_step(vel, p, 0.05, domain, sim,
+                        advection_tol=1e-7, pressure_tol=1e-8)
+        return out.velocity, out.pressure, out.warn
+
+    def loss(vel, p):
+        v, _, _ = run(vel, p)
+        return sum(jnp.sum(c ** 2) for c in v.components)
+
+    vel_f, p_f, warn_f = run(vel, p)
+    g_f = jax.grad(lambda v: loss(v, p))(vel)
+    assert not bool(warn_f)
+
+    monkeypatch.setattr(pc, "eligible", lambda *a, **k: False)
+    monkeypatch.setattr(pc, "_variant", lambda *a, **k: None)
+    vel_r, p_r, warn_r = run(vel, p)
+    g_r = jax.grad(lambda v: loss(v, p))(vel)
+    assert not bool(warn_r)
+
+    for a, b in zip(vel_f.components, vel_r.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_r),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(g_f.components, g_r.components):
+        scale = float(jnp.max(jnp.abs(b))) or 1.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4 * scale)
+
+
 def test_full_step_with_bridge_matches_plain(monkeypatch):
     """piso_step with the bridge forced on (periodic turbulence) must match
     the plain chain — forward AND gradient."""
