@@ -73,6 +73,17 @@ def chain(v, s):
     )
 
 
+def safe_timeit(name, fn, *args, **kw):
+    """One phase failing to compile (an over-budget pallas_call can kill
+    the tunnel's compile helper) must not lose the remaining phases."""
+    try:
+        return timeit(name, fn, *args, **kw)
+    except Exception as e:  # pragma: no cover
+        print(f"{name:28s}  FAILED: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return float("nan")
+
+
 def timeit(name, fn, *args, scan=SCAN, bytes_per_iter=None):
     @jax.jit
     def loop(a0):
@@ -110,15 +121,17 @@ def do_assembly(v, s):
     return (chain(v, sc), s + sc)
 
 
-def do_momentum(v, s):
+def do_momentum(v, st, s):
+    # st rides the scan carry: a closed-over 256^3 stencil would inline
+    # ~0.5 GiB of constants into the compile request (tunnel HTTP 413)
     rhs = StaggeredField(
         tuple(c * (1.0 + 1e-20 * s) for c in v.components), periodic=v.periodic
     )
     x, warn = solve_advection_system(
-        sim.linear_solver, stencil, rhs, v, 1e-6
+        sim.linear_solver, st, rhs, v, 1e-6
     )
     sc = x.components[0].mean()
-    return (chain(v, sc), s + sc)
+    return (chain(v, sc), st, s + sc)
 
 
 def do_step(v, p, g1, g2):
@@ -132,13 +145,13 @@ def do_div(v, s):
     return (chain(v, sc), s + sc)
 
 
-def do_pressure(r, s):
+def do_pressure(r, lp, s):
     rr = r * (1.0 + 1e-20 * s)
     x, iters, warn = solve_pressure_system(
-        sim.pressure_solver, lap, rr, None, 1e-8
+        sim.pressure_solver, lp, rr, None, 1e-8
     )
     sc = x.mean()
-    return (r + 1e-20 * sc, s + sc)
+    return (r + 1e-20 * sc, lp, s + sc)
 
 
 def do_lap_assembly(v, s):
@@ -148,21 +161,22 @@ def do_lap_assembly(v, s):
     return (chain(v, sc), s + sc)
 
 
-def do_h(v, s):
-    h = explicit_H(stencil, v, beta)
+def do_h(v, st, s):
+    h = explicit_H(st, v, beta)
     sc = h.components[0].mean()
-    return (chain(v, sc), s + sc)
+    return (chain(v, sc), st, s + sc)
 
 
 z = jnp.float32(0)
-ms_asm = timeit("advection assembly", do_assembly, vel, z,
+ms_asm = safe_timeit("advection assembly", do_assembly, vel, z,
                 bytes_per_iter=(3 + 24) * F)
-ms_mom = timeit("momentum solve (stencil'd)", do_momentum, vel, z)
-ms_div = timeit("fv_divergence", do_div, vel, z, bytes_per_iter=4 * F)
-ms_prs = timeit("pressure solve (cold)", do_pressure, rhs_p, z)
-ms_la = timeit("adv+laplacian assembly", do_lap_assembly, vel, z)
-ms_h = timeit("explicit_H", do_h, vel, z, bytes_per_iter=(3 + 21 + 3) * F)
-ms_step = timeit("FULL PISO step", do_step, vel, p, jnp.zeros_like(p),
+ms_mom = safe_timeit("momentum solve (stencil'd)", do_momentum, vel, stencil, z)
+ms_div = safe_timeit("fv_divergence", do_div, vel, z, bytes_per_iter=4 * F)
+ms_prs = safe_timeit("pressure solve (cold)", do_pressure, rhs_p, lap, z)
+ms_la = safe_timeit("adv+laplacian assembly", do_lap_assembly, vel, z)
+ms_h = safe_timeit("explicit_H", do_h, vel, stencil, z,
+                   bytes_per_iter=(3 + 21 + 3) * F)
+ms_step = safe_timeit("FULL PISO step", do_step, vel, p, jnp.zeros_like(p),
                  jnp.zeros_like(p))
 print(
     f"sum(asm+mom+2x div+2x prs+lapdelta+H) ~ "
