@@ -27,6 +27,7 @@ pressure_solve_op.cu.cc:117-133).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -55,6 +56,20 @@ def _nwin(mask: jax.Array, off: Sequence[int], res: Sequence[int]) -> jax.Array:
     return mask[idx]
 
 
+def _host_all_ones(mask) -> bool:
+    """Trace-time static check that a mask is identically 1, ON THE HOST
+    (np on the concrete closed-over array — the corrector-bridge idiom,
+    ops/pallas_corrector.py): closed-over masks are concrete at trace time
+    even inside jit/scan, while jnp reductions there would make tracers.
+    Tracer-valued masks (donated as jit args) conservatively return False."""
+    if isinstance(mask, jax.core.Tracer):
+        return False
+    try:
+        return bool(np.all(np.asarray(mask) == 1))
+    except Exception:
+        return False
+
+
 def assemble_pressure_laplacian(
     influence: StaggeredField,
     active_mask: jax.Array,
@@ -75,6 +90,49 @@ def assemble_pressure_laplacian(
     periodic = tuple(bool(p) for p in periodic)
     if dtype is None:
         dtype = influence.dtype
+
+    from diffpiso_tpu.ops.pallas_assembly import (
+        assembly_eligible,
+        fused_laplace_assembly,
+    )
+
+    use_pallas = assembly_eligible(res, rank, dtype)
+    if (
+        not use_pallas
+        and os.environ.get("DIFFPISO_UNMASKED_ASM", "auto") != "never"
+        and all(periodic)
+        and _host_all_ones(active_mask)
+        and _host_all_ones(accessible_mask)
+    ):
+        # Unmasked all-periodic fast path (the 3-D turbulence class): every
+        # mask plane folds to True, so diag = -(both faces per axis) and the
+        # links are the raw face influences — skipping the where chains
+        # entirely keeps XLA from streaming ~12 mask-sized operands per
+        # assembly at 256^3 (the roofline3d 4.4 ms laplacian-assembly delta,
+        # runs/roofline3d_256.log). Matches laplace_op.cu.cc:125-177 with
+        # active==accessible==1.
+        diag = jnp.zeros(res, dtype)
+        lo_coeffs, hi_coeffs = [], []
+        for d in range(rank):
+            comp = influence.components[d].astype(dtype)
+            infl_hi = jnp.roll(comp, -1, axis=d)
+            diag = diag - comp - infl_hi
+            lo_coeffs.append(comp)
+            hi_coeffs.append(infl_hi)
+        sum_abs = jnp.sum(jnp.abs(diag))
+        n = float(np.prod(res))
+        shift = jnp.where(
+            jnp.asarray(rank_deficient, bool),
+            0.1 * sum_abs / n,
+            jnp.zeros((), dtype),
+        ).astype(dtype)
+        return LaplaceStencil(
+            center=diag,
+            lo=tuple(lo_coeffs),
+            hi=tuple(hi_coeffs),
+            shift=shift,
+            periodic=periodic,
+        )
 
     act = active_mask.astype(dtype)
     acc = accessible_mask.astype(dtype)
@@ -111,9 +169,7 @@ def assemble_pressure_laplacian(
         diag_m.append((nbr_counts_lo, nbr_counts_hi))
         link_m.append((link_lo, link_hi))
 
-    from diffpiso_tpu.ops.pallas_assembly import assembly_eligible, fused_laplace_assembly
-
-    if assembly_eligible(res, rank, dtype):
+    if use_pallas:
         planes = tuple(
             m.astype(dtype)
             for pair in (diag_m[0], diag_m[1], link_m[0], link_m[1])

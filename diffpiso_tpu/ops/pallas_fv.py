@@ -69,53 +69,104 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
+def _fv_bz(nz, plane_bytes):
+    """z-block size for the rank-3 FV launches: the grid runs over nz/bz
+    blocks of bz planes so the pipelined DMAs move MB-class blocks instead
+    of single planes (measured at 256^3 the 1-plane grid ran 3.8x its HBM
+    floor, runs/roofline3d_256.log — 0.26 MB blocks undersaturate HBM).
+    Largest divisor of nz with the double-buffered 2*(4*bz+1)-block
+    residency within 24 MiB, capped at 16 (the zblock tight-ceiling lesson:
+    keep the reservation small, solvers/pallas_krylov.py:1249).
+    DIFFPISO_FV_ZBLOCK=never pins bz=1 (the r3 per-plane grid)."""
+    if os.environ.get("DIFFPISO_FV_ZBLOCK", "auto") == "never":
+        return 1
+    best = 1
+    for bz in range(2, min(nz, 16) + 1):
+        if nz % bz == 0 and 2 * (4 * bz + 1) * plane_bytes <= 24 * 1024 * 1024:
+            best = bz
+    return best
+
+
+def _fv_compiler_params(bz, plane_bytes):
+    if bz == 1:
+        return None
+    need = 3 * (4 * bz + 1) * plane_bytes
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(64 * 1024 * 1024,
+                                 max(16 * 1024 * 1024, need)))
+    )
+
+
 def _div3_kernel(f0, f1, f2, w, wup, v, u, out):
     # axis order (z, y, x); component d staggered along axis d, unique faces.
     # div[k] = (w[k+1]-w[k]) f0 + (v[y+1]-v) f1 + (u[x+1]-u) f2
-    wc = w[0]
-    vc = v[0]
-    uc = u[0]
-    d = (wup[0] - wc) * f0
-    d = d + (_roll(vc, -1, 0) - vc) * f1
-    d = d + (_roll(uc, -1, 1) - uc) * f2
-    out[0] = d
+    # blocks are (bz, ny, nx): z-neighbor via concatenate with the wup
+    # sliver (first plane of the next block), in-plane rolls on axes 1/2
+    wc = w[:]
+    vc = v[:]
+    uc = u[:]
+    if wc.shape[0] == 1:  # static: avoid a zero-sized concat operand
+        zup = wup[:]
+    else:
+        zup = jnp.concatenate([wc[1:], wup[:]], 0)
+    d = (zup - wc) * f0
+    d = d + (_roll(vc, -1, 1) - vc) * f1
+    d = d + (_roll(uc, -1, 2) - uc) * f2
+    out[:] = d
 
 
 def _div3_impl(fs, comps):
     w, v, u = comps
     nz = w.shape[0]
-    plane = pl.BlockSpec((1,) + w.shape[1:], lambda i: (i, 0, 0))
-    up = pl.BlockSpec((1,) + w.shape[1:], lambda i: ((i + 1) % nz, 0, 0))
+    plane_sh = w.shape[1:]
+    bz = _fv_bz(nz, int(plane_sh[0]) * int(plane_sh[1])
+                * jnp.dtype(w.dtype).itemsize)
+    blk = pl.BlockSpec((bz,) + plane_sh, lambda i: (i, 0, 0))
+    up = pl.BlockSpec((1,) + plane_sh, lambda i: (((i + 1) * bz) % nz, 0, 0))
+    params = _fv_compiler_params(
+        bz, int(plane_sh[0]) * int(plane_sh[1]) * jnp.dtype(w.dtype).itemsize)
     return pl.pallas_call(
         functools.partial(_div3_kernel, *fs),
         out_shape=jax.ShapeDtypeStruct(w.shape, w.dtype),
-        grid=(nz,),
-        in_specs=[plane, up, plane, plane],
-        out_specs=plane,
+        grid=(nz // bz,),
+        in_specs=[blk, up, blk, blk],
+        out_specs=blk,
         interpret=_INTERPRET,
+        **({"compiler_params": params} if params else {}),
     )(w, w, v, u)
 
 
 def _grad3_kernel(f0, f1, f2, p, pdn, out0, out1, out2):
-    # grad_d[j] = (p[j] - p[j - e_d]) f_d, periodic unique faces
-    pc = p[0]
-    out0[0] = (pc - pdn[0]) * f0
-    out1[0] = (pc - _roll(pc, 1, 0)) * f1
-    out2[0] = (pc - _roll(pc, 1, 1)) * f2
+    # grad_d[j] = (p[j] - p[j - e_d]) f_d, periodic unique faces; pdn is the
+    # last plane of the previous block
+    pc = p[:]
+    if pc.shape[0] == 1:  # static: avoid a zero-sized concat operand
+        zdn = pdn[:]
+    else:
+        zdn = jnp.concatenate([pdn[:], pc[:-1]], 0)
+    out0[:] = (pc - zdn) * f0
+    out1[:] = (pc - _roll(pc, 1, 1)) * f1
+    out2[:] = (pc - _roll(pc, 1, 2)) * f2
 
 
 def _grad3_impl(fs, p):
     nz = p.shape[0]
-    plane = pl.BlockSpec((1,) + p.shape[1:], lambda i: (i, 0, 0))
-    dn = pl.BlockSpec((1,) + p.shape[1:], lambda i: ((i - 1) % nz, 0, 0))
+    plane_sh = p.shape[1:]
+    bz = _fv_bz(nz, int(plane_sh[0]) * int(plane_sh[1])
+                * jnp.dtype(p.dtype).itemsize)
+    blk = pl.BlockSpec((bz,) + plane_sh, lambda i: (i, 0, 0))
+    dn = pl.BlockSpec((1,) + plane_sh, lambda i: ((i * bz - 1) % nz, 0, 0))
     shape = jax.ShapeDtypeStruct(p.shape, p.dtype)
+    params = _fv_compiler_params(
+        bz, int(plane_sh[0]) * int(plane_sh[1]) * jnp.dtype(p.dtype).itemsize)
     return pl.pallas_call(
         functools.partial(_grad3_kernel, *fs),
         out_shape=(shape, shape, shape),
-        grid=(nz,),
-        in_specs=[plane, dn],
-        out_specs=(plane, plane, plane),
+        grid=(nz // bz,),
+        in_specs=[blk, dn],
+        out_specs=(blk, blk, blk),
         interpret=_INTERPRET,
+        **({"compiler_params": params} if params else {}),
     )(p, p)
 
 

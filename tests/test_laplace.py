@@ -105,3 +105,58 @@ def test_interior_uniform_is_five_point():
     # symmetry for physically consistent masks
     dense = laplacian_to_dense(st)
     np.testing.assert_allclose(dense, dense.T, atol=1e-6)
+
+
+@pytest.mark.parametrize("rank", [2, 3])
+def test_unmasked_periodic_fast_path_matches_masked(rank, monkeypatch):
+    """The all-periodic all-ones fast path (host static mask check) must
+    produce the identical stencil to the general masked assembly."""
+    from diffpiso_tpu.ops import laplace as lap_mod
+
+    rng = np.random.RandomState(3)
+    res = (6, 5) if rank == 2 else (4, 6, 5)
+    comps = tuple(
+        jnp.asarray(np.abs(rng.randn(*res)) + 0.1, jnp.float32)
+        for _ in range(rank)
+    )
+    infl = StaggeredField(comps, periodic=(True,) * rank)
+    ones = jnp.ones(tuple(r + 2 for r in res), jnp.float32)
+
+    fast = assemble_pressure_laplacian(
+        infl, ones, ones, (True,) * rank, rank_deficient=True
+    )
+    monkeypatch.setattr(lap_mod, "_host_all_ones", lambda m: False)
+    slow = assemble_pressure_laplacian(
+        infl, ones, ones, (True,) * rank, rank_deficient=True
+    )
+    np.testing.assert_allclose(np.asarray(fast.center), np.asarray(slow.center), rtol=1e-6)
+    for d in range(rank):
+        np.testing.assert_allclose(np.asarray(fast.lo[d]), np.asarray(slow.lo[d]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fast.hi[d]), np.asarray(slow.hi[d]), rtol=1e-6)
+    np.testing.assert_allclose(float(fast.shift), float(slow.shift), rtol=1e-6)
+
+
+def test_fast_path_declines_under_tracing_and_masks():
+    """Tracer-valued or non-ones masks must take the general path (the host
+    check is conservative), and results must stay oracle-correct."""
+    import jax
+
+    from diffpiso_tpu.ops import laplace as lap_mod
+
+    assert not lap_mod._host_all_ones(
+        jnp.zeros((4, 4)).at[1:-1, 1:-1].set(1.0)
+    )
+
+    seen = []
+
+    def spy(m):
+        seen.append(True)
+        return False
+
+    # under jit the closed-over concrete mask is NOT a tracer (fast path ok);
+    # a mask that is a jit ARG is a tracer and must decline
+    def f(mask):
+        return lap_mod._host_all_ones(mask)
+
+    res = jax.jit(lambda m: jnp.asarray(f(m), jnp.float32))(jnp.ones((4, 4)))
+    assert float(res) == 0.0

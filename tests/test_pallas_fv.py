@@ -313,3 +313,31 @@ def test_grad2m_mixed_periodicity_channel(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     g_out = jax.grad(loss)(p)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("bz", [1, 2, 3, 6])
+def test_div3_grad3_zblock_match_xla(bz, monkeypatch):
+    """The bz-plane z-block grid (r4: MB-class DMA blocks at 256^3) must be
+    bit-identical to XLA for every divisor block size, fwd and VJP."""
+    field = _rand_field(jax.random.PRNGKey(7))
+    p = jax.random.normal(jax.random.PRNGKey(8), _SHAPE, jnp.float32)
+    _disable(monkeypatch)
+    ref_div = fv.fv_divergence(field, _DX)
+    modes = tuple(("circular", "circular") for _ in range(3))
+    ref_grad = fv.fv_gradient(p, _DX, modes)
+    ct = jax.random.normal(jax.random.PRNGKey(9), _SHAPE, jnp.float32)
+    _, vjp_div_ref = jax.vjp(lambda f: fv.fv_divergence(f, _DX), field)
+    (ref_div_ct,) = vjp_div_ref(ct)
+
+    _force(monkeypatch)
+    monkeypatch.setattr(pallas_fv, "_fv_bz", lambda nz, pb: bz)
+    got_div = fv.fv_divergence(field, _DX)
+    got_grad = fv.fv_gradient(p, _DX, modes)
+    _, vjp_div = jax.vjp(lambda f: fv.fv_divergence(f, _DX), field)
+    (got_div_ct,) = vjp_div(ct)
+    np.testing.assert_allclose(np.asarray(got_div), np.asarray(ref_div),
+                               atol=1e-5)
+    for a, b in zip(got_grad.components, ref_grad.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(got_div_ct.components, ref_div_ct.components):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
