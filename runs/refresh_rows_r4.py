@@ -1,18 +1,14 @@
 """Re-measure the BENCH_DETAIL rows that moved with the r4 kernel tiers.
 
-The turb_1024 and dns_512x2048 rows in BENCH_DETAIL.json were measured at the
-r3 kernel configuration; r4 added the LARGE per-iteration phase tier
-(DIFFPISO_FUSED_KRYLOV_LARGE, runs/ab_phase_large.log: turb1024 fwd +13%,
-grad30 +6%) and the row-tiled corrector bridge (runs/ab_corr_tiled.log:
-turb1024 +1.1% fwd / +1.7% grad30), both default-auto at exactly these
-shapes.  This script re-runs the two workloads through bench.py's own
-workload functions at the current defaults and patches the rows in place
-(regime labels recomputed by the workload functions themselves).
+SUPERSEDED for routine use by `python bench.py --refresh-all` (r5): that
+path re-measures EVERY row, merges (preserving provenance notes), prints an
+old-vs-new drift diff, regenerates README.md's perf table, and exits 1 on
+>10% drift. This script remains as the cheap two-row variant (turb_1024 +
+dns_512x2048 only) with the same merge/diff semantics.
 
 Run on the TPU:  nohup python runs/refresh_rows_r4.py > runs/refresh_rows_r4.log 2>&1 &
 """
 
-import argparse
 import json
 import sys
 
@@ -22,10 +18,9 @@ import bench  # noqa: E402
 
 
 def main():
-    args = argparse.Namespace(
-        n=1024, n3d=None, tol=1e-6, p_tol=1e-8, quick=False, fwd_only=False,
-        spinup=2000, batch=1, network_dtype=None, workload="all",
-    )
+    # build the namespace from bench.py's own parser so CLI defaults cannot
+    # desync (r4 advisor finding #3)
+    args = bench.make_parser().parse_args(["--n", "1024", "--workload", "all"])
 
     import os
 
@@ -41,15 +36,22 @@ def main():
 
     detail = json.load(open("BENCH_DETAIL.json"))
 
-    t1024 = bench.workload_turbulence(args)
-    print("turb_1024:", json.dumps(t1024), file=sys.stderr)
-    detail["turb_1024"] = t1024
+    # merge (not replace): hand-added provenance keys survive re-runs
+    # (r4 advisor finding #1); the drift print covers finding #2's README
+    # reminder — or run bench.py --refresh-all to regenerate the table
+    drift = bench._merge_row(detail, "turb_1024",
+                             bench.workload_turbulence(args))
     json.dump(detail, open("BENCH_DETAIL.json", "w"), indent=1)
 
-    dns = bench.workload_dns(args, (512, 2048))
-    print("dns_512x2048:", json.dumps(dns), file=sys.stderr)
-    detail["dns_512x2048"] = dns
+    drift += bench._merge_row(detail, "dns_512x2048",
+                              bench.workload_dns(args, (512, 2048)))
     json.dump(detail, open("BENCH_DETAIL.json", "w"), indent=1)
+    bad = bench._print_drift(drift)
+    if bad:
+        print(
+            "[refresh] rows drifted >10% — regenerate the README table "
+            "(bench.py --refresh-all) or update it by hand", file=sys.stderr,
+        )
     print("done", file=sys.stderr)
 
 

@@ -32,8 +32,8 @@ DIFFPISO_FUSED_ADVM=auto DIFFPISO_FUSED_FVM=auto timeout 2500 python runs/roofli
 echo "roofline_cavity fused exit $?"
 tail -12 runs/roofline_cavity_default.log
 tail -12 runs/roofline_cavity_fused.log
-echo "--- stage 7: refresh the r3-era BENCH_DETAIL rows at the r4 defaults"
-timeout 5000 python runs/refresh_rows_r4.py > runs/refresh_rows_r4.log 2>&1
-echo "refresh_rows_r4 exit $? ($(date))"
-tail -4 runs/refresh_rows_r4.log
+echo "--- stage 7: refresh ALL BENCH_DETAIL rows at current defaults (merge + drift check + README regen)"
+timeout 9000 python bench.py --refresh-all > runs/refresh_all.log 2>&1
+echo "refresh-all exit $? ($(date); exit 1 = >10% drift, review runs/refresh_all.log)"
+tail -15 runs/refresh_all.log
 echo "=== done $(date)"
