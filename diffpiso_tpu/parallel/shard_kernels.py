@@ -29,16 +29,29 @@ entry residual: the converged trip ran zero sweeps, so its measurement is
 the EXACT max|b - A x| of the returned iterate (warm-started solves cost
 ONE measure-only launch per component).
 
-Pressure solve: distributed PCG with the matvec phase (q = A p without the
-rank-one shift + partial p.q / sum(p) reductions) and the update phase
-(x/r updates + partial max|r| / sum(r)) as one kernel launch each; the
-rank-one all-Neumann shift closes through scalars (S = psum(sum p), with
-p.q corrected by shift*S^2 and r by alpha*shift*S), mean deflation is
-LAGGED one iteration exactly like the fused rank-3 kernel documents
-(pallas_krylov._pcg3_xr_kernel), and the matmul-eigenbasis preconditioner
-runs as the proven distributed contractions + psum_scatter
-(parallel/halo.py _local_spectral_precond) — jnp on the MXU, which XLA
-already schedules well.
+Pressure solve (r5 whole-solve tier — VERDICT r4 item 1): per ROUND, each
+shard solves its halo-frozen diagonal block A_loc d = r_loc in ONE
+pcg2-style launch (the local twin of fused_pcg2_solve: whole local PCG
+with the per-shard TRUNCATED eigenbasis preconditioner in-kernel, bf16x3
+HIGH contractions), then one global true-residual measure (halo exchange +
+matvec launch + psum/pmax) verifies; warm production solves (~1 recurrence
+iteration single-chip) finish in one round. This is additive block-Jacobi
+with exact local solves — rounds that stagnate (cold, smooth global error
+the local solves cannot see) fall through to the r4 per-iteration phase
+PCG: matvec + update phase launches, the rank-one all-Neumann shift closed
+through scalars (S = psum(sum p), p.q corrected by shift*S^2, r by
+alpha*shift*S), LAGGED mean deflation (pallas_krylov._pcg3_xr_kernel's
+treatment), and the matmul-eigenbasis preconditioner as distributed
+contractions + psum_scatter (parallel/halo.py _local_spectral_precond).
+
+Extent-1 mesh axes (r5): an axis whose mesh extent is 1 is not actually
+partitioned — slivers on it would be identity ppermutes feeding the
+shard's OWN edge rows, frozen one trip stale. Such axes now use live
+in-kernel rolls (exact AND faster: no collectives, no outer-round lag for
+their coupling). DIFFPISO_SHARD_FORCE_SLIVERS=1 forces the frozen-sliver
+program on extent-1 axes for A/B honesty: on the single-chip (1,1) mesh
+that measures the REAL multi-device program structure (still exact — the
+self-slivers are the true wrap rows, converged through the outer trips).
 
 Shapes: shard_map needs mesh-divisible global dims. Staggered momentum
 components carry +1 faces on bounded axes; they are ZERO-padded to
@@ -95,6 +108,9 @@ class ShardedSolveCtx:
     # momentum accelerator knobs (mirror DIFFPISO_ADV_JACOBI_K / max_launches)
     k_sweeps: int = 4
     max_trips: int = 9
+    # pressure whole-solve tier: block-Jacobi rounds before the Krylov
+    # fall-through (each round = one local-solve launch + one halo trip)
+    max_rounds: int = 4
 
     @property
     def extents(self):
@@ -108,7 +124,8 @@ _CTX: list = []
 
 @contextlib.contextmanager
 def sharded_solvers(mesh: Mesh, axis_names: Sequence[Optional[str]],
-                    k_sweeps: int = 4, max_trips: int = 9):
+                    k_sweeps: int = 4, max_trips: int = 9,
+                    max_rounds: int = 4):
     """Trace-time context: PISO solves dispatch to the per-shard kernel
     solvers in this module; everything else traces under no_pallas() (the
     GSPMD-partitionable roll/reduction formulation). Enter INSIDE the jit
@@ -116,7 +133,8 @@ def sharded_solvers(mesh: Mesh, axis_names: Sequence[Optional[str]],
     no_pallas()/batched_safe_pallas() (ops/pallas_stencil.py)."""
     from diffpiso_tpu.ops.pallas_stencil import no_pallas
 
-    ctx = ShardedSolveCtx(mesh, tuple(axis_names), k_sweeps, max_trips)
+    ctx = ShardedSolveCtx(mesh, tuple(axis_names), k_sweeps, max_trips,
+                          max_rounds)
     _CTX.append(ctx)
     try:
         with no_pallas():
@@ -135,6 +153,27 @@ def kernels_available() -> bool:
     if not _PALLAS_AVAILABLE:
         return False
     return _INTERPRET or jax.default_backend() == "tpu"
+
+
+def _force_slivers() -> bool:
+    import os
+
+    return os.environ.get("DIFFPISO_SHARD_FORCE_SLIVERS", "0") == "1"
+
+
+def _active_axes(ctx: ShardedSolveCtx):
+    """(axis_names_active, sharded): per spatial axis, the mesh-axis name to
+    exchange halos over and whether the kernels treat it as sharded. Extent-1
+    axes are LOCAL (live in-kernel rolls — exact, no collectives) unless
+    DIFFPISO_SHARD_FORCE_SLIVERS=1 forces the frozen-sliver program (the
+    single-chip A/B proxy for real multi-device structure)."""
+    force = _force_slivers()
+    names, sharded = [], []
+    for a, e in zip(ctx.axis_names, ctx.extents):
+        on = a is not None and (e > 1 or force)
+        names.append(a if on else None)
+        sharded.append(on)
+    return tuple(names), tuple(sharded)
 
 
 # -- halo sliver exchange -------------------------------------------------------------
@@ -355,7 +394,7 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
     Bounded +1 faces are zero-padded to mesh-divisible shapes (exact: zero
     stencil rows with zero rhs stay at residual 0 and decouple)."""
     axis_names = ctx.axis_names
-    sharded = tuple(a is not None for a in axis_names)
+    active_names, sharded = _active_axes(ctx)
     mesh_axes = tuple(a for a in axis_names if a is not None)
     spec = P(*axis_names)
     k = ctx.k_sweeps
@@ -376,7 +415,7 @@ def sharded_momentum_solve(ctx: ShardedSolveCtx, st_cs, b_c, x_c, sgn,
 
         def trip(state):
             x, _, t = state
-            slv = _sliver_values(x, planes, axis_names, transpose)
+            slv = _sliver_values(x, planes, active_names, transpose)
             x, n_entry = _momentum_launch(
                 planes, b, x, slv, sgn_, tol_, transpose, sharded, k
             )
@@ -541,6 +580,218 @@ def _pcg_update_launch(x, r, p, q0, alpha, cs, cbar):
     return xo, ro, n[0], sr[0]
 
 
+# -- pressure whole-solve tier: block-Jacobi rounds with exact local solves ----------
+# (r5, VERDICT r4 item 1) Each trip runs ONE launch per shard: measure the
+# TRUE global residual against fresh slivers, then solve the halo-frozen
+# diagonal block A_loc d = r exactly with a whole local PCG — the
+# shard-local twin of pallas_krylov.fused_pcg2_solve (in-body eigenbasis
+# preconditioner, bf16x3 HIGH contractions, per-iteration exit). Warm
+# production solves (~1 recurrence iteration single-chip) finish in one
+# round + one measure-only round; cold solves whose rounds stagnate
+# (smooth global error a local solve cannot see) fall through to the r4
+# per-iteration phase PCG, warm-started from the tier's iterate.
+
+
+def _local_basis(kind: str, n: int, extent: int, cut: bool):
+    """Host-side per-shard eigendecomposition of the 1-D operator's
+    diagonal blocks. `cut=False` (axis not treated as sharded — live
+    in-kernel rolls): the analytic global basis/eigs, leading dim 1.
+    `cut=True`: reconstruct the dense 1-D operator T = V^T diag(eigs) V
+    from the kind's analytic basis (provably consistent with the assembled
+    stencil), drop every coupling that crosses a shard boundary (mask to
+    the tridiagonal — this also removes the periodic wrap corners, which
+    ride ppermute slivers at runtime), slice the `extent` diagonal blocks
+    and eigh each. Cut blocks are strictly negative definite (the cut rows
+    keep their full diagonal, so they are strictly dominant) — the local
+    symbol needs no singular-mode guard except in the all-uncut case."""
+    from diffpiso_tpu.solvers.fourier import _BASIS, _eigs
+
+    if not cut:
+        return _BASIS[kind](n)[None], _eigs(n, kind)[None]
+    Vg = _BASIS[kind](n)
+    wg = _eigs(n, kind)
+    T = Vg.T @ (wg[:, None] * Vg)
+    i = np.arange(n)
+    T = np.where(np.abs(i[:, None] - i[None, :]) <= 1, T, 0.0)
+    m = n // extent
+    Vs, ws = [], []
+    for s in range(extent):
+        w, Q = np.linalg.eigh(T[s * m:(s + 1) * m, s * m:(s + 1) * m])
+        Vs.append(Q.T)
+        ws.append(w)
+    return np.stack(Vs), np.stack(ws)
+
+
+def _whole_tier_ok(mm_solver, shape, extents, dtype) -> bool:
+    """Gate for the whole-solve block-Jacobi tier (DIFFPISO_SHARD_PCG2:
+    auto | never). Needs the matmul-eigenbasis preconditioner family (the
+    local blocks inherit its separable structure), sublane/lane-aligned
+    local blocks (no pad path yet — production mesh splits of power-of-two
+    planes are aligned), and pcg2-class VMEM residency on the LOCAL block
+    (DIFFPISO_SHARD_PCG2_MIB, default 24 — the single-chip pcg2 budget;
+    local blocks shrink with the mesh, so shapes past the single-chip
+    wall regain a whole-solve tier here)."""
+    import os
+
+    if os.environ.get("DIFFPISO_SHARD_PCG2", "auto") == "never":
+        return False
+    if mm_solver is None:
+        return False
+    if any(k not in ("fourier", "dct2", "dct4") for k in mm_solver.kinds):
+        return False
+    m = [s // e for s, e in zip(shape, extents)]
+    if not _INTERPRET and not (m[0] % 8 == 0 and m[1] % 128 == 0):
+        return False
+    from diffpiso_tpu.solvers.pallas_krylov import _pcg2_plane_bytes
+
+    budget = int(os.environ.get("DIFFPISO_SHARD_PCG2_MIB", "24"))
+    return _pcg2_plane_bytes(tuple(m), dtype) <= budget * 1024 * 1024
+
+
+def _mk_pressure_whole_kernel(sharded, deflate_global, max_iter, precision):
+    """measure + whole local PCG solve in ONE launch (the momentum
+    kernel's measure+sweep discipline): entry residual r0 = b - A_global x
+    with FRESH slivers (exact — S0 = psum'd global sum closes the rank-one
+    shift), then CG on the halo-frozen diagonal block A_loc d = r0 - cbar
+    with the per-shard eigenbasis as M^-1. The in-kernel `n0 >= tol` gate
+    means a globally-converged trip runs ZERO iterations on every shard
+    (every local n0 <= the global pmax), so x is unchanged and the
+    reported entry norm is exact for the returned iterate."""
+    from diffpiso_tpu.solvers.pallas_krylov import (
+        _bf16x3_dot,
+        _dot,
+        _mosaic_precision,
+    )
+
+    mv = _mk_mv(sharded, transpose=False)
+    ns = _n_slivers(sharded, False)
+
+    def kernel(*refs):
+        c, ly, hy, lx, hx, b, x = (r[:] for r in refs[:7])
+        slv = [r[:] for r in refs[7:7 + ns]]
+        sc = refs[7 + ns]
+        v0, v1, sym = (r[:] for r in refs[8 + ns:11 + ns])
+        out_x, out_n, out_sr, out_k = refs[11 + ns:]
+        shift, S0 = sc[0], sc[1]
+        tol, tol_in, cbar = sc[2], sc[3], sc[4]
+        dtype = b.dtype
+        eps = jnp.asarray(1e-30, dtype)
+        nsize = jnp.asarray(b.size, dtype)
+
+        r0 = b - (mv(c, ly, hy, lx, hx, x, slv, True) + shift * S0)
+        out_sr[0] = jnp.sum(r0)
+        rhs = r0 - cbar
+        if deflate_global:
+            # all axes uncut (the (1,1)-mesh live-roll case): the local sum
+            # IS the global sum — exact in-kernel deflation, cbar rides 0
+            rhs = rhs - jnp.sum(rhs) / nsize
+        n0 = jnp.max(jnp.abs(rhs))
+        out_n[0] = n0
+
+        def A_loc(p):
+            # frozen=False zeroes the sliver contributions: exactly the
+            # halo-frozen diagonal block (uncut axes keep live rolls); the
+            # rank-one shift's diagonal block is shift * 1_loc 1_loc^T
+            return mv(c, ly, hy, lx, hx, p, slv, False) + shift * jnp.sum(p)
+
+        if precision == jax.lax.Precision.HIGH and not _INTERPRET:
+            v0_hi = v0.astype(jnp.bfloat16)
+            v0_lo = (v0 - v0_hi.astype(v0.dtype)).astype(jnp.bfloat16)
+            v1_hi = v1.astype(jnp.bfloat16)
+            v1_lo = (v1 - v1_hi.astype(v1.dtype)).astype(jnp.bfloat16)
+
+            def minv(r):
+                h = _bf16x3_dot(v0_hi, v0_lo, r, ((1,), (0,)), True)
+                h = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (1,)), False)
+                h = h / sym
+                h = _bf16x3_dot(v0_hi, v0_lo, h, ((0,), (0,)), True)
+                return _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (0,)), False)
+        else:
+            mp = _mosaic_precision(precision)
+
+            def minv(r):
+                h = _dot(v0, r, ((1,), (0,)), mp)
+                h = _dot(h, v1, ((1,), (1,)), mp)
+                h = h / sym
+                h = _dot(v0, h, ((0,), (0,)), mp)
+                return _dot(h, v1, ((1,), (0,)), mp)
+
+        def project(v):
+            if not deflate_global:
+                return v
+            return v - jnp.sum(v) / nsize
+
+        out_x[:] = x
+        # d rides the output window (x + d accumulated in place), r a VMEM
+        # view of the loop state — scalar-only while carries (the jac13d
+        # ref-resident-state lesson)
+        def cond(state):
+            _, _, _, rn, k = state
+            return (rn >= tol_in) & (n0 >= tol) & jnp.isfinite(rn) & (
+                k < max_iter
+            )
+
+        def body(state):
+            r, p, rz, rn, k = state
+            z = minv(r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
+            p = z + beta * p
+            q = A_loc(p)
+            pq = jnp.sum(p * q)
+            alpha = jnp.where(jnp.abs(pq) > eps, rz_new / pq, 0.0)
+            out_x[:] = out_x[:] + alpha * p
+            r = project(r - alpha * q)
+            return r, p, rz_new, jnp.max(jnp.abs(r)), k + 1
+
+        _, _, _, _, k = jax.lax.while_loop(
+            cond, body,
+            (rhs, jnp.zeros_like(rhs), jnp.asarray(1.0, dtype), n0,
+             jnp.zeros((), jnp.int32)),
+        )
+        out_k[0] = k
+
+    return kernel
+
+
+def _pressure_whole_launch(planes, b, x, slv, v0, v1, sym, sc, sharded,
+                           deflate_global, max_iter, precision):
+    kernel = _mk_pressure_whole_kernel(sharded, deflate_global,
+                                       int(max_iter), precision)
+    dtype = b.dtype
+    nbytes = b.size * jnp.dtype(dtype).itemsize
+    basis_bytes = (v0.size + v1.size) * jnp.dtype(dtype).itemsize
+    vmem = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(slv))
+    xo, n, sr, k = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=vmem + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # pcg2's ceiling discipline on the LOCAL block: planes + bases
+            # + the while-body stack margin (44 MiB measured for pcg2)
+            vmem_limit_bytes=min(
+                127 * 1024 * 1024,
+                max(96 * 1024 * 1024,
+                    16 * nbytes + basis_bytes + 44 * 1024 * 1024),
+            ),
+        ),
+    )(*planes, b, x, *slv, sc, v0, v1, sym)
+    return xo, n[0], sr[0], k[0]
+
+
 def pressure_eligible(ctx: ShardedSolveCtx, shape, dtype,
                       precond_kind, adjoint: bool = False) -> bool:
     """Per-shard pressure PCG gate: rank-2 f32 planes exactly divisible by
@@ -580,7 +831,7 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
     runs/check_shard_kernels_tpu.py). Returns (x, iterations,
     true_resid_norm)."""
     axis_names = ctx.axis_names
-    sharded = tuple(a is not None for a in axis_names)
+    active_names, sharded = _active_axes(ctx)
     mesh_axes = tuple(a for a in axis_names if a is not None)
     spec = P(*axis_names)
     ay, ax = axis_names
@@ -606,9 +857,26 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
             P(ay), P(ax), P(), P(),
         )
 
-    def inner(c, ly, hy, lx, hx, b, x0, sc, *pc):
+    # whole-solve block-Jacobi tier (r5): per-shard local eigendecomposed
+    # preconditioners, stacked over the mesh axis so each shard reads its
+    # own block's basis (edge vs interior cut blocks differ)
+    tier = _whole_tier_ok(mm_solver, b.shape, ctx.extents, dtype)
+    tier_args, tier_specs = (), ()
+    if tier:
+        prec_static = mm_solver._precision()
+        for d in range(2):
+            Vs, Es = _local_basis(
+                mm_solver.kinds[d], b.shape[d], ctx.extents[d], sharded[d]
+            )
+            lead = active_names[d]
+            tier_args += (jnp.asarray(Vs, dtype), jnp.asarray(Es, dtype))
+            tier_specs += (P(lead, None, None), P(lead, None))
+    n_pc = len(pc_args)
+
+    def inner(c, ly, hy, lx, hx, b, x0, sc, *rest):
         from diffpiso_tpu.parallel.halo import _local_spectral_precond
 
+        pc = rest[:n_pc]
         planes = (c, ly, hy, lx, hx)
         shift_, tol_ = sc[0], sc[1]
         eps = jnp.asarray(1e-30, dtype)
@@ -634,7 +902,7 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
         def matvec_jnp(p):
             # one-time entry/verification matvec (kernel phases carry the
             # loop); slivers + local stencil, exact shift via psum
-            slv = _sliver_values(p, planes, axis_names, False)
+            slv = _sliver_values(p, planes, active_names, False)
             q0, pq0, sp = _pcg_matvec_launch(planes, p, slv, sharded)
             S = gsum(sp)
             return q0 + shift_ * S
@@ -643,9 +911,6 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
             if not deflate_mean:
                 return r
             return r - gsum(jnp.sum(r)) / n_total
-
-        r0 = project(b - matvec_jnp(x0))
-        rnorm0 = gmax(jnp.max(jnp.abs(r0)))
 
         def cond(state):
             _, _, _, _, rnorm, _, k, done = state
@@ -659,7 +924,7 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
             rz_new = gsum(jnp.sum(r * z))
             beta = jnp.where(jnp.abs(rz) > eps, rz_new / rz, 0.0)
             p = z + beta * p
-            slv = _sliver_values(p, planes, axis_names, False)
+            slv = _sliver_values(p, planes, active_names, False)
             q0, pq0, sp = _pcg_matvec_launch(planes, p, slv, sharded)
             S = gsum(sp)
             pq = gsum(pq0) + shift_ * S * S
@@ -673,7 +938,7 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
             done = (rnorm < tol_) | ~jnp.isfinite(rnorm)
             return (x, r, p, rz_new, rnorm, cbar, k + 1, done)
 
-        def run(_):
+        def run_pcg(x_in, r_in, rnorm_in, k_in):
             # verify-and-resume rounds (fused_pcg2_solve's treatment): the
             # in-loop exit test rides the RECURRENCE residual, which drifts
             # from the true residual at f32 on large planes; each round
@@ -698,25 +963,98 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
 
             x, _, rnorm, k, _ = jax.lax.while_loop(
                 round_cond, round_body,
-                (x0, r0, rnorm0, jnp.zeros((), jnp.int32),
-                 jnp.zeros((), jnp.int32)),
+                (x_in, r_in, rnorm_in, k_in, jnp.zeros((), jnp.int32)),
             )
             return x, rnorm, k
 
+        if tier:
+            V0s, E0s, V1s, E1s = rest[n_pc:]
+            v0, e0 = V0s[0], E0s[0]
+            v1, e1 = V1s[0], E1s[0]
+            w0_, w1_ = pc[6], pc[7]
+            sym = w0_ * e0[:, None] + w1_ * e1[None, :]
+            # all-uncut singular modes (the separable null space) follow
+            # the _safe_symbol convention: +inf so h/sym zeroes them; cut
+            # blocks are strictly definite and never trip the guard
+            sym = jnp.where(jnp.abs(sym) < 1e-12,
+                            jnp.asarray(jnp.inf, dtype), sym)
+            deflate_global = deflate_mean and not any(sharded)
+            # deflation constant, EXACT per trip (no pcg3-style lag): for
+            # the row-sum-zero (all-Neumann rank-deficient) stencils that
+            # deflate_mean targets, mean(b - A x) = mean(b) - shift*sum(x)
+            # — both psum'd scalars the trip already needs, so the entry
+            # measure is the properly projected norm even on trip 1 (a
+            # lagged cbar mis-measured warm entries by the residual's
+            # constant offset and cost a spurious round)
+            mean_b = gsum(jnp.sum(b)) / n_total if deflate_mean else None
+            theta = jnp.asarray(0.25, dtype)
+
+            def tier_cond(state):
+                _, n, n_prev, t, _ = state
+                first = t == 0
+                # stop on stagnation (a round must contract the measured
+                # entry norm by >= 4x or the smooth global error has taken
+                # over — fall through to the Krylov path)
+                go = (n >= tol_) & (n < theta * n_prev) & jnp.isfinite(n)
+                return (first | go) & (t < ctx.max_rounds)
+
+            def tier_trip(state):
+                x, n, n_prev, t, k_acc = state
+                slv = _sliver_values(x, planes, active_names, False)
+                S0 = gsum(jnp.sum(x))
+                cbar = (
+                    mean_b - shift_ * S0 if deflate_mean
+                    else jnp.zeros((), dtype)
+                )
+                scl = jnp.stack([
+                    shift_, S0, tol_, 0.1 * tol_, cbar,
+                ])
+                xn, n_part, sr_part, k_loc = _pressure_whole_launch(
+                    planes, b, x, slv, v0, v1, sym, scl, sharded,
+                    deflate_global, max_iter, prec_static,
+                )
+                n_new = gmax(n_part)
+                return xn, n_new, n, t + 1, k_acc + k_loc
+
+            x1, n1, _, _, k_acc = jax.lax.while_loop(
+                tier_cond, tier_trip,
+                (x0, jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            )
+
+            def finish(_):
+                # exit-by-convergence: the converged trip measured its
+                # entry norm with fresh slivers and ran zero iterations on
+                # every shard (local n0 <= the global pmax < tol), so x1 is
+                # unchanged by it — n1 is exact for the returned iterate
+                return x1, n1, k_acc
+
+            def fall(_):
+                rt = project(b - matvec_jnp(x1))
+                return run_pcg(x1, rt, gmax(jnp.max(jnp.abs(rt))), k_acc)
+
+            return jax.lax.cond(n1 < tol_, finish, fall, None)
+
+        r0 = project(b - matvec_jnp(x0))
+        rnorm0 = gmax(jnp.max(jnp.abs(r0)))
+
         def skip(_):
             return x0, rnorm0, jnp.zeros((), jnp.int32)
+
+        def run(_):
+            return run_pcg(x0, r0, rnorm0, jnp.zeros((), jnp.int32))
 
         return jax.lax.cond(rnorm0 < tol_, skip, run, None)
 
     shard_fn = jax.shard_map(
         inner, mesh=ctx.mesh,
-        in_specs=(spec,) * 7 + (P(),) + pc_specs,
+        in_specs=(spec,) * 7 + (P(),) + pc_specs + tier_specs,
         out_specs=(spec, P(), P()),
         check_vma=False,
     )
     sc = jnp.stack([shift, jnp.asarray(tol, dtype)])
     x, rnorm, k = shard_fn(
         lap.center, lap.lo[0], lap.hi[0], lap.lo[1], lap.hi[1], b, x0, sc,
-        *pc_args,
+        *pc_args, *tier_args,
     )
     return x, k, rnorm

@@ -452,3 +452,179 @@ def test_sharded_solvers_context_nests_no_pallas(monkeypatch):
         assert pallas_stencil._DISABLED_DEPTH == depth0 + 1
     assert sk.current() is None
     assert pallas_stencil._DISABLED_DEPTH == depth0
+
+
+# -- r5 whole-solve block-Jacobi pressure tier -----------------------------------------
+
+
+def _periodic_pressure_system(ny=16, nx=32, seed=7):
+    """All-periodic uniform-inflow Laplacian — the turbulence workload's
+    pressure system (fourier eigenbasis family, rank-one shift)."""
+    rng = np.random.RandomState(seed)
+    infl = StaggeredField(
+        (
+            jnp.ones((ny, nx), jnp.float32),
+            jnp.ones((ny, nx), jnp.float32),
+        ),
+        periodic=(True, True),
+    )
+    act = np.ones((ny + 2, nx + 2), np.float32)
+    lap = assemble_pressure_laplacian(
+        infl, jnp.asarray(act), jnp.asarray(act), (True, True), True
+    )
+    rhs = rng.randn(ny, nx).astype(np.float32)
+    rhs -= rhs.mean()
+    return lap, jnp.asarray(rhs)
+
+
+def _count_whole_launches(monkeypatch):
+    calls = []
+    orig = sk._pressure_whole_launch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sk, "_pressure_whole_launch", spy)
+    return calls
+
+
+@pytest.mark.parametrize("kinds", [("dct2", "dct2"), ("fourier", "fourier")])
+def test_pressure_whole_tier_parity(kinds, monkeypatch):
+    """The block-Jacobi whole-solve tier (one local pcg2-style launch per
+    round) converges to the same solution as the single-device PCG, for
+    both the bounded (dct2) and periodic (fourier) eigenbasis families,
+    and actually ENGAGES (the launch is traced)."""
+    from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
+
+    _force_interpret(monkeypatch)
+    calls = _count_whole_launches(monkeypatch)
+    mesh = make_mesh((2, 4), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    if kinds[0] == "fourier":
+        lap, rhs = _periodic_pressure_system()
+    else:
+        lap, rhs = _pressure_system()
+    mss = MatmulSpectralSolver(kinds=kinds, shape=rhs.shape)
+    weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+    x, k, rn = jax.jit(
+        lambda: sk.sharded_pressure_pcg(
+            ctx, lap, rhs, None, 1e-5, 200, True, mm_solver=mss,
+            weights=weights,
+        )
+    )()
+    assert calls, "whole-solve tier did not engage"
+    res = apply_laplacian(lap, x) - rhs
+    res = res - jnp.mean(res)
+    assert float(jnp.max(jnp.abs(res))) < 1e-4
+    assert float(rn) < 1e-5
+
+
+def test_pressure_whole_tier_warm_is_measure_only(monkeypatch):
+    """A converged warm start must exit on the FIRST trip's entry measure
+    with zero local CG iterations (the analytic deflation constant makes
+    the trip-1 measure exactly the projected residual norm)."""
+    from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
+
+    _force_interpret(monkeypatch)
+    mesh = make_mesh((2, 4), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    lap, rhs = _pressure_system()
+    mss = MatmulSpectralSolver(kinds=("dct2", "dct2"), shape=rhs.shape)
+    weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+    ref = pcg(
+        lambda p: apply_laplacian(lap, p), rhs, None,
+        precond=lambda r: mss.precondition(weights, r),
+        tol=1e-7, max_iter=200, deflate_mean=True, precond_zero_mean=True,
+    )
+    assert not bool(ref.warn)
+    x, k, rn = jax.jit(
+        lambda: sk.sharded_pressure_pcg(
+            ctx, lap, rhs, ref.x, 1e-5, 200, True, mm_solver=mss,
+            weights=weights,
+        )
+    )()
+    assert int(k) == 0
+    assert float(rn) < 1e-5
+    assert float(jnp.max(jnp.abs(x - ref.x))) == 0.0
+
+
+def test_pressure_whole_tier_force_slivers_1x1(monkeypatch):
+    """DIFFPISO_SHARD_FORCE_SLIVERS=1 on a (1,1)-extent mesh runs the REAL
+    multi-device program structure (frozen self-slivers = the true wrap
+    rows): parity must hold — the cut drops only the wrap couplings, which
+    converge through the outer trips."""
+    from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
+
+    _force_interpret(monkeypatch)
+    monkeypatch.setenv("DIFFPISO_SHARD_FORCE_SLIVERS", "1")
+    mesh = make_mesh((1, 1), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    lap, rhs = _periodic_pressure_system()
+    mss = MatmulSpectralSolver(kinds=("fourier", "fourier"),
+                               shape=rhs.shape)
+    weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+    x, k, rn = jax.jit(
+        lambda: sk.sharded_pressure_pcg(
+            ctx, lap, rhs, None, 1e-5, 200, True, mm_solver=mss,
+            weights=weights,
+        )
+    )()
+    res = apply_laplacian(lap, x) - rhs
+    res = res - jnp.mean(res)
+    assert float(jnp.max(jnp.abs(res))) < 1e-4
+
+
+def test_pressure_whole_tier_gate(monkeypatch):
+    """DIFFPISO_SHARD_PCG2=never falls back to the r4 per-iteration phase
+    PCG (no whole-solve launches traced); parity still holds."""
+    from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
+
+    _force_interpret(monkeypatch)
+    monkeypatch.setenv("DIFFPISO_SHARD_PCG2", "never")
+    calls = _count_whole_launches(monkeypatch)
+    mesh = make_mesh((2, 4), ("y", "x"))
+    ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
+    lap, rhs = _pressure_system()
+    mss = MatmulSpectralSolver(kinds=("dct2", "dct2"), shape=rhs.shape)
+    weights = tuple(jnp.mean(jnp.abs(l)) for l in lap.lo)
+    x, k, rn = jax.jit(
+        lambda: sk.sharded_pressure_pcg(
+            ctx, lap, rhs, None, 1e-5, 200, True, mm_solver=mss,
+            weights=weights,
+        )
+    )()
+    assert not calls
+    res = apply_laplacian(lap, x) - rhs
+    res = res - jnp.mean(res)
+    assert float(jnp.max(jnp.abs(res))) < 1e-4
+
+
+def test_local_basis_blocks_diagonalize_cut_operator():
+    """_local_basis(cut=True) must return exact eigendecompositions of the
+    1-D operator's diagonal blocks with all cross-shard couplings (incl.
+    the periodic wrap) dropped."""
+    from diffpiso_tpu.solvers.fourier import _BASIS, _eigs
+
+    for kind in ("fourier", "dct2", "dct4"):
+        n, e = 16, 4
+        Vg = _BASIS[kind](n)
+        wg = _eigs(n, kind)
+        T = Vg.T @ (wg[:, None] * Vg)
+        i = np.arange(n)
+        T = np.where(np.abs(i[:, None] - i[None, :]) <= 1, T, 0.0)
+        Vs, ws = sk._local_basis(kind, n, e, cut=True)
+        m = n // e
+        for s in range(e):
+            blk = T[s * m:(s + 1) * m, s * m:(s + 1) * m]
+            rec = Vs[s].T @ (ws[s][:, None] * Vs[s])
+            np.testing.assert_allclose(rec, blk, atol=1e-10)
+            # orthonormal rows
+            np.testing.assert_allclose(
+                Vs[s] @ Vs[s].T, np.eye(m), atol=1e-10
+            )
+            # cut blocks are strictly negative definite except the
+            # all-Neumann edge block of dct2 (its corner keeps the global
+            # boundary), whose top eigenvalue still exceeds the singular
+            # threshold only at the global scale
+            assert ws[s].max() < 1e-9
