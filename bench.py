@@ -40,6 +40,7 @@ All diagnostics go to stderr; only the JSON line goes to stdout.
 """
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -318,6 +319,19 @@ def bench_grad(step, vel0, p0, unroll, reps, remat=False, trace_ctx=None):
             policy=jax.checkpoint_policies.save_only_these_names(
                 "diffpiso_solve_res"),
         )
+    elif remat == "outputs":
+        # r5 (VERDICT r4 item 5): save the solve OUTPUTS (~10 volumes/step
+        # incl. scan carries) instead of whole-step remat — the backward
+        # replay recomputes assembly/FV/correctors but never re-runs a
+        # Krylov loop (the saved solutions cut the replay graph), and the
+        # IFT adjoints re-derive their operators from the replayed
+        # assembly. The 'solves' policy (operator coefficients, ~31
+        # volumes/step) does not fit HBM at 256^3 x 10 steps.
+        step_fn = jax.checkpoint(
+            step,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "diffpiso_solve_out"),
+        )
     elif remat:
         step_fn = jax.checkpoint(step)
     else:
@@ -432,14 +446,24 @@ def workload_turb3d(args):
         # (jax.checkpoint per step) trades forward replays for memory and
         # is what makes 256^3 gradients POSSIBLE at all on one chip.
         unroll = 5 if args.quick else 10
-        remat = n >= 192 and not args.quick
+        remat = False
+        if n >= 192 and not args.quick:
+            # DIFFPISO_REMAT3D: outputs (r5 default — save solve outputs,
+            # replay assembly/FV only) | step (whole-step remat, the r4
+            # protocol) — A/B runs/ab_remat3d.log
+            remat = os.environ.get("DIFFPISO_REMAT3D", "outputs")
+            remat = True if remat == "step" else remat
         grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 4,
                                           remat=remat)
         out[f"grad{unroll}_steps_per_sec"] = round(grad_sps, 3)
         if remat:
             out["grad_protocol"] = (
-                "jax.checkpoint per step (remat): forward replayed in the "
-                "backward scan — required to fit HBM at this scale"
+                "jax.checkpoint per step, "
+                + ("policy=save_only_these_names('diffpiso_solve_out'): "
+                   "backward replays assembly/FV but never the Krylov "
+                   "loops" if remat == "outputs" else
+                   "full: forward replayed in the backward scan")
+                + " — required to fit HBM at this scale"
             )
     return out
 

@@ -130,8 +130,24 @@ def sharded_solvers(mesh: Mesh, axis_names: Sequence[Optional[str]],
     solvers in this module; everything else traces under no_pallas() (the
     GSPMD-partitionable roll/reduction formulation). Enter INSIDE the jit
     body, around the region being traced — same trace-time discipline as
-    no_pallas()/batched_safe_pallas() (ops/pallas_stencil.py)."""
+    no_pallas()/batched_safe_pallas() (ops/pallas_stencil.py).
+
+    TRIVIAL mesh fast path (r5): when every mesh axis has extent 1 the
+    trace is not actually partitioned — the correct program for that
+    \"mesh\" is the plain single-chip one (whole-solve jac2/pcg2 + fused
+    assembly/FV/corrector kernels), so the context becomes a no-op and the
+    trace keeps ALL kernels (measured: the r4 sharded structure cost 3110
+    vs plain 6418 fwd at turb512 on the (1,1) mesh,
+    runs/ab_shard_kernels_r5.log). DIFFPISO_SHARD_FORCE_SLIVERS=1
+    suppresses the fast path — the honest structural proxy for a real
+    multi-device mesh."""
     from diffpiso_tpu.ops.pallas_stencil import no_pallas
+
+    if all(
+        e == 1 for e in mesh.shape.values()
+    ) and not _force_slivers():
+        yield None
+        return
 
     ctx = ShardedSolveCtx(mesh, tuple(axis_names), k_sweeps, max_trips,
                           max_rounds)
@@ -622,18 +638,28 @@ def _local_basis(kind: str, n: int, extent: int, cut: bool):
     return np.stack(Vs), np.stack(ws)
 
 
-def _whole_tier_ok(mm_solver, shape, extents, dtype) -> bool:
+def _whole_tier_ok(mm_solver, shape, extents, dtype, sharded) -> bool:
     """Gate for the whole-solve block-Jacobi tier (DIFFPISO_SHARD_PCG2:
-    auto | never). Needs the matmul-eigenbasis preconditioner family (the
-    local blocks inherit its separable structure), sublane/lane-aligned
-    local blocks (no pad path yet — production mesh splits of power-of-two
-    planes are aligned), and pcg2-class VMEM residency on the LOCAL block
-    (DIFFPISO_SHARD_PCG2_MIB, default 24 — the single-chip pcg2 budget;
-    local blocks shrink with the mesh, so shapes past the single-chip
-    wall regain a whole-solve tier here)."""
+    auto | always | never). MEASURED NEGATIVE on actually-cut axes
+    (runs/ab_shard_kernels_r5.log, forced-sliver (1,1) mesh at turb512
+    p_tol 1e-8): pressure iters blew up [1.27,1.005] -> [6.87,5.07] and
+    fwd fell 3110 -> 1742 vs the r4 phase path — halo-frozen block-Jacobi
+    contracts the cut-boundary error only ~4x per round, while the phase
+    PCG's matvec is EXACT every iteration (fresh ppermute slivers), so at
+    tight tolerances exact-Krylov-with-launch-glue beats
+    few-launch-stationary-rounds. `auto` therefore engages ONLY when no
+    axis is cut (every axis live-roll — the trivial-mesh/pcg2-equivalent
+    regime); `always` forces cut-axis engagement for re-measurement.
+    Also needs the matmul-eigenbasis preconditioner family (the local
+    blocks inherit its separable structure), sublane/lane-aligned local
+    blocks, and pcg2-class VMEM residency on the LOCAL block
+    (DIFFPISO_SHARD_PCG2_MIB, default 24)."""
     import os
 
-    if os.environ.get("DIFFPISO_SHARD_PCG2", "auto") == "never":
+    mode = os.environ.get("DIFFPISO_SHARD_PCG2", "auto")
+    if mode == "never":
+        return False
+    if mode != "always" and any(sharded):
         return False
     if mm_solver is None:
         return False
@@ -860,7 +886,7 @@ def sharded_pressure_pcg(ctx: ShardedSolveCtx, lap, b, x0, tol, max_iter,
     # whole-solve block-Jacobi tier (r5): per-shard local eigendecomposed
     # preconditioners, stacked over the mesh axis so each shard reads its
     # own block's basis (edge vs interior cut blocks differ)
-    tier = _whole_tier_ok(mm_solver, b.shape, ctx.extents, dtype)
+    tier = _whole_tier_ok(mm_solver, b.shape, ctx.extents, dtype, sharded)
     tier_args, tier_specs = (), ()
     if tier:
         prec_static = mm_solver._precision()

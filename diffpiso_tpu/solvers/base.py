@@ -194,6 +194,7 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
             _ctx, cfg, stencil, rhs, guess, tol, transpose
         )
         x = x.astype(in_dtype) if cfg.dtype is not None else x
+        x, result = _name_solve_out(x, result)
         return x, result
     result = bicgstab(
         lambda v: apply_fn(stencil, v, negate=True),
@@ -209,6 +210,28 @@ def _adv_solve_impl(cfg: AdvectionSolver, stencil, rhs, guess, tol, transpose: b
         transpose=transpose,
     )
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
+    x, result = _name_solve_out(x, result)
+    return x, result
+
+
+def _name_solve_out(x, result):
+    """Tag the solve SOLUTION (and warn) for the r5 'outputs' remat policy:
+    under jax.checkpoint(step, policy=save_only_these_names(
+    'diffpiso_solve_out')) the backward replay keeps exactly the solve
+    outputs and recomputes the cheap assembly/FV/corrector chains — the
+    Krylov loops are never re-run (their outputs cut the replay graph),
+    and the per-step stash is ~10 volumes instead of the ~31 operator
+    coefficients the 'diffpiso_solve_res' policy saves (which does not fit
+    HBM at 256^3 x 10 unrolled steps). The adjoint solves re-derive their
+    operators from the replayed assembly. No-op outside jax.checkpoint."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    x = jax.tree_util.tree_map(
+        lambda a: checkpoint_name(jnp.asarray(a), "diffpiso_solve_out"), x
+    )
+    result = result._replace(
+        warn=checkpoint_name(result.warn, "diffpiso_solve_out")
+    )
     return x, result
 
 
@@ -426,6 +449,7 @@ def _pressure_solve_impl(
 
         result = jax.lax.cond(result.warn, lambda _: retry(), lambda _: result, None)
     x = result.x.astype(in_dtype) if cfg.dtype is not None else result.x
+    x, result = _name_solve_out(x, result)
     return x, result
 
 

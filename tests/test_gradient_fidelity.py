@@ -164,3 +164,68 @@ def test_f64_multistep_picard_bias_is_bounded():
     (a blow-up here would mean the dropped terms dominate training signal)."""
     rel = _fd_vs_adjoint(steps=STEPS, seed=1)
     assert 1e-7 < rel < 2e-2, f"multi-step Picard bias rel {rel:.2e}"
+
+
+def test_remat_policies_gradient_parity():
+    """The remat policies used at scale must not change the gradient:
+    whole-step jax.checkpoint, the 'diffpiso_solve_res' policy (save
+    operator coefficients, replay linear chains) and the r5
+    'diffpiso_solve_out' policy (save solve outputs, replay assembly/FV —
+    the Krylov loops are never re-run) all reproduce the un-remat'd
+    gradient to f32 reduction-order tolerance."""
+    import functools
+
+    domain, sim = _setup("float32")
+    vel0, p0, forcing = _state(seed=3)
+    dt = 0.4 / N
+
+    def make_loss(wrap):
+        def body(carry, _):
+            vel, p, g1, g2 = carry
+            out = piso_step(
+                vel, p, dt, domain, sim,
+                forcing_term=body.forcing,
+                pressure_inc1_guess=g1,
+                pressure_inc2_guess=g2,
+                advection_tol=1e-6,
+                pressure_tol=1e-6,
+            )
+            return (
+                out.velocity, out.pressure, out.pressure_inc1,
+                out.pressure_inc2,
+            ), None
+
+        def step_like(carry, _):
+            return body(carry, _)
+
+        def loss(forcing):
+            body.forcing = forcing
+            stepped = wrap(step_like) if wrap is not None else step_like
+            (vel, p, _, _), _ = jax.lax.scan(
+                stepped, (vel0, p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
+                None, length=5,
+            )
+            return sum(jnp.sum((c - 0.1) ** 2) for c in vel.components)
+
+        return loss
+
+    g_ref = jax.jit(jax.grad(make_loss(None)))(forcing)
+    wraps = {
+        "step": jax.checkpoint,
+        "solves": functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "diffpiso_solve_res"),
+        ),
+        "outputs": functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "diffpiso_solve_out"),
+        ),
+    }
+    for name, wrap in wraps.items():
+        g = jax.jit(jax.grad(make_loss(wrap)))(forcing)
+        for a, b in zip(g.components, g_ref.components):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-12
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err < 2e-4, (name, err)

@@ -498,6 +498,9 @@ def test_pressure_whole_tier_parity(kinds, monkeypatch):
     from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
 
     _force_interpret(monkeypatch)
+    # cut-axis engagement needs `always` since the r5 measured-negative
+    # default (see _whole_tier_ok): correctness still holds and is pinned
+    monkeypatch.setenv("DIFFPISO_SHARD_PCG2", "always")
     calls = _count_whole_launches(monkeypatch)
     mesh = make_mesh((2, 4), ("y", "x"))
     ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
@@ -558,6 +561,7 @@ def test_pressure_whole_tier_force_slivers_1x1(monkeypatch):
 
     _force_interpret(monkeypatch)
     monkeypatch.setenv("DIFFPISO_SHARD_FORCE_SLIVERS", "1")
+    monkeypatch.setenv("DIFFPISO_SHARD_PCG2", "always")
     mesh = make_mesh((1, 1), ("y", "x"))
     ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
     lap, rhs = _periodic_pressure_system()
@@ -576,12 +580,13 @@ def test_pressure_whole_tier_force_slivers_1x1(monkeypatch):
 
 
 def test_pressure_whole_tier_gate(monkeypatch):
-    """DIFFPISO_SHARD_PCG2=never falls back to the r4 per-iteration phase
-    PCG (no whole-solve launches traced); parity still holds."""
+    """Default (auto) must NOT engage the whole-solve tier on cut axes
+    (the r5 measured-negative: frozen-cut block-Jacobi septupled pressure
+    iterations at tight tol, runs/ab_shard_kernels_r5.log) — the r4
+    per-iteration phase PCG keeps the solve; parity still holds."""
     from diffpiso_tpu.solvers.fourier import MatmulSpectralSolver
 
     _force_interpret(monkeypatch)
-    monkeypatch.setenv("DIFFPISO_SHARD_PCG2", "never")
     calls = _count_whole_launches(monkeypatch)
     mesh = make_mesh((2, 4), ("y", "x"))
     ctx = sk.ShardedSolveCtx(mesh, ("y", "x"))
@@ -628,3 +633,25 @@ def test_local_basis_blocks_diagonalize_cut_operator():
             # boundary), whose top eigenvalue still exceeds the singular
             # threshold only at the global scale
             assert ws[s].max() < 1e-9
+
+
+def test_trivial_mesh_fast_path(monkeypatch):
+    """sharded_solvers on an all-extent-1 mesh is a no-op: the trace keeps
+    ALL kernels (the plain single-chip program is the correct program for
+    one device — measured 2x the sharded structure,
+    runs/ab_shard_kernels_r5.log). DIFFPISO_SHARD_FORCE_SLIVERS=1
+    suppresses the fast path for structural A/Bs."""
+    from diffpiso_tpu.ops import pallas_stencil
+
+    mesh = make_mesh((1, 1), ("y", "x"))
+    depth0 = pallas_stencil._DISABLED_DEPTH
+    with sk.sharded_solvers(mesh, ("y", "x")) as ctx:
+        assert ctx is None
+        assert sk.current() is None
+        assert pallas_stencil._DISABLED_DEPTH == depth0
+    monkeypatch.setenv("DIFFPISO_SHARD_FORCE_SLIVERS", "1")
+    with sk.sharded_solvers(mesh, ("y", "x")) as ctx:
+        assert ctx is not None
+        assert sk.current() is ctx
+        assert pallas_stencil._DISABLED_DEPTH == depth0 + 1
+    assert sk.current() is None
