@@ -484,6 +484,20 @@ def main():
     iters_total = float(np.sum(p_iters)) + mom_iters * 2
     bytes_floor = plane * (20 + 8 * iters_total)
     BW = 819e9
+    # ---- arithmetic intensity / MFU (VERDICT r4 item 8) ----
+    # Analytic FLOPs/step, mirroring the bytes model. Dominant exact term:
+    # the matmul-eigenbasis preconditioner — per apply, 4 dense
+    # contractions of 2*n0*n1*(n0+n1) flops at Precision.HIGH = 3 bf16
+    # MXU passes each. Stencil matvecs ~11 flops/cell/iteration; the
+    # assembly/FV/corrector glue is an ~200 flops/cell-order ESTIMATE
+    # (elementwise chains, VPU-bound — their cost is bandwidth, not
+    # flops, so the estimate barely moves the total).
+    p_applies = float(np.sum(p_iters)) + 2.0  # + the two entry z0 applies
+    mm_flops = p_applies * 3 * 4 * 2 * n * n * (n + n)
+    stencil_flops = iters_total * 11 * n * n
+    glue_flops = 200 * n * n
+    flops_step = mm_flops + stencil_flops + glue_flops
+    V5E_BF16_PEAK = 197e12
     # the size sweep separates the step into a grid-INDEPENDENT component
     # (the fit intercept: per-kernel pipeline setup, scalar/SMEM work, loop
     # control — the launch-bound part) and a grid-dependent component
@@ -503,6 +517,16 @@ def main():
         "device_intercept_ms": round(a_fit * 1e3, 4),
         "implied_fixed_us_per_kernel": round(implied_fixed_per_kernel * 1e6, 2),
         "hbm_floor_ms_at_819GBs": round(bytes_floor / BW * 1e3, 4),
+        "flops_per_step": round(flops_step / 1e9, 3),
+        "flops_unit": "GFLOP (analytic: MXU preconditioner contractions "
+                      "exact incl. 3x HIGH passes; stencil 11/cell/iter; "
+                      "glue ~200/cell estimate)",
+        "achieved_tflops": round(
+            flops_step / max(sweep.get(n, step_time), 1e-9) / 1e12, 2),
+        "pct_of_v5e_bf16_peak": round(
+            100 * flops_step / max(sweep.get(n, step_time), 1e-9)
+            / V5E_BF16_PEAK, 2),
+        "mxu_compute_floor_ms": round(mm_flops / V5E_BF16_PEAK * 1e3, 4),
         "vmem_resident_loop_marginal_ns_per_kernel": round(per_launch * 1e9, 1),
         "device_sweep_ms_per_step": {
             str(k): round(v * 1e3, 4) for k, v in sweep.items()
