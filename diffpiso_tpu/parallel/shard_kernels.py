@@ -29,29 +29,45 @@ entry residual: the converged trip ran zero sweeps, so its measurement is
 the EXACT max|b - A x| of the returned iterate (warm-started solves cost
 ONE measure-only launch per component).
 
-Pressure solve (r5 whole-solve tier — VERDICT r4 item 1): per ROUND, each
-shard solves its halo-frozen diagonal block A_loc d = r_loc in ONE
-pcg2-style launch (the local twin of fused_pcg2_solve: whole local PCG
-with the per-shard TRUNCATED eigenbasis preconditioner in-kernel, bf16x3
-HIGH contractions), then one global true-residual measure (halo exchange +
-matvec launch + psum/pmax) verifies; warm production solves (~1 recurrence
-iteration single-chip) finish in one round. This is additive block-Jacobi
-with exact local solves — rounds that stagnate (cold, smooth global error
-the local solves cannot see) fall through to the r4 per-iteration phase
-PCG: matvec + update phase launches, the rank-one all-Neumann shift closed
-through scalars (S = psum(sum p), p.q corrected by shift*S^2, r by
-alpha*shift*S), LAGGED mean deflation (pallas_krylov._pcg3_xr_kernel's
-treatment), and the matmul-eigenbasis preconditioner as distributed
-contractions + psum_scatter (parallel/halo.py _local_spectral_precond).
+Pressure solve: the r4 per-iteration phase PCG — matvec + update phase
+launches, the rank-one all-Neumann shift closed through scalars
+(S = psum(sum p), p.q corrected by shift*S^2, r by alpha*shift*S), LAGGED
+mean deflation (pallas_krylov._pcg3_xr_kernel's treatment), and the
+matmul-eigenbasis preconditioner as distributed contractions +
+psum_scatter (parallel/halo.py _local_spectral_precond). Its matvec is
+EXACT every iteration (fresh ppermute slivers) — which is why it beat the
+r5 whole-solve block-Jacobi tier below on cut axes.
+
+r5 whole-solve tier (VERDICT r4 item 1 — MEASURED NEGATIVE on cut axes,
+kept behind DIFFPISO_SHARD_PCG2=always): per round, each shard solves its
+halo-frozen diagonal block in ONE pcg2-style launch (whole local PCG,
+per-shard eigendecomposed 1-D block preconditioners, bf16x3 HIGH), one
+global measure verifies, stagnation falls through to the phase PCG. At
+turb512 p_tol 1e-8 on the forced-sliver (1,1) mesh the halo-frozen rounds
+contract the cut-boundary error only ~4x/round: pressure iters went
+[1.27,1.005] -> [6.87,5.07] and fwd 3110 -> 1742
+(runs/ab_shard_kernels_r5.log). `auto` therefore engages it only when NO
+axis is cut (all live-roll — where it is pcg2-equivalent).
 
 Extent-1 mesh axes (r5): an axis whose mesh extent is 1 is not actually
 partitioned — slivers on it would be identity ppermutes feeding the
-shard's OWN edge rows, frozen one trip stale. Such axes now use live
+shard's OWN edge rows, frozen one trip stale. Such axes use live
 in-kernel rolls (exact AND faster: no collectives, no outer-round lag for
-their coupling). DIFFPISO_SHARD_FORCE_SLIVERS=1 forces the frozen-sliver
-program on extent-1 axes for A/B honesty: on the single-chip (1,1) mesh
-that measures the REAL multi-device program structure (still exact — the
-self-slivers are the true wrap rows, converged through the outer trips).
+their coupling); an ALL-extent-1 mesh takes a fast path in
+sharded_solvers() that keeps the full single-chip kernel program.
+DIFFPISO_SHARD_FORCE_SLIVERS=1 forces the frozen-sliver program for A/B
+honesty: on the single-chip (1,1) mesh that measures the REAL
+multi-device program structure (still exact — the self-slivers are the
+true wrap rows, converged through the outer trips).
+
+Measured decomposition of the sharded-vs-plain gap ((1,1) mesh, turb512,
+runs/ab_gap_decomp.log): plain 6532/1535 (fwd/grad30); plain with the
+FV/corrector/unmasked-assembly glue kernels OFF 5897/1485 (-10% — the
+no_pallas() glue share); sharded live-roll structure 3574/1041 — the
+remaining ~40% is the solver trip/launch structure + the assembly/stencil
+kernels GSPMD cannot partition. Real multi-chip meshes buy back the
+structure cost with N-way compute; the (1,1) case now bypasses it
+entirely (fast path).
 
 Shapes: shard_map needs mesh-divisible global dims. Staggered momentum
 components carry +1 faces on bounded axes; they are ZERO-padded to
