@@ -384,6 +384,19 @@ def bench_grad(step, vel0, p0, unroll, reps, remat=False, trace_ctx=None):
 # -- workloads -----------------------------------------------------------------------
 
 
+def _remat2d():
+    """Grad-protocol remat policy for the 2-D workloads
+    (DIFFPISO_BENCH_REMAT2D: outputs | none). Default 'outputs' by A/B
+    (runs/ab_remat512.log): turb512 grad30 1822/1797 vs 1557/1554 (+16%) —
+    the backward keeps only the solve outputs + scan carries
+    (save_only_these_names('diffpiso_solve_out')) and replays the
+    assembly/FV chains instead of round-tripping every forward
+    intermediate through HBM. Gradient parity pinned by
+    tests/test_gradient_fidelity.py::test_remat_policies_gradient_parity."""
+    mode = os.environ.get("DIFFPISO_BENCH_REMAT2D", "outputs")
+    return "outputs" if mode == "outputs" else False
+
+
 def workload_turbulence(args):
     domain, sim, step, initial_state = build_turbulence(
         args.n, args.tol, p_tol=args.p_tol
@@ -407,9 +420,18 @@ def workload_turbulence(args):
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 8)
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll,
+                                          1 if args.quick else 8,
+                                          remat=_remat2d())
         out["grad30_steps_per_sec"] = round(grad_sps, 3)
         out["grad_pressure_iters_per_step"] = [round(float(x), 2) for x in grad_iters]
+        if _remat2d():
+            out["grad_protocol"] = (
+                "jax.checkpoint(policy=save_only_these_names("
+                "'diffpiso_solve_out')): backward replays assembly/FV, "
+                "never the Krylov loops (+16% at turb512, "
+                "runs/ab_remat512.log)"
+            )
     return out
 
 
@@ -487,9 +509,18 @@ def workload_cavity(args):
     }
     if not args.fwd_only:
         unroll = 5 if args.quick else 30
-        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll, 1 if args.quick else 8)
+        grad_sps, grad_iters = bench_grad(step, vel_d, p_d, unroll,
+                                          1 if args.quick else 8,
+                                          remat=_remat2d())
         out["grad30_steps_per_sec"] = round(grad_sps, 3)
         out["grad_pressure_iters_per_step"] = [round(float(x), 2) for x in grad_iters]
+        if _remat2d():
+            out["grad_protocol"] = (
+                "jax.checkpoint(policy=save_only_these_names("
+                "'diffpiso_solve_out')): backward replays assembly/FV, "
+                "never the Krylov loops (+16% at turb512, "
+                "runs/ab_remat512.log)"
+            )
     return out
 
 
@@ -573,8 +604,14 @@ def workload_dns(args, hrres=(128, 512)):
                 advection_tol=args.tol, pressure_tol=args.tol,
             )
 
-        g_sps, g_iters = bench_grad(grad_step, vel, p, 30, 8)
+        g_sps, g_iters = bench_grad(grad_step, vel, p, 30, 8,
+                                    remat=_remat2d())
         out["grad30_steps_per_sec"] = round(g_sps, 3)
+        if _remat2d():
+            out["grad_protocol"] = (
+                "jax.checkpoint(policy=save_only_these_names("
+                "'diffpiso_solve_out'))"
+            )
         out["grad_pressure_iters_per_step"] = [
             round(float(x), 2) for x in np.asarray(g_iters).reshape(-1)
         ]

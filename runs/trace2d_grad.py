@@ -32,10 +32,20 @@ import jax.numpy as jnp
 forcing0 = jax.tree_util.tree_map(jnp.zeros_like, vel)
 
 
+# r5: the grad protocol wraps the step in the 'outputs' remat policy
+# (bench._remat2d default — backward replays assembly/FV, never solves);
+# trace the SAME program bench_grad now times
+step_fn = jax.checkpoint(
+    step,
+    policy=jax.checkpoint_policies.save_only_these_names(
+        "diffpiso_solve_out"),
+)
+
+
 def loss_fn(forcing, vel, p):
     def body(carry, _):
         vel, p, g1, g2 = carry
-        out = step(vel, p, g1, g2, forcing)
+        out = step_fn(vel, p, g1, g2, forcing)
         return (
             out.velocity, out.pressure, out.pressure_inc1, out.pressure_inc2,
         ), (out.p_iterations, out.warn)
