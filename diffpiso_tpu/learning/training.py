@@ -77,6 +77,15 @@ class TrainingConfig:
     # post-chunk state (updates of warned iterations are still skipped
     # in-graph per iteration, exactly as at scan_chunk=1).
     scan_chunk: int = 1
+    # Rollout remat policy: "outputs" wraps each rollout step in
+    # jax.checkpoint(policy=save_only_these_names('diffpiso_solve_out')) —
+    # the backward keeps only the solve outputs + scan carries and replays
+    # the assembly/FV chains, never a Krylov loop (the r5 bench grad
+    # protocol: +16% grad30 at turb512, runs/ab_remat512.log; gradient
+    # parity pinned by tests/test_gradient_fidelity.py). "none" stores the
+    # full forward; "step" is whole-step remat (max memory savings, solve
+    # replays).
+    remat: str = "outputs"
 
 
 def _centered_gradient(p: jax.Array, dx) -> jax.Array:
@@ -129,6 +138,35 @@ def make_rollout_fn(setup: MixingLayerSetup, cfg: TrainingConfig, with_network: 
             )
         )
 
+    def step_core(params, vel, p, pert):
+        forcing = nn_forcing(params, vel, p) if with_network else None
+        dv = setup.dirichlet_values(pert)
+        out = piso_step(
+            vel,
+            p,
+            setup.dt,
+            domain,
+            setup.sim,
+            dirichlet_values=dv,
+            forcing_term=forcing,
+            advection_tol=cfg.advection_tol,
+            pressure_tol=cfg.pressure_tol,
+        )
+        return out.velocity, out.pressure, out.warn
+
+    import os
+
+    remat = os.environ.get("DIFFPISO_TRAIN_REMAT",
+                           getattr(cfg, "remat", "outputs"))
+    if remat == "outputs":
+        step_core = jax.checkpoint(
+            step_core,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "diffpiso_solve_out"),
+        )
+    elif remat == "step":
+        step_core = jax.checkpoint(step_core)
+
     def rollout(params, vel0, p0, perturbations):
         def body(carry, inp):
             vel, p, warn_acc = carry
@@ -140,22 +178,10 @@ def make_rollout_fn(setup: MixingLayerSetup, cfg: TrainingConfig, with_network: 
             )
             p = jnp.where(cut, jax.lax.stop_gradient(p), p)
 
-            forcing = nn_forcing(params, vel, p) if with_network else None
-            dv = setup.dirichlet_values(pert)
-            out = piso_step(
-                vel,
-                p,
-                setup.dt,
-                domain,
-                setup.sim,
-                dirichlet_values=dv,
-                forcing_term=forcing,
-                advection_tol=cfg.advection_tol,
-                pressure_tol=cfg.pressure_tol,
-            )
-            return (out.velocity, out.pressure, warn_acc | out.warn), (
-                out.velocity,
-                out.pressure,
+            vel_out, p_out, warn = step_core(params, vel, p, pert)
+            return (vel_out, p_out, warn_acc | warn), (
+                vel_out,
+                p_out,
             )
 
         idxs = jnp.arange(cfg.step_count)
