@@ -279,6 +279,13 @@ def _bridge1_tiled_call(f0, f1, dxprod, dtype, tile, ops, beta_arr):
         in_specs=specs,
         out_specs=tuple(tile_spec for _ in range(5)),
         interpret=_INTERPRET,
+        # explicit ceiling: the default 16 MiB scope OOM'd by 640K when
+        # the r5 'outputs' remat replays this call inside the backward
+        # while-body (runs/ab_mm_dct.log, turb1024 grad) — the ~35
+        # resident tile blocks + temps need headroom there
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(*args)
 
 
@@ -307,6 +314,9 @@ def _tail2_tiled_call(f0, f1, dxprod, dtype, tile, p_inc, vel_s2, h, bma):
         in_specs=[tile_spec, up_spec] + [tile_spec] * 6,
         out_specs=(tile_spec, tile_spec),
         interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(p_inc, p_inc, vel_s2[0], vel_s2[1], h[0], h[1], bma[0], bma[1])
 
 

@@ -52,9 +52,6 @@ def _mxu_compiler_params():
 
 # tests flip this to run the exact production kernels on CPU
 _INTERPRET = False
-# tests flip this to exercise the pre-split bf16x3 mm-update branch
-# (TPU-only in production) under interpret mode
-_FORCE_SPLIT = False
 
 
 def _krylov_plumbing_ok(shape, dtype, rank=2) -> bool:
@@ -1753,33 +1750,36 @@ def fused_pcg3_solve(lap, b, x0, solver_mm, weights, tol, max_iter,
 # -- fused preconditioned-update: z = M^-1 r folded into the PCG p-update ---------
 
 
-def _pcg_mm_update_kernel(split, precision, *refs):
+def _pcg_mm_update_kernel(precision, v0, v1, symbol, rz_old, r, p,
+                          out_p, out_rz):
     # z = V0^T ((V0 r V1^T) / S) V1 (the spectral inverse; S = safe symbol
     # with +inf at singular modes, computed outside — see _spectral_kernel's
     # VMEM note); rz' = r.z; beta = rz'/rz_old; p' = z + beta p — one
-    # launch, z never round-trips HBM
-    if split:
-        # Precision.HIGH (the pcg2 treatment: Mosaic only lowers DEFAULT/
-        # HIGHEST, so HIGH runs as the manual 3-pass bf16 decomposition —
-        # hi*hi + hi*lo + lo*hi, same passes AND arithmetic as XLA-HIGH).
-        # r5: the hi/lo splits arrive PRE-SPLIT as bf16 operands — the
-        # bases are trace-time constants, so XLA folds the split at
-        # compile time, where the r4 kernel re-split the full f32 bases on
-        # EVERY launch (2 extra VPU passes over basis bytes per iteration
-        # — ~36 MiB at the DNS 512x2048 basis sizes, the per-iteration
-        # overhead behind the dct-family LARGE-tier loss,
-        # runs/ab_phase_large.log)
-        (v0_hi, v0_lo, v1_hi, v1_lo, symbol, rz_old, r, p,
-         out_p, out_rz) = refs
-        rv = r[:]
-        h = _bf16x3_dot(v0_hi[:], v0_lo[:], rv, ((1,), (0,)), True)
-        h = _bf16x3_dot(v1_hi[:], v1_lo[:], h, ((1,), (1,)), False)
+    # launch, z never round-trips HBM.
+    # NOTE (r5, runs/ab_mm_dct.log): hoisting the hi/lo splits to
+    # pre-split bf16 OPERANDS (constant-folded in XLA) was tried and
+    # REVERTED — it degraded the preconditioner (turb1024 fwd pressure
+    # iters 1.0 -> 2.0, 830 -> 682 steps/s): the in-kernel split feeding
+    # Mosaic's dot keeps more effective precision than external bf16
+    # operands. Keep the split in-kernel.
+    rv = r[:]
+    if precision == jax.lax.Precision.HIGH and not _INTERPRET:
+        # the pcg2 treatment: Mosaic only lowers DEFAULT/HIGHEST, so the
+        # production HIGH runs as the manual 3-pass bf16 decomposition
+        # (hi*hi + hi*lo + lo*hi) — same passes AND same arithmetic as
+        # XLA-HIGH, half the passes of the HIGHEST coercion that made the
+        # r3 fused-spectral kernels lose
+        v0v, v1v = v0[:], v1[:]
+        v0_hi = v0v.astype(jnp.bfloat16)
+        v0_lo = (v0v - v0_hi.astype(v0v.dtype)).astype(jnp.bfloat16)
+        v1_hi = v1v.astype(jnp.bfloat16)
+        v1_lo = (v1v - v1_hi.astype(v1v.dtype)).astype(jnp.bfloat16)
+        h = _bf16x3_dot(v0_hi, v0_lo, rv, ((1,), (0,)), True)
+        h = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (1,)), False)
         h = h / symbol[:]
-        h = _bf16x3_dot(v0_hi[:], v0_lo[:], h, ((0,), (0,)), True)
-        z = _bf16x3_dot(v1_hi[:], v1_lo[:], h, ((1,), (0,)), False)
+        h = _bf16x3_dot(v0_hi, v0_lo, h, ((0,), (0,)), True)
+        z = _bf16x3_dot(v1_hi, v1_lo, h, ((1,), (0,)), False)
     else:
-        v0, v1, symbol, rz_old, r, p, out_p, out_rz = refs
-        rv = r[:]
         prec = _mosaic_precision(precision)
         h = _dot(v0[:], rv, ((1,), (0,)), prec)
         h = _dot(h, v1[:], ((1,), (1,)), prec)
@@ -1793,44 +1793,26 @@ def _pcg_mm_update_kernel(split, precision, *refs):
     out_rz[0] = rz_new
 
 
-def _bf16_split(v):
-    """hi/lo bf16 split of an f32 operand (v = hi + lo exactly at bf16x3
-    accuracy). On trace-time-constant bases XLA folds this at compile."""
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(v.dtype)).astype(jnp.bfloat16)
-    return hi, lo
-
-
 def fused_pcg_mm_update(v0, v1, symbol, rz_old, r, p, precision):
     """Spectral-preconditioned PCG update in ONE launch: z = M^-1 r (4 MXU
     contractions, spectrum resident in VMEM), rz' = r.z, beta, p' = z+beta p.
     For the z0 init call with p = zeros and rz_old = 1: p' = z0, rz' = r0.z0.
-    Precision.HIGH runs natively via the bf16x3 decomposition with the
-    hi/lo splits hoisted to (constant-folded) operands; everything else
-    coerces as before."""
+    Precision.HIGH runs natively via the in-kernel bf16x3 decomposition
+    (see _bf16x3_dot); everything else coerces as before."""
     s = jax.ShapeDtypeStruct(p.shape, p.dtype)
     one = jax.ShapeDtypeStruct((1,), p.dtype)
-    split = precision == jax.lax.Precision.HIGH and (
-        not _INTERPRET or _FORCE_SPLIT
-    )
-    if split:
-        basis_args = _bf16_split(v0) + _bf16_split(v1)
-    else:
-        basis_args = (v0, v1)
-    auto = _auto_compiler_params(*basis_args, symbol, r, p, extra_planes=6)
+    auto = _auto_compiler_params(v0, v1, symbol, r, p, extra_planes=6)
     po, rz = pl.pallas_call(
-        functools.partial(_pcg_mm_update_kernel, split, precision),
+        functools.partial(_pcg_mm_update_kernel, precision),
         out_shape=(s, one),
-        in_specs=(_vmem_specs(len(basis_args) + 1) + _smem_specs(1)
-                  + _vmem_specs(2)),
+        in_specs=_vmem_specs(3) + _smem_specs(1) + _vmem_specs(2),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=_INTERPRET,
         compiler_params=auto if auto is not None else _mxu_compiler_params(),
-    )(*basis_args, symbol, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)),
-      r, p)
+    )(v0, v1, symbol, jnp.reshape(jnp.asarray(rz_old, r.dtype), (1,)), r, p)
     return po, rz[0]
 
 
@@ -1865,9 +1847,9 @@ def mm_update_large_eligible(shape, dtype, kinds=None) -> bool:
     plane = n0 * n1 * itemsize
     if plane > _LARGE_PLANE_BYTES:
         return False
-    # pre-split bf16 bases (same bytes as the f32 originals) + symbol/r/p
-    # /out + ~4 contraction temps must fit under the 127 MiB ceiling
-    total = (n0 * n0 + n1 * n1) * itemsize + 8 * plane
+    # bases (+ their in-kernel bf16 hi/lo splits = +1x) + symbol/r/p/out
+    # + ~4 contraction temps must fit under the 127 MiB ceiling
+    total = 2 * (n0 * n0 + n1 * n1) * itemsize + 8 * plane
     return total + 2 * 1024 * 1024 <= 127 * 1024 * 1024
 
 

@@ -867,40 +867,6 @@ def test_pcg2_eligibility_adjoint_gate(monkeypatch):
     assert not elig(aligned, jnp.float64)
 
 
-def test_fused_pcg_mm_update_presplit_matches_unsplit(monkeypatch):
-    """The r5 pre-split bf16x3 branch (hi/lo basis splits hoisted to
-    constant-folded operands) must reproduce the in-kernel-f32 branch to
-    bf16x3 accuracy: same z = M^-1 r up to the 3-pass decomposition's
-    rounding, identical launch semantics (p' = z + beta p, rz' = r.z)."""
-    from diffpiso_tpu.solvers import fourier as fo
-    from diffpiso_tpu.solvers.pallas_krylov import fused_pcg_mm_update
-
-    _force_fused(monkeypatch)
-    shape = (16, 32)
-    solver = fo.MatmulSpectralSolver(kinds=("dct2", "dct4"), shape=shape)
-    rng = np.random.RandomState(5)
-    w = (jnp.asarray(1.3, jnp.float32), jnp.asarray(0.8, jnp.float32))
-    v0, v1 = solver._mats(jnp.float32)
-    sym = fo._safe_symbol(solver, w, jnp.float32)
-    r = jnp.asarray(rng.randn(*shape), jnp.float32)
-    p = jnp.asarray(rng.randn(*shape), jnp.float32)
-    rz_old = 0.37
-    # reference: interpret-mode unsplit branch (HIGHEST-coerced f32 dots)
-    p_ref, rz_ref = fused_pcg_mm_update(
-        v0, v1, sym, rz_old, r, p, jax.lax.Precision.HIGH
-    )
-    monkeypatch.setattr(pallas_krylov, "_FORCE_SPLIT", True)
-    p_sp, rz_sp = fused_pcg_mm_update(
-        v0, v1, sym, rz_old, r, p, jax.lax.Precision.HIGH
-    )
-    # bf16x3 vs full-f32 differs by the 3-pass decomposition's rounding
-    # (interpret's unsplit branch runs f32 dots on CPU) — the contract is
-    # norm-relative: ~1e-5 of the output magnitude (measured 5e-6)
-    a, b = np.asarray(p_sp), np.asarray(p_ref)
-    assert np.abs(a - b).max() < 1e-4 * np.abs(b).max()
-    assert abs(float(rz_sp) - float(rz_ref)) < 1e-4 * abs(float(rz_ref))
-
-
 def test_mm_update_large_eligible_all_mode(monkeypatch):
     """DIFFPISO_FUSED_KRYLOV_LARGE=all lifts the fourier-only family
     restriction (the r5 re-measurement mode); auto keeps it."""
