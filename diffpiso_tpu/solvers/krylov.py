@@ -834,6 +834,17 @@ def pcg(
                 v0m, v1m = solver_mm._mats(leaf.dtype)
                 sym_mm = _safe_symbol(solver_mm, w_mm, leaf.dtype)
                 prec_mm = solver_mm._precision()
+                # 'all-highest' (runs/ab_mm_dct.py): non-fourier bases pay
+                # ~3x iterations under the in-kernel bf16x3 HIGH chain
+                # (the r5 diagnosis at the dct gate) — coerce their
+                # contractions to Mosaic HIGHEST (true f32 quality, 6
+                # passes) and trade passes for iterations
+                from diffpiso_tpu.solvers.pallas_krylov import _large_mode
+
+                if _large_mode() == "all-highest" and any(
+                    k != "fourier" for k in solver_mm.kinds
+                ):
+                    prec_mm = jax.lax.Precision.HIGHEST
                 zeros_leaf = jnp.zeros_like(leaf)
 
                 def mm_update(rz_old, r_, p_):

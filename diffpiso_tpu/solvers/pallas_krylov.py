@@ -121,8 +121,9 @@ def eligible(shape, dtype, large_kinds=None) -> bool:
     # shape-only gate. Mode 'all' lifts the family restriction (the r5
     # re-measurement with hoisted bf16 splits — see
     # mm_update_large_eligible).
-    if _large_mode() != "all" and large_kinds is not None and any(
-        k != "fourier" for k in large_kinds
+    if _large_mode() not in ("all", "all-highest") and (
+        large_kinds is not None
+        and any(k != "fourier" for k in large_kinds)
     ):
         return False
     return True
@@ -1836,7 +1837,7 @@ def mm_update_large_eligible(shape, dtype, kinds=None) -> bool:
     mode = _large_mode()
     if mode == "never":
         return False
-    if mode != "all" and kinds is not None and any(
+    if mode not in ("all", "all-highest") and kinds is not None and any(
         k != "fourier" for k in kinds
     ):
         return False

@@ -1,19 +1,16 @@
 """r5 A/B: the LARGE-tier mm-update for the BOUNDED (dct-family) DNS solve.
 
-r4 measured the dct2-basis LARGE tier LOSING 26% grad30 at the 512x2048
-mixing layer (runs/ab_phase_large.log) and gated it to fourier-only. The
-r5 diagnosis: the kernel re-split the f32 eigenbases to bf16 hi/lo on
-EVERY launch — at the DNS basis sizes (512^2 + 2048^2 = 17.8 MiB f32)
-that is ~36 MiB of per-iteration VPU traffic, ~2.2x the per-plane basis
-cost of the fourier shapes that won. The splits are now hoisted to
-constant-folded operands (pallas_krylov._bf16_split).
+Round 1 of this A/B (log head) diagnosed the r4 dct loss: forcing the
+tier on the dct2xdct4 basis (mode 'all', in-kernel bf16x3 HIGH) inflates
+pressure iterations ~3x (grad [1.73,1.1] -> [5.4,3.1], grad30 110.8 ->
+17.9) — preconditioner PRECISION, not launch overhead. It also vetoed
+the pre-split-operand variant (fourier turb1024 iters 1.0 -> 2.0, fwd
+830 -> 682): the in-kernel split is load-bearing; reverted.
 
-Modes at dns 512x2048 (fwd 100-step scan chunks + grad30, 2 reps):
-  auto — fourier-only family gate: dns runs the pure XLA loop (r4 winner)
-  all  — DIFFPISO_FUSED_KRYLOV_LARGE=all: phase kernels + pre-split
-         mm-update on the dct2xdct4 basis
-Also re-measures turb1024 auto (fourier) to confirm the hoist holds its
-r4 win (+13% fwd) — a regression there vetoes the change.
+Round 2 (appended): mode 'all-highest' — the dct-family contractions
+coerce to Mosaic HIGHEST (true f32 quality, 6 passes), trading passes
+for the 3x iterations. Arms at dns 512x2048: auto (XLA loop, the
+incumbent) vs all-highest.
 """
 import os
 import sys
@@ -50,7 +47,6 @@ def run(tag, workload, mode):
 
 
 for rep in range(2):
-    for workload, mode in (("dns", "auto"), ("dns", "all"),
-                           ("turb1024", "auto")):
+    for workload, mode in (("dns", "auto"), ("dns", "all-highest")):
         run(f"rep{rep}", workload, mode)
 print(results)
