@@ -320,6 +320,167 @@ def _tail2_tiled_call(f0, f1, dxprod, dtype, tile, p_inc, vel_s2, h, bma):
     )(p_inc, p_inc, vel_s2[0], vel_s2[1], h[0], h[1], bma[0], bma[1])
 
 
+def _bwd_variant(shape, dtype):
+    """Fused-VJP gate (DIFFPISO_FUSED_CORR_BWD, default auto): the hand
+    -transposed bridge backward holds ~45 planes (17 primal inputs + 5
+    cotangents + 17 cotangent outputs + recompute temps) — monolithic up
+    to the 512^2 class (~48 MiB under a 96 MiB ceiling); larger planes
+    keep the jax.vjp XLA recompute (the r4 behavior)."""
+    if os.environ.get("DIFFPISO_FUSED_CORR_BWD", "auto") == "never":
+        return None
+    if _variant(shape, dtype) is None:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    plane = shape[0] * shape[1] * itemsize
+    if 48 * plane <= 64 * 1024 * 1024:
+        return "mono"
+    return None
+
+
+def _bridge1_bwd_kernel(f0, f1, dxprod, *refs):
+    """Hand transpose of _bridge1_jnp in ONE launch: recompute the cheap
+    chain values (grad/delta/h) from the saved primal inputs, then
+    accumulate every input cotangent. Replaces the r4 backward's
+    jax.vjp(jnp_impl) — which re-ran the forward chain in XLA (the
+    linearization) AND its transpose, ~30 fusions per unrolled step."""
+    (p, v0, v1, b0, b1,
+     c0, l00, h00, l01, h01,
+     c1, l10, h10, l11, h11,
+     dA0, dA1, sc,
+     cv0, cv1, ch0, ch1, cdiv,
+     o_beta, o_p, o_v0, o_v1, o_b0, o_b1,
+     o_c0, o_l00, o_h00, o_l01, o_h01,
+     o_c1, o_l10, o_h10, o_l11, o_h11,
+     o_dA0, o_dA1) = refs
+    beta = sc[0]
+    pv = p[:]
+    b0v, b1v = b0[:], b1[:]
+    # recompute the forward chain values the cotangents need
+    g0 = (pv - _roll(pv, 1, 0)) * f0
+    g1 = (pv - _roll(pv, 1, 1)) * f1
+    d0 = -g0 / (b0v * dxprod)
+    d1 = -g1 / (b1v * dxprod)
+    q0 = c0[:] * d0
+    q0 = q0 + l00[:] * _roll(d0, 1, 0)
+    q0 = q0 + h00[:] * _roll(d0, -1, 0)
+    q0 = q0 + l01[:] * _roll(d0, 1, 1)
+    q0 = q0 + h01[:] * _roll(d0, -1, 1)
+    h0v = q0 - (dA0[:] - beta) * d0
+    q1 = c1[:] * d1
+    q1 = q1 + l10[:] * _roll(d1, 1, 0)
+    q1 = q1 + h10[:] * _roll(d1, -1, 0)
+    q1 = q1 + l11[:] * _roll(d1, 1, 1)
+    q1 = q1 + h11[:] * _roll(d1, -1, 1)
+    h1v = q1 - (dA1[:] - beta) * d1
+    # 1. hdiv -> h_over: transpose of (roll(x,-1,d) - x) * f_d
+    cdv = cdiv[:]
+    cho0 = (_roll(cdv, 1, 0) - cdv) * f0
+    cho1 = (_roll(cdv, 1, 1) - cdv) * f1
+    # 2. h_over = h / b
+    chh0 = ch0[:] + cho0 / b0v
+    chh1 = ch1[:] + cho1 / b1v
+    cb0 = -cho0 * h0v / (b0v * b0v)
+    cb1 = -cho1 * h1v / (b1v * b1v)
+    # 3. h = q - (dA - beta) delta
+    cd0 = -(dA0[:] - beta) * chh0
+    cd1 = -(dA1[:] - beta) * chh1
+    o_dA0[:] = -chh0 * d0
+    o_dA1[:] = -chh1 * d1
+    o_beta[0] = jnp.sum(chh0 * d0) + jnp.sum(chh1 * d1)
+    # 4. q: coefficient cotangents + S^T into delta
+    o_c0[:] = chh0 * d0
+    o_l00[:] = chh0 * _roll(d0, 1, 0)
+    o_h00[:] = chh0 * _roll(d0, -1, 0)
+    o_l01[:] = chh0 * _roll(d0, 1, 1)
+    o_h01[:] = chh0 * _roll(d0, -1, 1)
+    o_c1[:] = chh1 * d1
+    o_l10[:] = chh1 * _roll(d1, 1, 0)
+    o_h10[:] = chh1 * _roll(d1, -1, 0)
+    o_l11[:] = chh1 * _roll(d1, 1, 1)
+    o_h11[:] = chh1 * _roll(d1, -1, 1)
+    cd0 = cd0 + c0[:] * chh0
+    cd0 = cd0 + _roll(l00[:] * chh0, -1, 0)
+    cd0 = cd0 + _roll(h00[:] * chh0, 1, 0)
+    cd0 = cd0 + _roll(l01[:] * chh0, -1, 1)
+    cd0 = cd0 + _roll(h01[:] * chh0, 1, 1)
+    cd1 = cd1 + c1[:] * chh1
+    cd1 = cd1 + _roll(l10[:] * chh1, -1, 0)
+    cd1 = cd1 + _roll(h10[:] * chh1, 1, 0)
+    cd1 = cd1 + _roll(l11[:] * chh1, -1, 1)
+    cd1 = cd1 + _roll(h11[:] * chh1, 1, 1)
+    # 5. vel_s2 = vel_star + delta
+    o_v0[:] = cv0[:]
+    o_v1[:] = cv1[:]
+    cd0 = cd0 + cv0[:]
+    cd1 = cd1 + cv1[:]
+    # 6. delta = -g / (b * dxprod)
+    cg0 = -cd0 / (b0v * dxprod)
+    cg1 = -cd1 / (b1v * dxprod)
+    o_b0[:] = cb0 - cd0 * d0 / b0v
+    o_b1[:] = cb1 - cd1 * d1 / b1v
+    # 7. g = (p - roll(p,1,d)) * f_d
+    o_p[:] = (cg0 - _roll(cg0, -1, 0)) * f0 + (cg1 - _roll(cg1, -1, 1)) * f1
+
+
+def _bridge1_bwd_call(f0, f1, dxprod, dtype, primal_ops, beta_arr, cts):
+    s = jax.ShapeDtypeStruct(primal_ops[0].shape, dtype)
+    one = jax.ShapeDtypeStruct((1,), dtype)
+    nbytes = primal_ops[0].size * jnp.dtype(dtype).itemsize
+    outs = pl.pallas_call(
+        functools.partial(_bridge1_bwd_kernel, f0, f1, dxprod),
+        out_shape=(one,) + (s,) * 17,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(primal_ops)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),)
+        + tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(17)),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 * 1024 * 1024,
+                                 max(64 * 1024 * 1024, 52 * nbytes)),
+        ),
+    )(*primal_ops, beta_arr, *cts)
+    return outs
+
+
+def _tail2_bwd_kernel(f0, f1, dxprod, p, v0, v1, h0, h1, b0, b1,
+                      ct0, ct1,
+                      o_p, o_v0, o_v1, o_h0, o_h1, o_b0, o_b1):
+    """Hand transpose of _tail2_jnp: vs3_d = v_d + (h_d - g_d/P)/b_d."""
+    pv = p[:]
+    b0v, b1v = b0[:], b1[:]
+    g0 = (pv - _roll(pv, 1, 0)) * f0
+    g1 = (pv - _roll(pv, 1, 1)) * f1
+    c0v, c1v = ct0[:], ct1[:]
+    o_v0[:] = c0v
+    o_v1[:] = c1v
+    o_h0[:] = c0v / b0v
+    o_h1[:] = c1v / b1v
+    o_b0[:] = -c0v * (h0[:] - g0 / dxprod) / (b0v * b0v)
+    o_b1[:] = -c1v * (h1[:] - g1 / dxprod) / (b1v * b1v)
+    cg0 = -c0v / (b0v * dxprod)
+    cg1 = -c1v / (b1v * dxprod)
+    o_p[:] = (cg0 - _roll(cg0, -1, 0)) * f0 + (cg1 - _roll(cg1, -1, 1)) * f1
+
+
+def _tail2_bwd_call(f0, f1, dxprod, dtype, p_inc, vel_s2, h, bma, cts):
+    s = jax.ShapeDtypeStruct(p_inc.shape, dtype)
+    nbytes = p_inc.size * jnp.dtype(dtype).itemsize
+    return pl.pallas_call(
+        functools.partial(_tail2_bwd_kernel, f0, f1, dxprod),
+        out_shape=(s,) * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 * 1024 * 1024,
+                                 max(48 * 1024 * 1024, 20 * nbytes)),
+        ),
+    )(p_inc, vel_s2[0], vel_s2[1], h[0], h[1], bma[0], bma[1], *cts)
+
+
 def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
     """Fused corrector-1 bridge. vel_star/bma — component tuples; stencil —
     AdvectionStencil (periodic, both comps shaped like p_inc). Returns
@@ -379,6 +540,32 @@ def corrector1_bridge(p_inc, vel_star, bma, stencil, diag_A, beta, dx):
 
     def _bwd(res, ct):
         beta_, p_inc, vel_star, bma, st_c, st_lo, st_hi, diag_A = res
+        if _bwd_variant(p_inc.shape, dtype) == "mono":
+            # r5 fused VJP: ONE launch recomputes the chain and emits every
+            # input cotangent (the jax.vjp path re-ran the chain in XLA
+            # twice — linearization + transpose)
+            (cv, chh, cdiv) = ct
+            primal_ops = (
+                p_inc, vel_star[0], vel_star[1], bma[0], bma[1],
+                st_c[0], st_lo[0][0], st_hi[0][0], st_lo[0][1], st_hi[0][1],
+                st_c[1], st_lo[1][0], st_hi[1][0], st_lo[1][1], st_hi[1][1],
+                diag_A[0], diag_A[1],
+            )
+            beta_arr = jnp.stack([jnp.asarray(beta_, dtype)])
+            o = _bridge1_bwd_call(
+                f0, f1, dxprod, dtype, primal_ops, beta_arr,
+                (cv[0], cv[1], chh[0], chh[1], cdiv),
+            )
+            (ob, op, ov0, ov1, ob0, ob1,
+             oc0, ol00, oh00, ol01, oh01,
+             oc1, ol10, oh10, ol11, oh11, odA0, odA1) = o
+            return (
+                jnp.reshape(ob[0], jnp.shape(beta_)), op, (ov0, ov1),
+                (ob0, ob1), (oc0, oc1),
+                ((ol00, ol01), (ol10, ol11)),
+                ((oh00, oh01), (oh10, oh11)),
+                (odA0, odA1),
+            )
         _, vjp = jax.vjp(
             lambda b_, p, v, bm, c, lo, hi, dA: jnp_impl(
                 b_, p, v, bm, c, lo, hi, dA
@@ -454,6 +641,12 @@ def corrector2_tail(p_inc, vel_s2, h, bma, dx):
         return _tail(p_inc, vel_s2, h, bma), (p_inc, vel_s2, h, bma)
 
     def _bwd(res, ct):
+        p_inc_, vel_s2_, h_, bma_ = res
+        if _bwd_variant(p_inc_.shape, dtype) == "mono":
+            o = _tail2_bwd_call(f0, f1, dxprod, dtype, p_inc_, vel_s2_, h_,
+                                bma_, (ct[0], ct[1]))
+            op, ov0, ov1, oh0, oh1, ob0, ob1 = o
+            return op, (ov0, ov1), (oh0, oh1), (ob0, ob1)
         _, vjp = jax.vjp(jnp_impl, *res)
         return vjp(ct)
 

@@ -266,3 +266,68 @@ def test_full_step_with_bridge_matches_plain(monkeypatch):
         scale = float(jnp.max(jnp.abs(b))) or 1.0
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4 * scale)
+
+
+def test_fused_bwd_kernels_engage_and_match_all_cotangents(monkeypatch):
+    """The r5 fused VJP kernels (one launch per bridge/tail backward) must
+    (a) actually engage at the mono class and (b) reproduce autodiff
+    cotangents into EVERY input — beta, p, vel, bma, all stencil
+    coefficient planes, diag_A — not just the subset the older test
+    covers."""
+    _force(monkeypatch)
+    calls = []
+    orig_b = pc._bridge1_bwd_call
+    orig_t = pc._tail2_bwd_call
+    monkeypatch.setattr(pc, "_bridge1_bwd_call",
+                        lambda *a, **k: calls.append("b") or orig_b(*a, **k))
+    monkeypatch.setattr(pc, "_tail2_bwd_call",
+                        lambda *a, **k: calls.append("t") or orig_t(*a, **k))
+    p_inc, vel_star, bma, st = _inputs(seed=5)
+    dx = (0.15, 0.3)
+    dxprod = dx[0] * dx[1]
+
+    def loss_fused(beta, p, v, bm, c, lo, hi, dA):
+        st2 = AdvectionStencil(center=c, lo=lo, hi=hi, diag_A=dA)
+        v2, h, hdiv = pc.corrector1_bridge(p, v, bm, st2, dA, beta, dx)
+        v3 = pc.corrector2_tail(hdiv, v2, h, bm, dx)
+        return (sum(jnp.sum(x ** 2) for x in v3)
+                + sum(jnp.sum(x ** 3) for x in h) + jnp.sum(hdiv ** 2))
+
+    def loss_ref(beta, p, v, bm, c, lo, hi, dA):
+        f0, f1 = dxprod / dx[0], dxprod / dx[1]
+        v2, h, hdiv = pc._bridge1_jnp(f0, f1, dxprod, beta, p, v, bm,
+                                      c, lo, hi, dA)
+        v3 = pc._tail2_jnp(f0, f1, dxprod, hdiv, v2, h, bm)
+        return (sum(jnp.sum(x ** 2) for x in v3)
+                + sum(jnp.sum(x ** 3) for x in h) + jnp.sum(hdiv ** 2))
+
+    args = (jnp.asarray(1.7, jnp.float32), p_inc, vel_star, bma,
+            tuple(st.center), tuple(st.lo), tuple(st.hi), tuple(st.diag_A))
+    g_f = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    assert "b" in calls and "t" in calls, calls
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_r)):
+        scale = float(jnp.max(jnp.abs(b))) or 1.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_fused_bwd_gate(monkeypatch):
+    """DIFFPISO_FUSED_CORR_BWD=never keeps the jax.vjp recompute path."""
+    _force(monkeypatch)
+    monkeypatch.setenv("DIFFPISO_FUSED_CORR_BWD", "never")
+    calls = []
+    orig_b = pc._bridge1_bwd_call
+    monkeypatch.setattr(pc, "_bridge1_bwd_call",
+                        lambda *a, **k: calls.append("b") or orig_b(*a, **k))
+    p_inc, vel_star, bma, st = _inputs(seed=6)
+
+    def loss(p):
+        v2, h, hdiv = pc.corrector1_bridge(
+            p, vel_star, bma, st, st.diag_A, 2.0, (0.1, 0.1)
+        )
+        return jnp.sum(hdiv ** 2)
+
+    jax.grad(loss)(p_inc)
+    assert not calls
