@@ -321,12 +321,20 @@ def _tail2_tiled_call(f0, f1, dxprod, dtype, tile, p_inc, vel_s2, h, bma):
 
 
 def _bwd_variant(shape, dtype):
-    """Fused-VJP gate (DIFFPISO_FUSED_CORR_BWD, default auto): the hand
-    -transposed bridge backward holds ~45 planes (17 primal inputs + 5
-    cotangents + 17 cotangent outputs + recompute temps) — monolithic up
-    to the 512^2 class (~48 MiB under a 96 MiB ceiling); larger planes
-    keep the jax.vjp XLA recompute (the r4 behavior)."""
-    if os.environ.get("DIFFPISO_FUSED_CORR_BWD", "auto") == "never":
+    """Fused-VJP gate (DIFFPISO_FUSED_CORR_BWD, default NEVER — measured
+    regression): the hand-transposed bridge backward holds ~45 planes (17
+    primal inputs + 5 cotangents + 17 cotangent outputs + recompute
+    temps), monolithic up to the 512^2 class. A/B at the turb512 grad30
+    headline under the production 'outputs' remat protocol
+    (runs/ab_corr_bwd.log, 2 interleaved reps): never 1823/1821 vs auto
+    1481/1462 (-20%). Diagnosis: the remat replay already recomputes the
+    forward bridge chain in the backward pass, and XLA CSEs the jax.vjp
+    linearization into that replay — the "recompute" the fused kernel
+    saves is already free — while the 45-plane monolithic launch
+    serializes against the replay's fused chains and thrashes VMEM.
+    Re-flip condition: a win in runs/ab_corr_bwd.py under whatever grad
+    protocol is then the default. Set =auto to opt in (size-gated)."""
+    if os.environ.get("DIFFPISO_FUSED_CORR_BWD", "never") == "never":
         return None
     if _variant(shape, dtype) is None:
         return None

@@ -275,6 +275,9 @@ def test_fused_bwd_kernels_engage_and_match_all_cotangents(monkeypatch):
     coefficient planes, diag_A — not just the subset the older test
     covers."""
     _force(monkeypatch)
+    # default is never (measured -20% at the turb512 grad30 headline,
+    # runs/ab_corr_bwd.log) — opt in to exercise the kernels
+    monkeypatch.setenv("DIFFPISO_FUSED_CORR_BWD", "auto")
     calls = []
     orig_b = pc._bridge1_bwd_call
     orig_t = pc._tail2_bwd_call
