@@ -644,12 +644,15 @@ def workload_training(args):
         simulation={"HRres": res, "dt": 0.4},
         max_iterations=(200, 2000),
     )
+    batch = getattr(args, "batch", 1) or 1
     cfg = TrainingConfig(
         step_count=10, loss_influence_range=10, padding="VALID",
         advection_tol=args.tol, pressure_tol=args.tol,
         network_dtype=getattr(args, "network_dtype", None),
+        # measured-best per regime (runs/ab_train_remat.log): 'outputs'
+        # +57% at batch 1, -5% under the batch-8 vmapped rollout
+        remat="outputs" if batch == 1 else "none",
     )
-    batch = getattr(args, "batch", 1) or 1
     rollout_fn = make_rollout_fn(setup, cfg)
     loss_fn = make_loss_fn(setup, cfg, rollout_fn)
     optimizer = optax.adam(1e-5)

@@ -84,7 +84,12 @@ class TrainingConfig:
     # protocol: +16% grad30 at turb512, runs/ab_remat512.log; gradient
     # parity pinned by tests/test_gradient_fidelity.py). "none" stores the
     # full forward; "step" is whole-step remat (max memory savings, solve
-    # replays).
+    # replays). TPU training A/B at 64x256 (runs/ab_train_remat.log):
+    # "outputs" wins +57% at batch 1 (38.9 -> 62.3 it/s; chunked 48 ->
+    # 87.8) but loses ~5% under the batch-8 vmapped rollout (134 -> 127
+    # samples/s — the replay re-runs per-SAMPLE work while the stash it
+    # saves amortized across the batch), so prefer "none" for vmapped
+    # batched training. DIFFPISO_TRAIN_REMAT overrides.
     remat: str = "outputs"
 
 
