@@ -336,11 +336,14 @@ def _batched_pallas_mode(vel0, threshold=512 * 512):
     (leaves carry a leading batch axis, so a 2-D sample is a rank-3 leaf):
     'auto' once the largest component plane reaches the measured winning
     scale (512^2 — batch-4 A/B fwd +29%, grad10 +23%, 2 full interleaved
-    reps, runs/ab_batched_512_r4.log), 'never' below it
-    (batch-8 64x256 measured -7%, runs/ab_batched_pallas.log). Rank-4
-    leaves (batched 3-D volumes) resolve to 'never': no 3-D batched A/B
-    exists, and the trailing-two-axes product would misclassify a 64^3
-    volume as a 512^2 plane."""
+    reps, runs/ab_batched_512_r4.log), 'fold' below it: all-XLA (the
+    grid-over-batch kernels measured -7% there,
+    runs/ab_batched_pallas.log) EXCEPT the batch-FOLDED whole-solve
+    momentum kernel — one program holding all B samples' planes in VMEM
+    (pallas_krylov jac2_fold) — which replaces the intercept-bound solve
+    while-loops. Rank-4 leaves (batched 3-D volumes) resolve to 'never':
+    no 3-D batched A/B exists, and the trailing-two-axes product would
+    misclassify a 64^3 volume as a 512^2 plane."""
     mode = os.environ.get("DIFFPISO_BATCHED_PALLAS", "size")
     if mode != "size":
         return mode
@@ -351,7 +354,11 @@ def _batched_pallas_mode(vel0, threshold=512 * 512):
             return "never"
         if len(shape) == 3:
             elems = max(elems, int(np.prod(shape[-2:])))
-    return "auto" if elems >= threshold else "never"
+    if elems >= threshold:
+        return "auto"
+    if os.environ.get("DIFFPISO_FUSED_JAC2_FOLD", "auto") == "never":
+        return "never"
+    return "fold"
 
 
 def make_batched_train_step(loss_fn, optimizer, mesh=None,
@@ -420,12 +427,21 @@ def make_batched_train_step(loss_fn, optimizer, mesh=None,
         # scale (512^2 per-sample component planes).
         from diffpiso_tpu.ops.pallas_stencil import (
             batched_safe_pallas,
+            fold_only_pallas,
             no_pallas,
         )
+        import contextlib
 
         batched_mode = "never" if force_no_pallas else _batched_pallas_mode(vel0)
-        ctx = batched_safe_pallas() if batched_mode == "auto" else no_pallas()
-        with ctx:
+        with contextlib.ExitStack() as stack:
+            if batched_mode == "auto":
+                stack.enter_context(batched_safe_pallas())
+            else:
+                stack.enter_context(no_pallas())
+                if batched_mode == "fold":
+                    # small-plane batched trace: all-XLA except the
+                    # batch-folded whole-solve momentum kernel
+                    stack.enter_context(fold_only_pallas())
             losses, warns, parts, grads, valids = jax.vmap(one)(
                 vel0, p0, targets, perts
             )

@@ -101,6 +101,34 @@ def batched_safe_pallas():
     return _ctx()
 
 
+# fold-only escape depth (r5): small-plane BATCHED traces run all-XLA
+# (no_pallas — the measured-winning baseline, runs/ab_batched_pallas.log)
+# EXCEPT the batch-FOLDED whole-solve momentum kernel, whose vmap rule
+# holds all B samples in one VMEM-resident program and so does not pay the
+# grid serialization that made the other kernels lose there. Only
+# jac2_eligible (solvers/pallas_krylov.py) consults this depth.
+_FOLD_OK_DEPTH = 0
+
+
+def fold_only_pallas():
+    """Trace-time context: no_pallas() semantics for every kernel EXCEPT
+    the batch-folded whole-solve momentum dispatch (jac2). Enter INSIDE
+    the jit body around the vmapped region, nested with no_pallas() —
+    see make_batched_train_step."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _FOLD_OK_DEPTH
+        _FOLD_OK_DEPTH += 1
+        try:
+            yield
+        finally:
+            _FOLD_OK_DEPTH -= 1
+
+    return _ctx()
+
+
 def _roll(x, shift, axis):
     # pltpu.roll requires a non-negative shift; jnp.roll semantics otherwise
     return pltpu.roll(x, shift % x.shape[axis], axis)

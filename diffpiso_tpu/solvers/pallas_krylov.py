@@ -382,18 +382,22 @@ def fused_cg_iteration(stencil, x, r, p, deflate: bool):
 
 
 def _adv_matvec(c, ly, hy, lx, hx, p, transpose, sgn):
+    # rolls address the trailing (y, x) axes so the same core serves the
+    # rank-2 kernels and the rank-3 batch-FOLDED variants (leading batch
+    # dim is never rolled — no cross-sample contamination)
+    a0, a1 = p.ndim - 2, p.ndim - 1
     if not transpose:
         q = c * p
-        q = q + ly * _roll(p, 1, 0)
-        q = q + hy * _roll(p, -1, 0)
-        q = q + lx * _roll(p, 1, 1)
-        q = q + hx * _roll(p, -1, 1)
+        q = q + ly * _roll(p, 1, a0)
+        q = q + hy * _roll(p, -1, a0)
+        q = q + lx * _roll(p, 1, a1)
+        q = q + hx * _roll(p, -1, a1)
     else:
         q = c * p
-        q = q + _roll(ly * p, -1, 0)
-        q = q + _roll(hy * p, 1, 0)
-        q = q + _roll(lx * p, -1, 1)
-        q = q + _roll(hx * p, 1, 1)
+        q = q + _roll(ly * p, -1, a0)
+        q = q + _roll(hy * p, 1, a0)
+        q = q + _roll(lx * p, -1, a1)
+        q = q + _roll(hx * p, 1, a1)
     return sgn * q
 
 
@@ -655,6 +659,129 @@ def _jacobi2_solve_kernel_b(transpose, max_sweeps, sc_batched,
     out_n[i, 0] = n
 
 
+# -- batch-FOLDED whole-solve momentum Jacobi (r5) ----------------------------------
+# The grid-over-batch rule above runs B sequential single-sample programs
+# per launch — measured -7% at small planes (runs/ab_batched_pallas.log:
+# 64x256 batch-8) because each program is launch-intercept-bound while XLA
+# fuses across the batch. But the XLA path it loses to is ITSELF
+# intercept-bound: the batched while-loop spends ~2 us/kernel on hundreds
+# of tiny fused kernels (runs/profile_train_batch.log: 27k kernel
+# executions per batch-8 training iteration). The fix for BOTH is ONE
+# program holding ALL B samples' planes in VMEM (B x 64x256 f32 = 0.5
+# MiB/field — trivial residency), sweeping the whole batch per iteration
+# with per-sample masked updates: sample i's update is gated by its OWN
+# maintained residual, so its trajectory is bit-identical to an
+# independent solve (the mask commutes through the per-sample-linear
+# matvec), and the loop exits when every sample has converged. Per-sample
+# norms stay 2-D throughout ((B,1) via two single-axis reductions — no
+# rank-1 vectors, which Mosaic reductions reject).
+
+
+def _pmax2(r):
+    """Per-sample max |r| over the trailing two axes: (B, n0, n1) ->
+    (B, 1), via single-axis reductions (keeps everything rank >= 2)."""
+    return jnp.max(jnp.max(jnp.abs(r), axis=2), axis=1, keepdims=True)
+
+
+def _jacobi2_core_bf(transpose, max_sweeps,
+                     cv0, lyv0, hyv0, lxv0, hxv0, bv0, xv0,
+                     cv1, lyv1, hyv1, lxv1, hxv1, bv1, xv1, sgn, tol):
+    """sgn/tol are either scalars (shared sc) or per-sample (B,1,1)/(B,1)
+    arrays (batched sc — the adjoint regime, where the adjoint tolerance
+    derives from the batched cotangent); all arithmetic broadcasts."""
+    d0 = sgn * cv0
+    d1 = sgn * cv1
+    iv0 = jnp.where(jnp.abs(d0) > 1e-30, 1.0 / d0, 1.0)
+    iv1 = jnp.where(jnp.abs(d1) > 1e-30, 1.0 / d1, 1.0)
+
+    def mv0(p):
+        return _adv_matvec(cv0, lyv0, hyv0, lxv0, hxv0, p, transpose, sgn)
+
+    def mv1(p):
+        return _adv_matvec(cv1, lyv1, hyv1, lxv1, hxv1, p, transpose, sgn)
+
+    r0 = bv0 - mv0(xv0)
+    r1 = bv1 - mv1(xv1)
+    nv = jnp.maximum(_pmax2(r0), _pmax2(r1))  # (B, 1)
+
+    def cond(state):
+        nv, j = state[4], state[5]
+        return jnp.any(nv > tol) & (j < max_sweeps)
+
+    def body(state):
+        xv0, xv1, r0, r1, nv, j = state
+        act = (nv > tol).astype(xv0.dtype)[:, :, None]  # (B, 1, 1)
+        d0 = act * (iv0 * r0)
+        d1 = act * (iv1 * r1)
+        xv0 = xv0 + d0
+        xv1 = xv1 + d1
+        r0 = r0 - mv0(d0)
+        r1 = r1 - mv1(d1)
+        nv = jnp.maximum(_pmax2(r0), _pmax2(r1))
+        return xv0, xv1, r0, r1, nv, j + 1
+
+    xv0, xv1, r0, r1, nv, j = jax.lax.while_loop(
+        cond, body, (xv0, xv1, r0, r1, nv, jnp.zeros((), jnp.int32)))
+    # per-sample true exit residual (warn parity with the solo kernel)
+    nt = jnp.maximum(_pmax2(bv0 - mv0(xv0)), _pmax2(bv1 - mv1(xv1)))
+    return xv0, xv1, nt
+
+
+def _jacobi2_solve_kernel_bf(transpose, max_sweeps,
+                             c0, ly0, hy0, lx0, hx0, b0, x0,
+                             c1, ly1, hy1, lx1, hx1, b1, x1,
+                             sc, out_x0, out_x1, out_n):
+    xv0, xv1, nt = _jacobi2_core_bf(
+        transpose, max_sweeps,
+        c0[:], ly0[:], hy0[:], lx0[:], hx0[:], b0[:], x0[:],
+        c1[:], ly1[:], hy1[:], lx1[:], hx1[:], b1[:], x1[:],
+        sc[0], sc[1])
+    out_x0[:] = xv0
+    out_x1[:] = xv1
+    out_n[:] = nt
+
+
+def _jacobi2_solve_kernel_bfs(transpose, max_sweeps,
+                              c0, ly0, hy0, lx0, hx0, b0, x0,
+                              c1, ly1, hy1, lx1, hx1, b1, x1,
+                              sc, out_x0, out_x1, out_n):
+    """Batched-sc folded variant: sc is a (B, 2) VMEM array (col 0 sgn,
+    col 1 tol — per-sample, the adjoint-solve regime). sgn broadcasts as
+    (B,1,1) into the matvec/diagonal, tol as (B,1) into the per-sample
+    convergence mask."""
+    scv = sc[:]
+    sgn = scv[:, 0:1][:, :, None]  # (B, 1, 1)
+    tol = scv[:, 1:2]              # (B, 1)
+    xv0, xv1, nt = _jacobi2_core_bf(
+        transpose, max_sweeps,
+        c0[:], ly0[:], hy0[:], lx0[:], hx0[:], b0[:], x0[:],
+        c1[:], ly1[:], hy1[:], lx1[:], hx1[:], b1[:], x1[:],
+        sgn, tol)
+    out_x0[:] = xv0
+    out_x1[:] = xv1
+    out_n[:] = nt
+
+
+def jac2_fold_eligible(axis_size, sh0, sh1, dtype) -> bool:
+    """Gate for the batch-folded jac2 variant (DIFFPISO_FUSED_JAC2_FOLD:
+    never | auto, default auto): SMALL per-sample planes only (< 1 MiB,
+    i.e. below the 512^2 class where the grid-over-batch rule is the
+    measured winner, runs/ab_batched_512_r4.log) with ~26 resident
+    B-planes per component pair under the 96 MiB ceiling (batch-8 64x256
+    is 13 MiB). Measured at batch-8 64x256 (runs/ab_batched_fold.log):
+    neutral-to-+0.5% vs the all-XLA trace — kept because it is strictly
+    better than the grid rule there (-7%, runs/ab_batched_pallas.log)
+    for any vmapped small-plane workload that traces with kernels on,
+    and bit-exact per sample (runs/check_jac2_fold_lowering.log)."""
+    if os.environ.get("DIFFPISO_FUSED_JAC2_FOLD", "auto") == "never":
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    maxplane = itemsize * max(int(np.prod(sh0)), int(np.prod(sh1)))
+    if maxplane >= 1 << 20:
+        return False
+    return 26 * axis_size * maxplane <= 96 * 1024 * 1024
+
+
 def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
     """Whole-solve Jacobi-Richardson for a 2-component 2-D momentum system
     in ONE launch. st_cs = [(c, lo, hi)] * 2, b_c/x_c = component tuples.
@@ -698,6 +825,36 @@ def fused_jacobi2_solve(st_cs, b_c, x_c, sgn, transpose, tol, max_sweeps):
         planes = _broadcast_batch(axis_size, args[:14], in_batched[:14])
         sh0 = planes[5].shape[1:]
         sh1 = planes[12].shape[1:]
+        if jac2_fold_eligible(axis_size, sh0, sh1, planes[5].dtype):
+            # batch-FOLDED single program: all B samples VMEM-resident,
+            # per-sample masked sweeps (exact per-sample trajectories).
+            # Shared sc rides SMEM scalars; batched sc (adjoint solves —
+            # per-sample tolerances derived from the cotangent) rides a
+            # (B, 2) VMEM array broadcast per sample in-kernel.
+            sc_batched = bool(in_batched[14])
+            kern = _jacobi2_solve_kernel_bfs if sc_batched \
+                else _jacobi2_solve_kernel_bf
+            sc_spec = [pl.BlockSpec(memory_space=pltpu.VMEM)] \
+                if sc_batched else _smem_specs(1)
+            xo0, xo1, n = pl.pallas_call(
+                functools.partial(kern, transpose, int(max_sweeps)),
+                out_shape=(
+                    jax.ShapeDtypeStruct(planes[5].shape, b0.dtype),
+                    jax.ShapeDtypeStruct(planes[12].shape, b1.dtype),
+                    jax.ShapeDtypeStruct((axis_size, 1), b0.dtype),
+                ),
+                in_specs=_vmem_specs(14) + sc_spec,
+                out_specs=(
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                interpret=_INTERPRET,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024,
+                ),
+            )(*planes, sc_)
+            return (xo0, xo1, n), (True, True, True)
         pspec = lambda sh: pl.BlockSpec(
             (1,) + tuple(sh), lambda i: (i,) + (0,) * len(sh),
             memory_space=pltpu.VMEM)
@@ -920,7 +1077,10 @@ def jac2_eligible(shapes, dtype) -> bool:
         return False
     from diffpiso_tpu.ops import pallas_stencil as _ps
 
-    if _ps._DISABLED_DEPTH > 0:
+    if _ps._DISABLED_DEPTH > 0 and _ps._FOLD_OK_DEPTH == 0:
+        # fold_only_pallas() (small-plane batched traces) lets ONLY this
+        # dispatch through no_pallas: its vmap rule batch-FOLDS into one
+        # VMEM-resident program instead of a serialized grid
         return False
     if os.environ.get("DIFFPISO_DISABLE_PALLAS"):
         return False

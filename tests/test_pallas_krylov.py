@@ -687,9 +687,13 @@ def test_fused_pcg2_whole_solve_vmap_batches(monkeypatch):
         assert int(itb[i]) == int(iti)
 
 
-def test_jacobi_whole_solve_vmap_batches(monkeypatch):
+@pytest.mark.parametrize("fold", ["auto", "never"])
+def test_jacobi_whole_solve_vmap_batches(fold, monkeypatch):
     """vmap over the whole-solve momentum kernels (jac1 + jac2) must match
-    per-sample execution — grid-over-batch custom_vmap rules."""
+    per-sample execution — fold='auto' routes jac2 through the r5
+    batch-FOLDED single program (per-sample masked sweeps), 'never'
+    through the grid-over-batch rule; jac1 always grids."""
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC2_FOLD", fold)
     monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
     monkeypatch.setattr(pallas_krylov, "_roll",
                         lambda a, s, ax: jnp.roll(a, s, ax))
@@ -734,6 +738,117 @@ def test_jacobi_whole_solve_vmap_batches(monkeypatch):
         np.testing.assert_allclose(np.asarray(xo1[i]), np.asarray(r1),
                                    rtol=1e-5, atol=1e-6)
         assert float(nrm2[i]) < 1e-6
+
+
+def test_jac2_fold_engages_and_masks_per_sample(monkeypatch):
+    """The batch-FOLDED jac2 program must (a) actually dispatch under vmap
+    at fold-eligible sizes (spy on the kernel body), (b) match per-sample
+    solo solves even when samples need very different sweep counts (the
+    per-sample mask freezes converged samples exactly)."""
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    calls = []
+    orig = pallas_krylov._jacobi2_solve_kernel_bf
+    monkeypatch.setattr(
+        pallas_krylov, "_jacobi2_solve_kernel_bf",
+        lambda *a, **k: calls.append("bf") or orig(*a, **k))
+    rng = np.random.RandomState(7)
+    B, n = 4, 16
+    # wildly different diagonal dominance per sample -> different sweep
+    # counts (sample 0 converges in ~2 sweeps, sample 3 needs many)
+    doms = [50.0, 12.0, 6.0, 3.5]
+    c = jnp.asarray(np.stack([
+        -d + 0.2 * rng.randn(n, n) for d in doms]), jnp.float32)
+    mk = lambda s: jnp.asarray(s * rng.randn(B, n, n), jnp.float32)
+    ly, hy, lx, hx = mk(0.4), mk(0.4), mk(0.4), mk(0.4)
+    b = mk(1.0)
+    x = jnp.zeros((B, n, n), jnp.float32)
+    c2, b2 = c + 0.5, mk(1.0)
+    args = (c, ly, hy, lx, hx, b, x, c2, mk(0.4), mk(0.4), mk(0.4),
+            mk(0.4), b2, x)
+
+    def solve2(args):
+        (c0, ly0, hy0, lx0, hx0, b0, x0,
+         c1, ly1, hy1, lx1, hx1, b1, x1) = args
+        return pallas_krylov.fused_jacobi2_solve(
+            [(c0, (ly0, hy0), (lx0, hx0)), (c1, (ly1, hy1), (lx1, hx1))],
+            (b0, b1), (x0, x1), -1.0, False, 1e-6, 60)
+
+    xo0, xo1, nrm = jax.vmap(solve2)(args)
+    assert calls, "folded kernel did not engage"
+    for i in range(B):
+        r0, r1, nr = solve2(jax.tree_util.tree_map(lambda a: a[i], args))
+        np.testing.assert_allclose(np.asarray(xo0[i]), np.asarray(r0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xo1[i]), np.asarray(r1),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(nrm[i]) < 1e-6
+
+
+def test_jac2_fold_batched_tolerances(monkeypatch):
+    """Batched sc (per-sample tolerances — the adjoint-solve regime, where
+    adj_tol derives from the batched cotangent) must dispatch the
+    batched-sc folded kernel and honour each sample's OWN tolerance."""
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_krylov, "_roll",
+                        lambda a, s, ax: jnp.roll(a, s, ax))
+    calls = []
+    orig = pallas_krylov._jacobi2_solve_kernel_bfs
+    monkeypatch.setattr(
+        pallas_krylov, "_jacobi2_solve_kernel_bfs",
+        lambda *a, **k: calls.append("bfs") or orig(*a, **k))
+    rng = np.random.RandomState(11)
+    B, n = 3, 16
+    mk = lambda s, shp=(B, n, n): jnp.asarray(s * rng.randn(*shp), jnp.float32)
+    c = jnp.asarray(-7.0 + 0.2 * rng.randn(B, n, n), jnp.float32)
+    ly, hy, lx, hx = mk(0.3), mk(0.3), mk(0.3), mk(0.3)
+    b = mk(1.0)
+    x = jnp.zeros((B, n, n), jnp.float32)
+    c2 = c - 0.5
+    args = (c, ly, hy, lx, hx, b, x,
+            c2, mk(0.3), mk(0.3), mk(0.3), mk(0.3), mk(1.0), x)
+    tols = jnp.asarray([1e-3, 1e-5, 1e-7], jnp.float32)
+
+    def solve2(args, tol):
+        (c0, ly0, hy0, lx0, hx0, b0, x0,
+         c1, ly1, hy1, lx1, hx1, b1, x1) = args
+        return pallas_krylov.fused_jacobi2_solve(
+            [(c0, (ly0, hy0), (lx0, hx0)), (c1, (ly1, hy1), (lx1, hx1))],
+            (b0, b1), (x0, x1), -1.0, False, tol, 80)
+
+    xo0, xo1, nrm = jax.vmap(solve2)(args, tols)
+    assert calls, "batched-sc folded kernel did not engage"
+    for i in range(B):
+        r0, r1, nr = solve2(jax.tree_util.tree_map(lambda a: a[i], args),
+                            tols[i])
+        np.testing.assert_allclose(np.asarray(xo0[i]), np.asarray(r0),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(xo1[i]), np.asarray(r1),
+                                   rtol=1e-5, atol=1e-7)
+        # the broadcasted per-sample sgn changes fp association in the
+        # final true-residual reduction — x matches to 1e-7, the reported
+        # norm only to f32 rounding
+        np.testing.assert_allclose(float(nrm[i]), float(nr), rtol=1e-6,
+                                   atol=5e-8)
+
+
+def test_fold_only_context_lets_jac2_through_no_pallas(monkeypatch):
+    """fold_only_pallas() + no_pallas(): every pallas gate stays off
+    EXCEPT jac2_eligible (the small-plane batched training escape)."""
+    from diffpiso_tpu.ops import pallas_stencil as ps
+
+    monkeypatch.setattr(pallas_krylov, "_INTERPRET", True)
+    monkeypatch.setattr(ps, "_INTERPRET", True, raising=False)
+    shapes = ((32, 32), (32, 32))
+    with ps.no_pallas():
+        assert not pallas_krylov.jac2_eligible(shapes, jnp.float32)
+        with ps.fold_only_pallas():
+            assert pallas_krylov.jac2_eligible(shapes, jnp.float32)
+            # the other solver gates stay disabled
+            assert not pallas_krylov.jac1_eligible((32, 32), jnp.float32)
+            assert not ps.pallas_eligible((32, 32), jnp.float32)
+    assert pallas_krylov.jac2_eligible(shapes, jnp.float32)
 
 
 def _system3_periodic(res=(6, 8, 16), seed=2):

@@ -426,8 +426,10 @@ def test_training_run_scan_chunk_matches(tiny_setup, tiny_dataset, tmp_path):
 def test_batched_pallas_mode_size_gate(monkeypatch):
     """The batched-vmap pallas gate resolves by per-sample plane size:
     'auto' at the measured winning scale (512^2 component planes,
-    runs/ab_batched_512.log), 'never' below (runs/ab_batched_pallas.log);
-    the env var still overrides both ways."""
+    runs/ab_batched_512.log), 'fold' below (all-XLA except the
+    batch-folded whole-solve momentum kernel, runs/ab_batched_fold.log;
+    plain 'never' when the fold gate is off); the env var still overrides
+    both ways."""
     from diffpiso_tpu.learning.training import _batched_pallas_mode
 
     big = (
@@ -439,8 +441,12 @@ def test_batched_pallas_mode_size_gate(monkeypatch):
         jax.ShapeDtypeStruct((8, 65, 256), jnp.float32),
     )
     monkeypatch.delenv("DIFFPISO_BATCHED_PALLAS", raising=False)
+    monkeypatch.delenv("DIFFPISO_FUSED_JAC2_FOLD", raising=False)
     assert _batched_pallas_mode(big) == "auto"
+    assert _batched_pallas_mode(small) == "fold"
+    monkeypatch.setenv("DIFFPISO_FUSED_JAC2_FOLD", "never")
     assert _batched_pallas_mode(small) == "never"
+    monkeypatch.delenv("DIFFPISO_FUSED_JAC2_FOLD", raising=False)
     monkeypatch.setenv("DIFFPISO_BATCHED_PALLAS", "never")
     assert _batched_pallas_mode(big) == "never"
     monkeypatch.setenv("DIFFPISO_BATCHED_PALLAS", "auto")
