@@ -574,9 +574,13 @@ solve_pressure_system.defvjp(_pressure_fwd, _pressure_bwd)
 # already sit at ~1-2 iterations, so the channel shaves little; the
 # fwd/adjoint cost gap is iteration count the preconditioner cannot
 # remove (consecutive cotangents correlate less than consecutive
-# pressure increments). The channels are kept: they are exact, cost only
-# zeros in the primal, and pay off whenever the adjoint solver is NOT
-# spectrally preconditioned or runs at tolerances with high cold counts.
+# pressure increments). r5, 3-D: measured NEGATIVE at 256^3 grad10 under
+# the outputs-remat protocol (8.73 vs 8.83, runs/ab_ws3d.log) — the 5
+# extra carry volumes/step cost more than the ~1-2 cold launches the
+# diagonally-dominant momentum adjoint would save. The channels are
+# kept: they are exact, cost only zeros in the primal, and pay off
+# whenever the adjoint solver is NOT spectrally preconditioned or runs
+# at tolerances with high cold counts.
 # The backward scan of an unrolled rollout solves one pressure adjoint per
 # corrector per step from a COLD start (the forward's p_inc warm starts,
 # linear_solver.py:149, have no backward analog in the reference).
