@@ -834,11 +834,14 @@ def pcg(
                 v0m, v1m = solver_mm._mats(leaf.dtype)
                 sym_mm = _safe_symbol(solver_mm, w_mm, leaf.dtype)
                 prec_mm = solver_mm._precision()
-                # 'all-highest' (runs/ab_mm_dct.py): non-fourier bases pay
-                # ~3x iterations under the in-kernel bf16x3 HIGH chain
-                # (the r5 diagnosis at the dct gate) — coerce their
-                # contractions to Mosaic HIGHEST (true f32 quality, 6
-                # passes) and trade passes for iterations
+                # 'all-highest' (runs/ab_mm_dct2.py): an A/B arm coercing
+                # non-fourier contractions to Mosaic HIGHEST (6 passes).
+                # Measured loser (-27% fwd / -48% grad30 at dns) — and the
+                # iteration-inflation story that motivated it was later
+                # overturned (runs/diag_dct_inflation.log: the bf16x3
+                # branch holds iterations identical to XLA; the dct-family
+                # loss is basis-contraction throughput). Kept as a
+                # measurement arm only.
                 from diffpiso_tpu.solvers.pallas_krylov import _large_mode
 
                 if _large_mode() == "all-highest" and any(

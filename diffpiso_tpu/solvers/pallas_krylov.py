@@ -1986,14 +1986,17 @@ def mm_update_large_eligible(shape, dtype, kinds=None) -> bool:
     XLA loop, and the bf16x3 branch removes the precision-pass penalty that
     made the r3 spectral kernels lose. Same env as the phase tier
     (DIFFPISO_FUSED_KRYLOV_LARGE) and the same measured family
-    restriction: all-'fourier' bases win (turb1024 +10-47% fwd); the r4
-    kernel lost for 'dct2' (dns 512x2048 -11% fwd / -26% grad30,
-    runs/ab_phase_large.log) because it re-split the f32 bases to bf16
-    hi/lo on EVERY launch — at the DNS basis sizes (512^2 + 2048^2) that
-    is ~36 MiB of per-iteration VPU traffic the fourier shapes (2x
-    smaller bases per plane byte) could absorb. r5 hoists the splits to
-    constant-folded operands; mode 'all' lifts the family restriction for
-    the re-measurement A/B (runs/ab_mm_dct.py)."""
+    restriction: all-'fourier' bases win (turb1024 +10-47% fwd); the dct
+    family loses at dns 512x2048 on pure basis-contraction throughput —
+    final r5 A/B at the current tree (runs/ab_dns_grad.log): fwd 554 vs
+    610 (-9%), grad30 85.4 vs 111 (-23%) with iteration counts IDENTICAL
+    to the XLA loop ([1.73, 1.1] — the earlier ~3x-inflation reading in
+    runs/ab_mm_dct.log was an artifact of the reverted split-hoist
+    commit, and the bf16x3 apply is 4x MORE accurate than XLA-HIGH here,
+    runs/check_mm_precision.log). The 512^2+2048^2 dense DCT bases cost
+    ~2x the fourier bases per plane byte per iteration, and at ~1-2 warm
+    iterations the launch savings cannot cover it. Mode 'all' lifts the
+    family restriction for re-measurement (runs/ab_dns_grad.py)."""
     mode = _large_mode()
     if mode == "never":
         return False
