@@ -32,6 +32,13 @@ DIFFPISO_FUSED_ADVM=auto DIFFPISO_FUSED_FVM=auto timeout 2500 python runs/roofli
 echo "roofline_cavity fused exit $?"
 tail -12 runs/roofline_cavity_default.log
 tail -12 runs/roofline_cavity_fused.log
+echo "--- stage 6b (r5): batch-fold lowering + preconditioner precision probes"
+timeout 2500 python runs/check_jac2_fold_lowering.py > runs/check_jac2_fold_lowering.log 2>&1
+echo "jac2_fold lowering exit $?"
+tail -4 runs/check_jac2_fold_lowering.log
+timeout 3000 python runs/check_mm_precision.py > runs/check_mm_precision.log 2>&1
+echo "mm_precision exit $?"
+tail -11 runs/check_mm_precision.log
 echo "--- stage 7: refresh ALL BENCH_DETAIL rows at current defaults (merge + drift check + README regen)"
 timeout 9000 python bench.py --refresh-all > runs/refresh_all.log 2>&1
 echo "refresh-all exit $? ($(date); exit 1 = >10% drift, review runs/refresh_all.log)"
